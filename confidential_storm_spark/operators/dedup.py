@@ -1,0 +1,339 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference's operator set (it has no dedup beyond per-epoch
+producer dedup, T6), these are the standard large-corpus dedup family,
+each expressed shuffle-minimally:
+
+- exact:   hash-groupBy on a content digest (one shuffle on the digest)
+- minhash: shingle -> k-permutation minhash signature -> banded LSH
+  bucket join -> exact-Jaccard verification (shuffles on band buckets,
+  never all-pairs)
+- ngram-Jaccard: shared-shingle inverted-index join (explode + join on
+  shingle), linear in total postings, never all-pairs
+- simhash: 64-bit sign fingerprint via a vectorized pandas UDF
+
+All hashing is md5-derived so the DuckDB oracle can reproduce the
+exact same signatures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.text import FP_PRIME, words, words_sql
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash64",
+    "embedding_neardup_pairs",
+]
+
+# deterministic affine permutation parameters for minhash:
+# h_i(x) = (a_i * x + b_i) mod FP_PRIME  (a_i odd, derived from seed)
+def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, FP_PRIME, size=num_hashes, dtype=np.int64) | 1
+    b = rng.integers(0, FP_PRIME, size=num_hashes, dtype=np.int64)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: group by content md5, survivor = min id.
+
+    Returns (digest, survivor_id, n_copies) — one row per distinct
+    content.  One shuffle on the digest; at 100 TB this is the
+    canonical first-pass dedup (digest is uniform, no skew).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle hashes (distinct), each mapped to an int in
+    [0, FP_PRIME) via md5 — the minhash universe."""
+    ws = words(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+    )
+    return F.array_distinct(
+        F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long") % FP_PRIME,
+        )
+    )
+
+
+def shingles_sql(col: str = "text", n: int = 3) -> str:
+    """DuckDB twin of :func:`shingles`."""
+    ws = words_sql(col)
+    return (
+        f"list_distinct(list_transform("
+        f"list_transform(range(0, greatest(len({ws}) - {n}, 0) + 1), "
+        f"i -> array_to_string(list_slice({ws}, i + 1, i + {n}), ' ')), "
+        f"g -> CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % {FP_PRIME}))"
+    )
+
+
+def minhash_from_shingles(
+    shingle_col: Column, num_hashes: int = 16, seed: int = 42
+) -> Column:
+    """Minhash signature from a (pre-computed) shingle-hash array
+    column: per permutation i, min over shingles of (a_i*x + b_i) mod p.
+
+    Arrow-batched numpy: the K x |shingles| affine mins are one
+    broadcasted matrix op per row.  (The pure built-in formulation —
+    K array_min(transform(...)) — embeds the shingle expression K
+    times and Spark evaluates higher-order lambdas interpreted, ~100x
+    slower.)  Intermediates stay < 2^62, exact in int64, so the SQL
+    oracle reproduces identical signatures.
+    """
+    params = _perm_params(num_hashes, seed)
+    a = np.array([p[0] for p in params], dtype=np.int64)[:, None]
+    b = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+    empty = np.full(num_hashes, FP_PRIME, dtype=np.int64)
+
+    def batch(s: pd.Series) -> pd.Series:
+        out = []
+        for arr in s:
+            if arr is None or len(arr) == 0:
+                out.append(empty)
+            else:
+                x = np.asarray(arr, dtype=np.int64)[None, :]
+                out.append(((x * a + b) % FP_PRIME).min(axis=1))
+        return pd.Series(out)
+
+    return pandas_udf(batch, "array<long>")(shingle_col)
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 16, shingle_n: int = 3, seed: int = 42
+) -> Column:
+    """Minhash signature straight from text (computes shingles inline;
+    prefer computing the shingle column once and calling
+    :func:`minhash_from_shingles` when both are needed)."""
+    return minhash_from_shingles(shingles(text, shingle_n), num_hashes, seed)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via banded minhash LSH + exact verification.
+
+    rows_per_band = num_hashes / bands; docs agreeing on any full band
+    become candidates; candidates are verified with exact Jaccard over
+    shingle sets.  Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Scale: the only shuffles are (band_id, band_hash) bucket join and
+    the final dedup — candidate generation is linear in bucket sizes
+    (hot buckets would need bucket-size capping at extreme scale).
+    """
+    rows_per_band = num_hashes // bands
+    sh_df = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), shingle_n).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    sigs = sh_df.withColumn("_sig", minhash_from_shingles(F.col("_sh"), num_hashes, seed))
+    # Materialize signatures before the self-join — both sides would
+    # re-run the shingle pipeline otherwise.  (localCheckpoint, not
+    # cache(): Spark's columnar cache encodes large array columns
+    # ~10x slower than row serialization.)  At cluster scale this is
+    # where signatures would be persisted to a table anyway.
+    sigs = sigs.localCheckpoint(eager=False)
+
+    # band key = the band's signature slice rendered as a string —
+    # deterministic and reproducible by the SQL oracle (Spark's hash()
+    # is murmur3 and has no DuckDB twin).  The banded relation carries
+    # ONLY (id, band, band_hash): shuffling the shingle arrays through
+    # the self-join + distinct costs ~60x more than joining them back
+    # onto the (tiny) candidate set afterwards.
+    banded = sigs.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            F.transform(
+                                F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.band_hash")
+
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+    sh_only = sigs.select("_id", "_sh")
+    verified = (
+        cand.join(sh_only.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh_only.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter").cast("double")
+                / F.greatest(F.size("sh_a") + F.size("sh_b") - F.col("_inter"), F.lit(1)),
+                6,
+            ),
+        )
+    )
+    return (
+        verified.filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index join:
+    explode distinct shingles, self-join on shingle, count shared,
+    jaccard = shared / (|A| + |B| - shared).  Returns (id_a, id_b,
+    jaccard >= threshold), id_a < id_b."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sh")
+        )
+        .filter(F.size("_sh") > 0)
+        .persist()  # consumed by postings AND sizes AND the verify join
+    )
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    postings = sh.select("_id", F.explode("_sh").alias("shingle"))
+    shared = (
+        postings.alias("a")
+        .join(
+            postings.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _simhash64_batch(texts: pd.Series) -> pd.Series:
+    """Vectorized 64-bit simhash: per doc, sum +-1 over word-hash bits,
+    sign -> bit.  Arrow-batched; numpy bit unpacking inside."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        ws = [w for w in re.split(r"\W+", t.lower()) if w]
+        if not ws:
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for w in ws:
+            # 64 bits of the md5 digest, bit order = unpackbits(8 bytes)
+            bits = np.unpackbits(
+                np.frombuffer(hashlib.md5(w.encode()).digest()[:8], dtype=np.uint8)
+            ).astype(np.int64)
+            acc += 2 * bits - 1
+        sig = 0
+        for b in range(64):
+            if acc[b] > 0:
+                sig |= 1 << b
+        # fold into signed int64 (two's complement)
+        out[i] = sig - (1 << 64) if sig >= 1 << 63 else sig
+    return pd.Series(out)
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash fingerprints (id, simhash).  Near-dups = small Hamming
+    distance; pair via band-of-bits join as with minhash."""
+    # pandas_udf is created lazily: the decorator needs an active
+    # SparkSession to resolve the DDL return type
+    udf = pandas_udf(_simhash64_batch, "long")
+    return df.select(F.col(id_col), udf(F.col(text_col)).alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force within
+    id_a < id_b; LSH-bucketed variant in operators/similarity.py).
+    Suitable below ~1M vectors; beyond that use the LSH path."""
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).persist()
+
+    def cosine_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
+        # Arrow-vectorized cosine over candidate pairs: row-wise dot /
+        # norms via numpy (higher-order JVM lambdas are interpreted and
+        # ~30x slower on all-pairs workloads)
+        ma = np.stack(va.to_numpy())
+        mb = np.stack(vb.to_numpy())
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+        return pd.Series(dots / (na * nb))
+
+    cosine_udf = pandas_udf(cosine_batch, "double")
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .withColumn("cosine", F.round(cosine_udf(F.col("a._v"), F.col("b._v")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), F.col("cosine")
+        )
+    )

@@ -1,0 +1,143 @@
+"""Batch DP-SQLP pipeline as a Spark operator (SURVEY §7 Phase 2).
+
+The epoch dimension comes from the data (``epoch`` column); per key the
+mechanism must see epochs **in order** with that key's per-epoch totals
+and unique-user sets.  The plan:
+
+1. ``groupBy(key, epoch)`` pre-aggregation — JVM-side partial+final
+   hash agg computes per-window totals and unique-user sets (this is
+   the shuffle; everything after it is narrow).
+2. ``groupBy(bucket).applyInPandas`` — keys are hash-bucketed so one
+   Python worker invocation runs the Algorithm 1-3 state machine for
+   *many* keys (amortizing the Arrow + interpreter cost), mirroring
+   how one reference DP-bolt replica owns many keys' trees
+   (StreamingDPMechanism.java:34-72).  State per key = two numpy
+   trees + observed-user set, exactly the reference's state model.
+
+Scale: the bucket count bounds per-task state; at 100 TB the bucket
+column doubles as the shuffle key so skewed keys spread by hash.  The
+pre-aggregation means the pandas stage sees |keys| x T rows, not raw
+events.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..dp.calibration import CompositionMode, calibrate
+from ..dp.mechanism import StreamingDPMechanism
+
+__all__ = ["DPParams", "dp_histogram_batch"]
+
+
+@dataclass(frozen=True)
+class DPParams:
+    """Mechanism parameters (mirrors the reference's DPConfig +
+    calibration output)."""
+
+    sigma_key: float
+    sigma_hist: float
+    threshold_quantile: float
+    max_time_steps: int
+    mu: int
+    max_contributions_per_user: int
+    per_record_clamp: float = 1.0
+    seed: int = 42
+
+    @classmethod
+    def from_budget(
+        cls,
+        epsilon: float,
+        delta: float,
+        c: int,
+        t: int,
+        mu: int,
+        per_record_clamp: float = 1.0,
+        alpha: float = 0.5,
+        composition: CompositionMode = CompositionMode.ZCDP_LINEAR,
+        seed: int = 42,
+    ) -> "DPParams":
+        """Paper budget split: eps_k = eps_h = eps/2, delta_k = 2delta/3,
+        delta_h = delta/3 (ref DataPerturbationServiceProvider.java:14-35)."""
+        cal = calibrate(
+            composition, epsilon / 2, delta * 2 / 3, epsilon / 2, delta / 3,
+            c, t, per_record_clamp, alpha,
+        )
+        return cls(
+            sigma_key=cal.sigma_key,
+            sigma_hist=cal.sigma_hist,
+            threshold_quantile=cal.threshold_quantile,
+            max_time_steps=t,
+            mu=mu,
+            max_contributions_per_user=c,
+            per_record_clamp=per_record_clamp,
+            seed=seed,
+        )
+
+    @classmethod
+    def zero_noise(cls, t: int, mu: int = 0, c: int = 32, clamp: float = 1.0) -> "DPParams":
+        """Deterministic oracle mode (sigma=0), the reference's
+        keystone test fixture (StreamingDPMechanismTest:84-86)."""
+        return cls(0.0, 0.0, 4.2649, t, mu, c, clamp)
+
+
+def dp_histogram_batch(
+    contribs: DataFrame,
+    params: DPParams,
+    key_col: str = "key",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    epoch_col: str = "epoch",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Run the full DP-SQLP mechanism over an epoch-partitioned batch;
+    returns the final released histogram ``(key, count)`` sorted desc.
+
+    Input must already be clamped + C-bounded (use
+    ``operators.bounding.bounded_clamped``), matching the reference
+    pipeline order bounding -> perturbation -> aggregation.
+    """
+    windowed = (
+        contribs.groupBy(key_col, epoch_col)
+        .agg(
+            F.sum(value_col).alias("total"),
+            F.collect_set(user_col).alias("users"),
+        )
+        .withColumn("bucket", F.crc32(F.col(key_col).cast("string")) % num_buckets)
+    )
+
+    p = params
+
+    def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({"key": pd.Series(dtype=object), "count": pd.Series(dtype="int64")})
+        bucket_id = int(pdf["bucket"].iloc[0])
+        rng = np.random.default_rng((p.seed, bucket_id))
+        mech = StreamingDPMechanism(
+            p.sigma_key,
+            p.sigma_hist,
+            p.threshold_quantile,
+            p.max_time_steps,
+            p.mu,
+            p.max_contributions_per_user,
+            rng=rng,
+        )
+        by_epoch: dict[int, list[tuple[str, float, list]]] = {}
+        for key, epoch, total, users in zip(
+            pdf[key_col], pdf[epoch_col], pdf["total"], pdf["users"]
+        ):
+            by_epoch.setdefault(int(epoch), []).append((key, float(total), users))
+        hist: dict[str, int] = {}
+        for epoch in range(p.max_time_steps):
+            for key, total, users in by_epoch.get(epoch, ()):
+                mech.add_window(key, total, users)
+            hist = mech.snapshot()
+        return pd.DataFrame({"key": list(hist.keys()), "count": list(hist.values())})
+
+    out = windowed.groupBy("bucket").applyInPandas(run_bucket, schema="key string, count long")
+    return out.orderBy(F.desc("count"), "key")

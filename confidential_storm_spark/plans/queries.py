@@ -1,0 +1,661 @@
+"""The engine's query registry: every operator from SURVEY §2 exposed
+as a named (spark, sf_dir) -> DataFrame builder, each (where ANSI-SQL
+can express it) paired with a DuckDB oracle over the same parquet.
+
+Column-name discipline: every computed column is aliased identically
+in the Spark builder and the oracle SQL — the driver sorts columns by
+name before value-hashing.  Doubles that aggregate across partitions
+are rounded on BOTH sides so parallel summation order cannot flip a
+hash.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    fingerprint,
+    fingerprint_sql,
+    lang_id,
+    quality_features,
+    words,
+    words_sql,
+)
+from ..operators.bounding import bounded_clamped, bounded_sql
+from ..operators.dedup import (
+    _perm_params,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles_sql,
+    embedding_neardup_pairs,
+    simhash64,
+)
+from ..operators.dp_batch import DPParams, dp_histogram_batch
+from ..operators.histogram import histogram_release, merge_partials, utility_metrics, ground_truth
+from ..operators.similarity import brute_force_topk, lsh_ann_topk
+from ..functions.security import replay_filter, stamp_sequence, validate_routes
+from ..sources.tables import CONTRIBUTIONS_SQL, contributions_view, load_table
+
+# DP fixture parameters used by the event queries
+DP_C = 32          # max contributions per user
+DP_CLAMP = 1.0     # per-record clamp L_m
+DP_T = 30          # epochs (days of January 2024 in the events table)
+DP_MU = 5          # key-selection base threshold for the gate query
+UTIL_C = 8         # tighter bound for the utility-metrics contrast
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str
+    survey_ref: str = ""
+
+
+def _contrib_cte(extra: str = "") -> str:
+    return f"WITH contributions AS ({CONTRIBUTIONS_SQL}){extra}"
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scan/filter/agg/join/sort — free in Spark, exercised
+# so the engine's plan quality is measurable; SURVEY §2.6 notes joins
+# are exposed "for free")
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+       ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+       COUNT(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# DP pipeline queries (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+def dp_bounded_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (SURVEY §7 Phase 1): clamp (P2) -> C-bound (A2) ->
+    keyed sum (A1) -> release form (A13/O1)."""
+    contrib = contributions_view(spark, sf_dir)
+    bounded = bounded_clamped(contrib, DP_C, DP_CLAMP)
+    return histogram_release(bounded)
+
+
+DP_BOUNDED_SQL = _contrib_cte() + f"""
+SELECT key,
+       GREATEST(CAST(FLOOR(SUM(value) + 0.5) AS BIGINT), 0) AS count
+FROM ({bounded_sql("SELECT * FROM contributions", DP_C, DP_CLAMP)})
+GROUP BY key
+ORDER BY count DESC, key
+"""
+
+
+def dp_zero_noise_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keystone correctness gate (StreamingDPMechanismTest:93-138):
+    the full Algorithm 1-3 pipeline at sigma=0, mu=0 must equal the
+    exact bounded histogram — same oracle as dp_bounded_histogram."""
+    contrib = contributions_view(spark, sf_dir)
+    bounded = bounded_clamped(contrib, DP_C, DP_CLAMP)
+    return dp_histogram_batch(bounded, DPParams.zero_noise(DP_T, mu=0, c=DP_C))
+
+
+def dp_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: unique users per key per epoch."""
+    contrib = contributions_view(spark, sf_dir)
+    return (
+        contrib.groupBy("key", "epoch")
+        .agg(F.countDistinct("user_id").alias("uniq_users"))
+        .orderBy("key", "epoch")
+    )
+
+
+DP_UNIQUE_SQL = _contrib_cte() + """
+SELECT key, epoch, COUNT(DISTINCT user_id) AS uniq_users
+FROM contributions GROUP BY key, epoch ORDER BY key, epoch
+"""
+
+
+def dp_key_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 at sigma=0: first epoch where a key's cumulative NEW unique
+    users reach mu (the zero-noise key-selection gate)."""
+    contrib = contributions_view(spark, sf_dir)
+    first_seen = contrib.groupBy("key", "user_id").agg(F.min("epoch").alias("fe"))
+    per_epoch = first_seen.groupBy("key", "fe").agg(F.count(F.lit(1)).alias("nu"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy("fe")
+    run = per_epoch.withColumn("cu", F.sum("nu").over(w))
+    return (
+        run.filter(F.col("cu") >= DP_MU)
+        .groupBy("key")
+        .agg(F.min("fe").alias("first_release_epoch"))
+        .orderBy("key")
+    )
+
+
+DP_KEYSEL_SQL = _contrib_cte() + f"""
+, fa AS (SELECT key, user_id, MIN(epoch) AS fe FROM contributions GROUP BY key, user_id),
+cum AS (SELECT key, fe, COUNT(*) AS nu FROM fa GROUP BY key, fe),
+run AS (SELECT key, fe, SUM(nu) OVER (PARTITION BY key ORDER BY fe) AS cu FROM cum)
+SELECT key, MIN(fe) AS first_release_epoch FROM run WHERE cu >= {DP_MU}
+GROUP BY key ORDER BY key
+"""
+
+
+def dp_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 + T6: per-(epoch, producer) partial histograms, duplicated
+    delivery, dummy partials injected — merge discards dummies, dedups
+    (epoch, producer), fan-in sums per key."""
+    contrib = contributions_view(spark, sf_dir)
+    partials = (
+        contrib.groupBy("epoch", "producer_id", "key")
+        .agg(F.round(F.sum("value"), 4).alias("partial_sum"))
+        .withColumn("is_dummy", F.lit(False))
+    )
+    dummies = partials.limit(7).withColumn("is_dummy", F.lit(True)).withColumn(
+        "partial_sum", F.lit(1e9)
+    )
+    duplicated = partials.union(partials).union(dummies)  # replayed deliveries + dummies
+    merged = merge_partials(duplicated)
+    return merged.select("key", F.round("total", 4).alias("total")).orderBy("key")
+
+
+DP_MERGE_SQL = _contrib_cte() + """
+, partials AS (
+    SELECT epoch, producer_id, key, ROUND(SUM(value), 4) AS partial_sum
+    FROM contributions GROUP BY epoch, producer_id, key
+)
+SELECT key, ROUND(SUM(partial_sum), 4) AS total FROM partials GROUP BY key ORDER BY key
+"""
+
+
+def dp_utility_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: L0/Linf/L1/L2 of the C-bounded histogram vs the unbounded
+    ground truth (full outer join on key)."""
+    contrib = contributions_view(spark, sf_dir)
+    bounded = bounded_clamped(contrib, UTIL_C, DP_CLAMP)
+    dp = histogram_release(bounded)
+    gt = ground_truth(
+        contrib.withColumn(
+            "value", F.least(F.greatest(F.col("value"), F.lit(-DP_CLAMP)), F.lit(DP_CLAMP))
+        )
+    )
+    return utility_metrics(dp, gt)
+
+
+DP_UTILITY_SQL = _contrib_cte(
+    f"""
+, dp AS (
+    SELECT key, GREATEST(CAST(FLOOR(SUM(value) + 0.5) AS BIGINT), 0) AS count
+    FROM ({bounded_sql("SELECT * FROM contributions", UTIL_C, DP_CLAMP)})
+    GROUP BY key
+),
+gt AS (
+    SELECT key, SUM(LEAST(GREATEST(value, -{DP_CLAMP}), {DP_CLAMP})) AS gt_total
+    FROM contributions GROUP BY key
+)"""
+) + """
+SELECT COUNT(CASE WHEN COALESCE(CAST(count AS DOUBLE), 0) > 0 THEN 1 END) AS l0,
+       ROUND(MAX(ABS(COALESCE(CAST(count AS DOUBLE), 0) - COALESCE(gt_total, 0))), 6)        AS l_inf,
+       ROUND(SUM(ABS(COALESCE(CAST(count AS DOUBLE), 0) - COALESCE(gt_total, 0))), 6)        AS l1,
+       ROUND(SQRT(SUM(POW(COALESCE(CAST(count AS DOUBLE), 0) - COALESCE(gt_total, 0), 2))), 6) AS l2
+FROM dp FULL OUTER JOIN gt USING (key)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Security layer (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+def sec_replay_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    contrib = contributions_view(spark, sf_dir)
+    return (
+        replay_filter(contrib.select("producer_id", "seq"))
+        .orderBy("producer_id", "seq")
+    )
+
+
+SEC_REPLAY_SQL = _contrib_cte() + """
+, d AS (SELECT DISTINCT producer_id, seq FROM contributions),
+m AS (SELECT producer_id, seq, MAX(seq) OVER (PARTITION BY producer_id) AS mx FROM d)
+SELECT producer_id, seq FROM m WHERE seq > mx - 128 ORDER BY producer_id, seq
+"""
+
+
+def sec_seq_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    contrib = contributions_view(spark, sf_dir)
+    return stamp_sequence(
+        contrib.select("producer_id", "event_time", "event_id"),
+        order_cols=("event_time", "event_id"),
+    ).select("producer_id", "event_id", "seq_out")
+
+
+SEC_SEQ_SQL = _contrib_cte() + """
+SELECT producer_id, event_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY producer_id ORDER BY event_time, event_id) AS INTEGER) AS seq_out
+FROM contributions
+"""
+
+# topology edges fixture (FIXTURES.md §6 shape, mapped onto the events
+# data: producer -> event-type edges)
+ROUTE_EDGES = [
+    ("p0", "click"),
+    ("p1", "view"),
+    ("p2", "purchase"),
+    ("p3", "error"),
+    ("p0", "signup"),
+]
+
+
+def sec_route_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 as a broadcast semi-join: (producer_id, event_type) must be a
+    declared edge; returns accepted-count per edge."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("p"), (F.col("user_id") % 4).cast("string")).alias("source"),
+        F.col("event_type").alias("destination"),
+    )
+    edges = spark.createDataFrame(ROUTE_EDGES, "src string, dst string")
+    ok = validate_routes(ev, edges)
+    return ok.groupBy("source", "destination").agg(F.count(F.lit(1)).alias("accepted")).orderBy(
+        "source", "destination"
+    )
+
+
+SEC_ROUTE_SQL = f"""
+WITH ev AS (
+  SELECT 'p' || CAST(user_id % 4 AS VARCHAR) AS source, event_type AS destination FROM events
+), edges(src, dst) AS (VALUES {", ".join(f"('{s}','{d}')" for s, d in ROUTE_EDGES)})
+SELECT source, destination, COUNT(*) AS accepted
+FROM ev SEMI JOIN edges ON source = src AND destination = dst
+GROUP BY source, destination ORDER BY source, destination
+"""
+
+
+# ---------------------------------------------------------------------------
+# Word-count / text analysis (SURVEY §2.3 P1 + training-data ops)
+# ---------------------------------------------------------------------------
+
+
+def wordcount_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), "word")
+    )
+
+
+WORDCOUNT_SQL = f"""
+SELECT w AS word, COUNT(*) AS count
+FROM (SELECT unnest({words_sql("text")}) AS w FROM documents)
+GROUP BY w ORDER BY count DESC, word
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_features(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+TEXT_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, text, {words_sql("text")} AS ws FROM documents)
+SELECT doc_id,
+       CAST(len(ws) AS INTEGER) AS n_tokens,
+       ROUND(CAST(COALESCE(list_sum(list_transform(ws, w -> len(w))), 0) AS DOUBLE)
+             / GREATEST(len(ws), 1), 6) AS mean_token_len,
+       ROUND(CAST(len(list_filter(ws, w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+             / GREATEST(len(ws), 1), 6) AS stopword_ratio,
+       ROUND(CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             / GREATEST(len(text), 1), 6) AS alpha_ratio
+FROM t ORDER BY doc_id
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _lang_sql() -> str:
+    score_exprs = ",\n       ".join(
+        f"CAST(len(list_filter(ws, w -> list_contains({list(m)}, w))) AS INTEGER) AS score_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH t AS (SELECT doc_id, lang, {words_sql("text")} AS ws FROM documents),
+s AS (SELECT doc_id, lang, {score_exprs} FROM t)
+SELECT doc_id, lang AS true_lang, {case} AS pred_lang, {best} AS best_score
+FROM s ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id, {fingerprint_sql("text")} AS fp FROM documents ORDER BY doc_id
+"""
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(words(F.col("text")))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(n).alias("total_tokens"),
+            F.round(F.avg(n), 6).alias("avg_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT source,
+       CAST(SUM(len({words_sql("text")})) AS BIGINT) AS total_tokens,
+       ROUND(AVG(len({words_sql("text")})), 6)       AS avg_tokens,
+       COUNT(*)                                      AS n_docs
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (training-data ops)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents")).orderBy("digest")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS digest, MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY digest
+"""
+
+NEARDUP_THRESHOLD = 0.2
+MINHASH_K, MINHASH_BANDS, SHINGLE_N = 16, 4, 3
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        shingle_n=SHINGLE_N,
+        threshold=NEARDUP_THRESHOLD,
+    ).orderBy("id_a", "id_b")
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH sh AS (SELECT doc_id AS _id, {shingles_sql("text", SHINGLE_N)} AS _sh FROM documents),
+nz AS (SELECT _id, _sh, len(_sh) AS _n FROM sh WHERE len(_sh) > 0),
+p AS (SELECT _id, unnest(_sh) AS shingle FROM nz),
+shared AS (
+  SELECT a._id AS id_a, b._id AS id_b, COUNT(*) AS shared
+  FROM p a JOIN p b ON a.shingle = b.shingle AND a._id < b._id
+  GROUP BY a._id, b._id
+),
+j AS (
+  SELECT id_a, id_b,
+         ROUND(CAST(shared AS DOUBLE) / (na._n + nb._n - shared), 6) AS jaccard
+  FROM shared
+  JOIN nz na ON na._id = id_a
+  JOIN nz nb ON nb._id = id_b
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {NEARDUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=MINHASH_K,
+        bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N,
+        jaccard_threshold=NEARDUP_THRESHOLD,
+    ).orderBy("id_a", "id_b")
+
+
+def _minhash_sql() -> str:
+    r = MINHASH_K // MINHASH_BANDS
+    perms = _perm_params(MINHASH_K, seed=42)
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(_sh, x -> (x * {a} + {b}) % 2147483647))" for a, b in perms
+    )
+    bands = ", ".join(str(b) for b in range(MINHASH_BANDS))
+    return f"""
+WITH docs AS (SELECT doc_id AS _id, {shingles_sql("text", SHINGLE_N)} AS _sh FROM documents),
+sh AS (SELECT _id, _sh, [{sig_exprs}] AS _sig FROM docs WHERE len(_sh) > 0),
+banded AS (
+  SELECT _id, _sh, band,
+         array_to_string(list_slice(_sig, band * {r} + 1, band * {r} + {r}), '-') AS band_hash
+  FROM sh, (SELECT unnest([{bands}]) AS band)
+),
+cand AS (
+  SELECT DISTINCT l._id AS id_a, r._id AS id_b, l._sh AS sh_a, r._sh AS sh_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND l._id < r._id
+),
+j AS (
+  SELECT id_a, id_b,
+         ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+               GREATEST(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)), 1), 6) AS jaccard
+  FROM cand
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {NEARDUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash64(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_EMBEDDING_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+KNN_K = 10
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).head()
+    )
+    return list(row["embedding"])
+
+
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_vec(spark, sf_dir)
+    return brute_force_topk(load_table(spark, sf_dir, "embeddings"), q, k=KNN_K)
+
+
+KNN_SQL = f"""
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             CAST((SELECT embedding FROM embeddings WHERE vec_id = 0) AS DOUBLE[])), 6) AS cosine
+FROM embeddings
+ORDER BY cosine DESC, vec_id
+LIMIT {KNN_K}
+"""
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_vec(spark, sf_dir)
+    return lsh_ann_topk(load_table(spark, sf_dir, "embeddings"), q, k=KNN_K, num_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryDef] = {
+    "q1_pricing_summary": QueryDef(q1_pricing_summary, Q1_SQL, "TPC-H Q1 scan+agg+sort", "§2.5 A1/O1"),
+    "q3_top_revenue": QueryDef(q3_top_revenue, Q3_SQL, "join + agg + top-k", "§2.6"),
+    "q5_nation_revenue": QueryDef(q5_nation_revenue, Q5_SQL, "multi-join broadcast + agg", "§2.6"),
+    "dp_bounded_histogram": QueryDef(dp_bounded_histogram, DP_BOUNDED_SQL, "flagship: clamp+bound+histogram", "P2,A2,A1,A13,O1"),
+    "dp_zero_noise_full": QueryDef(dp_zero_noise_full, DP_BOUNDED_SQL, "full DP mechanism at sigma=0 == exact", "A1-A13"),
+    "dp_unique_users": QueryDef(dp_unique_users, DP_UNIQUE_SQL, "unique users per key/epoch", "A3"),
+    "dp_key_selection": QueryDef(dp_key_selection, DP_KEYSEL_SQL, "zero-noise key-selection gate", "A8"),
+    "dp_partial_merge": QueryDef(dp_partial_merge, DP_MERGE_SQL, "dedup+merge partial histograms", "A14,T6"),
+    "dp_utility_metrics": QueryDef(dp_utility_metrics, DP_UTILITY_SQL, "L0/Linf/L1/L2 vs ground truth", "A16"),
+    "sec_replay_filter": QueryDef(sec_replay_filter, SEC_REPLAY_SQL, "replay window (batch analog)", "V2"),
+    "sec_seq_stamp": QueryDef(sec_seq_stamp, SEC_SEQ_SQL, "per-producer seq generator", "V4"),
+    "sec_route_validation": QueryDef(sec_route_validation, SEC_ROUTE_SQL, "route check vs edges table", "V1"),
+    "wordcount_histogram": QueryDef(wordcount_histogram, WORDCOUNT_SQL, "split+explode+count", "P1"),
+    "text_quality": QueryDef(text_quality, TEXT_QUALITY_SQL, "quality features per doc", "training-data"),
+    "text_lang_id": QueryDef(text_lang_id, None, "keyword language ID", "training-data"),
+    "text_fingerprint": QueryDef(text_fingerprint, FINGERPRINT_SQL, "rolling-hash fingerprint", "training-data"),
+    "token_stats": QueryDef(token_stats, TOKEN_STATS_SQL, "token counts per source", "training-data"),
+    "dedup_exact": QueryDef(dedup_exact, DEDUP_EXACT_SQL, "exact content dedup", "training-data"),
+    "dedup_ngram_jaccard": QueryDef(dedup_ngram_jaccard, NGRAM_JACCARD_SQL, "exact n-gram Jaccard pairs", "training-data"),
+    "dedup_minhash_lsh": QueryDef(dedup_minhash_lsh, None, "minhash LSH near-dup pairs", "training-data"),
+    "dedup_simhash": QueryDef(dedup_simhash, None, "simhash fingerprints", "training-data"),
+    "dedup_embedding": QueryDef(dedup_embedding, DEDUP_EMBEDDING_SQL, "embedding-cosine near-dups", "training-data"),
+    "knn_brute_force": QueryDef(knn_brute_force, KNN_SQL, "exact cosine top-k", "similarity"),
+    "knn_lsh": QueryDef(knn_lsh, None, "LSH-bucketed approximate top-k", "similarity"),
+}
+
+# lang-id oracle is generated (depends on LANG_MARKERS)
+QUERIES["text_lang_id"] = QueryDef(text_lang_id, _lang_sql(), "keyword language ID", "training-data")
+# minhash oracle is generated (depends on permutation params)
+QUERIES["dedup_minhash_lsh"] = QueryDef(
+    dedup_minhash_lsh, _minhash_sql(), "minhash LSH near-dup pairs", "training-data"
+)
+
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.builder for name, qd in QUERIES.items()}
+
+
+def build_oracles() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in QUERIES.items() if qd.oracle is not None}

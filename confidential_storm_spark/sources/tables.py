@@ -1,0 +1,111 @@
+"""Parquet table sources for the driver's test data.
+
+The reference's sources are spouts (SURVEY §2.1 S1-S6); in batch Spark
+a source is a parquet scan, and the canonical DP input relation
+``contributions(user_id, key, value, event_time, producer_id, seq,
+epoch)`` (FIXTURES.md §1) is *derived* from the ``events`` table with
+pure column expressions so that a DuckDB oracle can derive the exact
+same relation.
+
+Scale note: scans stay predicate-pushdown/column-pruning friendly —
+all derivations are Catalyst expressions (no UDFs), so Parquet reads
+only the referenced columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Fixed epoch origin for deriving the DP time-step from event_time.
+# The driver's events table spans January 2024; one epoch == one day.
+EPOCH_ORIGIN = "2024-01-01"
+
+# Number of synthetic upstream producers for replay/merge fixtures
+# (stands in for the reference's P perturbation replicas).
+NUM_PRODUCERS = 4
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def contributions_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical DP contribution stream derived from ``events``.
+
+    Column mapping (FIXTURES.md §1 -> driver's events schema):
+    - user_id      <- cast(user_id as string)
+    - key          <- event_type || '-' || (int(props.k) % 10)   (richer key space)
+    - value        <- value
+    - event_time   <- ts
+    - producer_id  <- 'p' || (user_id % NUM_PRODUCERS)
+    - seq          <- event_id (monotonic per producer is NOT guaranteed;
+                      replay fixtures derive per-producer sequence numbers)
+    - epoch        <- days since EPOCH_ORIGIN (the reference's 5 s tick
+                      becomes a 1-day tumbling logical window in batch mode)
+
+    Mirrors BaselineSpout's record shape (key, count, userId, routingKey)
+    — the routing key is unnecessary: ``groupBy`` hash-partitions for us
+    (ref AbstractUserContributionBoundingServiceProvider.java:103-105).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # ts arrives as long nanoseconds (see session.py nanosAsLong);
+    # convert to a microsecond timestamp — the driver's generator works
+    # at microsecond granularity, so ordering matches the oracle's
+    # native TIMESTAMP_NS ordering
+    event_time = F.timestamp_micros(F.expr("ts div 1000"))
+    return ev.select(
+        F.col("event_id"),
+        F.col("user_id").cast("string").alias("user_id"),
+        F.concat(
+            F.col("event_type"),
+            F.lit("-"),
+            (F.regexp_extract(F.col("props"), "[0-9]+", 0).cast("int") % 10).cast("string"),
+        ).alias("key"),
+        F.col("value"),
+        event_time.alias("event_time"),
+        F.concat(F.lit("p"), (F.col("user_id") % NUM_PRODUCERS).cast("string")).alias(
+            "producer_id"
+        ),
+        F.col("event_id").alias("seq"),
+        F.datediff(event_time.cast("date"), F.lit(EPOCH_ORIGIN).cast("date")).alias("epoch"),
+    )
+
+
+# The equivalent ANSI-SQL derivation, used as a CTE prefix by every
+# oracle query so DuckDB sees the identical relation.
+CONTRIBUTIONS_SQL = f"""
+SELECT
+    event_id,
+    CAST(user_id AS VARCHAR)                            AS user_id,
+    event_type || '-' ||
+        CAST(CAST(regexp_extract(props, '[0-9]+') AS INTEGER) % 10 AS VARCHAR) AS key,
+    value,
+    ts                                                  AS event_time,
+    'p' || CAST(user_id % {NUM_PRODUCERS} AS VARCHAR)   AS producer_id,
+    event_id                                            AS seq,
+    datediff('day', DATE '{EPOCH_ORIGIN}', CAST(ts AS DATE)) AS epoch
+FROM events
+"""

@@ -1,0 +1,126 @@
+"""Spark-side operator integration tests (sf0.001 fixtures).
+
+The DuckDB oracle comparison is tools/check_correctness.py (the
+driver's gate); these tests cover the *relationships* between
+operators that SQL oracles can't express: zero-noise DP == exact,
+LSH recall vs brute force, noisy-path determinism, bounding
+invariants.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from confidential_storm_spark.operators.bounding import bounded_clamped
+from confidential_storm_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from confidential_storm_spark.operators.dp_batch import DPParams, dp_histogram_batch
+from confidential_storm_spark.operators.histogram import histogram_release
+from confidential_storm_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+from confidential_storm_spark.plans.queries import _query_vec
+from confidential_storm_spark.sources.tables import contributions_view, load_table
+
+
+@pytest.fixture(scope="module")
+def contrib(spark, sf_dir):
+    df = contributions_view(spark, sf_dir).cache()
+    df.count()
+    return df
+
+
+def test_bounding_invariant(contrib):
+    bounded = bounded_clamped(contrib, 5, 1.0)
+    per_user = bounded.groupBy("user_id").count()
+    assert per_user.agg(F.max("count")).head()[0] <= 5
+    vals = bounded.agg(F.min("value"), F.max("value")).head()
+    assert vals[0] >= -1.0 and vals[1] <= 1.0
+
+
+def test_zero_noise_dp_equals_exact(contrib):
+    """Keystone: sigma=0, mu=0 DP pipeline == exact bounded histogram."""
+    bounded = bounded_clamped(contrib, 32, 1.0)
+    exact = {r["key"]: r["count"] for r in histogram_release(bounded).collect()}
+    dp = {
+        r["key"]: r["count"]
+        for r in dp_histogram_batch(bounded, DPParams.zero_noise(30, mu=0)).collect()
+    }
+    assert dp == exact
+
+
+def test_zero_noise_mu_matches_core_mechanism(contrib):
+    """mu>0 gating must match the pure-Python mechanism run on the
+    same windowed inputs (differential test, single bucket)."""
+    from confidential_storm_spark.dp.mechanism import StreamingDPMechanism
+
+    bounded = bounded_clamped(contrib, 32, 1.0)
+    windowed = (
+        bounded.groupBy("key", "epoch")
+        .agg(F.sum("value").alias("total"), F.collect_set("user_id").alias("users"))
+        .collect()
+    )
+    mech = StreamingDPMechanism(0.0, 0.0, 4.2649, 30, 5, 32, seed=0)
+    by_epoch: dict[int, list] = {}
+    for r in windowed:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    expected = {}
+    for epoch in range(30):
+        for r in by_epoch.get(epoch, ()):
+            mech.add_window(r["key"], r["total"], r["users"])
+        expected = mech.snapshot()
+
+    dp = {
+        r["key"]: r["count"]
+        for r in dp_histogram_batch(bounded, DPParams.zero_noise(30, mu=5)).collect()
+    }
+    assert dp == expected
+
+
+def test_noisy_dp_deterministic_under_seed(contrib):
+    bounded = bounded_clamped(contrib, 32, 1.0).cache()
+    params = DPParams.from_budget(6.0, 1e-9, c=32, t=30, mu=0, seed=7)
+    a = sorted(dp_histogram_batch(bounded, params, num_buckets=8).collect())
+    b = sorted(dp_histogram_batch(bounded, params, num_buckets=8).collect())
+    assert a == b
+    # and the noise is actually there: differs from exact
+    exact = sorted(
+        (r["key"], r["count"]) for r in histogram_release(bounded).collect()
+    )
+    assert sorted((r["key"], r["count"]) for r in a) != exact
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    # verification step makes LSH precise; recall on high-sim pairs
+    assert lsh.issubset(exact)
+    if exact:
+        assert len(lsh) / len(exact) >= 0.8
+
+
+def test_lsh_ann_subset_of_bruteforce_bucket(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    bf = brute_force_topk(emb, q, k=50).collect()
+    ann = lsh_ann_topk(emb, q, k=10, num_planes=4).collect()
+    assert len(ann) > 0
+    # every ANN hit's cosine must appear in the global ranking
+    bf_scores = {r["vec_id"]: r["cosine"] for r in bf}
+    # the query vector itself (vec_id 0) is in its own bucket -> rank 1
+    assert ann[0]["vec_id"] == 0 and ann[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_histogram_release_clamps_negatives(spark):
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 2.0), ("b", 3.6)], "key string, value double"
+    )
+    out = {r["key"]: r["count"] for r in histogram_release(df).collect()}
+    assert out == {"a": 0, "b": 4}  # -3 clamps to 0; 3.6 rounds half-up to 4

@@ -127,7 +127,9 @@ class StreamingDPMechanism:
             del self._predicted_release_times[k]
             keys_to_process.add(k)
 
-        for key in keys_to_process:
+        # deterministic iteration order (set order varies with Python
+        # hash randomization; noise draw order must be reproducible)
+        for key in sorted(keys_to_process, key=str):
             appeared = key in window_counts
             count_input = window_counts.get(key, 0.0)
 

@@ -1,0 +1,19 @@
+"""Structured Streaming pipelines (SURVEY §7 Phase 3).
+
+The reference's streaming semantics map onto Structured Streaming:
+tick interval (T1) -> trigger; ZooKeeper epoch barrier (T2) -> the
+micro-batch barrier itself; per-enclave operator state (§1.3) -> the
+state store via ``applyInPandasWithState``.
+"""
+
+from .stateful import (
+    bound_contributions_stream,
+    dp_histogram_stream,
+    replay_filter_stream,
+)
+
+__all__ = [
+    "bound_contributions_stream",
+    "dp_histogram_stream",
+    "replay_filter_stream",
+]

@@ -1,0 +1,199 @@
+"""Stateful streaming operators via ``applyInPandasWithState``.
+
+Three operators mirror the reference's per-enclave mutable state
+(SURVEY §1.3):
+
+- :func:`dp_histogram_stream` — the DP-SQLP mechanism; state = the
+  per-bucket forest of trees + round state (pickled blob per bucket,
+  exactly the state the reference holds per DP-bolt replica,
+  StreamingDPMechanism.java:34-96).  One micro-batch == one epoch
+  (the reference's ZK epoch barrier is Spark's micro-batch barrier,
+  SURVEY §2.9 T2).
+- :func:`bound_contributions_stream` — per-user running contribution
+  counts (UserContributionLimiter.java:12).
+- :func:`replay_filter_stream` — per-producer (max_seen, 128-bit mask)
+  anti-replay window (ReplayWindow.java:9-33).
+
+Scale notes: state is partitioned by the group key (bucket / user
+bucket / producer), so state-store shards spread across executors;
+the DP state blob per bucket is O(keys_in_bucket * tree_size).
+The Python worker boundary is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..dp.mechanism import StreamingDPMechanism
+from ..functions.replay import DEFAULT_WINDOW_SIZE, replay_accept
+from ..operators.dp_batch import DPParams
+
+__all__ = [
+    "dp_histogram_stream",
+    "bound_contributions_stream",
+    "replay_filter_stream",
+]
+
+
+def dp_histogram_stream(
+    events: DataFrame,
+    params: DPParams,
+    key_col: str = "key",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    num_buckets: int = 8,
+) -> DataFrame:
+    """Streaming DP histogram: per micro-batch (== DP epoch) run one
+    ``snapshot()`` per key-bucket and emit the full released histogram
+    (carry-forward included) stamped with the bucket's epoch.
+
+    Note: the epoch counter is per-bucket (a bucket with no data in a
+    batch does not advance) — with the reference's dummy-traffic (T4)
+    every replica contributes every tick, which a heartbeat union row
+    per bucket reproduces if exact tick parity is needed.
+    """
+    p = params
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        bucket_id = int(key[0])
+        if state.exists:
+            mech: StreamingDPMechanism = pickle.loads(state.get[0])
+        else:
+            mech = StreamingDPMechanism(
+                p.sigma_key,
+                p.sigma_hist,
+                p.threshold_quantile,
+                p.max_time_steps,
+                p.mu,
+                p.max_contributions_per_user,
+                rng=np.random.default_rng((p.seed, bucket_id)),
+            )
+        for pdf in pdfs:
+            for k, v, u in zip(pdf[key_col], pdf[value_col], pdf[user_col]):
+                mech.add_contribution(u, k, float(v))
+        hist = mech.snapshot()
+        epoch = mech.time_step - 1
+        state.update((pickle.dumps(mech),))
+        yield pd.DataFrame(
+            {
+                "key": list(hist.keys()),
+                "count": np.fromiter(hist.values(), dtype=np.int64, count=len(hist)),
+                "epoch": np.full(len(hist), epoch, dtype=np.int32),
+            }
+        )
+
+    with_bucket = events.withColumn(
+        "bucket", (F.crc32(F.col(key_col).cast("string")) % num_buckets).cast("int")
+    )
+    return with_bucket.groupBy("bucket").applyInPandasWithState(
+        process,
+        outputStructType="key string, count long, epoch int",
+        stateStructType="blob binary",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def bound_contributions_stream(
+    events: DataFrame,
+    max_contributions: int,
+    user_col: str = "user_id",
+    order_cols: tuple[str, ...] = (),
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Streaming per-user contribution bounding (A2): pass through each
+    user's first C rows across all micro-batches; NULL users always
+    pass (event-level privacy).  State = per-user admitted counts,
+    sharded by user hash bucket.  ``order_cols`` fixes the within-batch
+    processing order (arrival order is nondeterministic in a shuffle)."""
+    cols = events.columns
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        counts: dict[Any, int] = pickle.loads(state.get[0]) if state.exists else {}
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            if order_cols:
+                pdf = pdf.sort_values(list(order_cols), ignore_index=True)
+            keep = np.zeros(len(pdf), dtype=bool)
+            for i, u in enumerate(pdf[user_col].tolist()):
+                if u is None:
+                    keep[i] = True
+                    continue
+                c = counts.get(u, 0)
+                if c < max_contributions:
+                    counts[u] = c + 1
+                    keep[i] = True
+            out = pdf.loc[keep, cols]
+            if len(out):
+                yield out
+        state.update((pickle.dumps(counts),))
+
+    with_bucket = events.withColumn(
+        "_ub", (F.xxhash64(F.col(user_col).cast("string")) % num_buckets).cast("int")
+    )
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in events.schema.fields)
+    return with_bucket.groupBy("_ub").applyInPandasWithState(
+        process,
+        outputStructType=schema,
+        stateStructType="blob binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def replay_filter_stream(
+    events: DataFrame,
+    producer_col: str = "producer_id",
+    seq_col: str = "seq",
+    window_size: int = DEFAULT_WINDOW_SIZE,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Streaming anti-replay (V2): per-producer sliding window with the
+    reference's exact accept semantics (order-sensitive within and
+    across micro-batches; ``order_col`` fixes within-batch order).
+    State = (max_seen, mask bytes)."""
+    cols = events.columns
+    n_bytes = (window_size + 7) // 8
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            max_seen, mask_bytes = state.get
+            mask = int.from_bytes(mask_bytes, "big")
+        else:
+            max_seen, mask = -1, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            if order_col is not None:
+                pdf = pdf.sort_values(order_col, ignore_index=True)
+            keep = np.zeros(len(pdf), dtype=bool)
+            for i, seq in enumerate(pdf[seq_col].tolist()):
+                ok, max_seen, mask = replay_accept(max_seen, mask, int(seq), window_size)
+                keep[i] = ok
+            out = pdf.loc[keep, cols]
+            if len(out):
+                yield out
+        state.update((int(max_seen), mask.to_bytes(n_bytes, "big")))
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in events.schema.fields)
+    return events.groupBy(producer_col).applyInPandasWithState(
+        process,
+        outputStructType=schema,
+        stateStructType=f"max_seen long, mask binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,161 @@
+"""Structured Streaming stateful-operator tests.
+
+Each test writes N parquet files into a temp dir and streams them with
+``maxFilesPerTrigger=1`` so one file == one micro-batch == one DP
+epoch, mirroring the reference's tick/epoch semantics (SURVEY §2.9
+T1-T3).  Results are gathered via foreachBatch into a driver list.
+"""
+
+import pickle
+
+import pytest
+
+from confidential_storm_spark.operators.dp_batch import DPParams
+from confidential_storm_spark.streaming import (
+    bound_contributions_stream,
+    dp_histogram_stream,
+    replay_filter_stream,
+)
+
+
+def _run_stream(stream_df, out: list, mode: str = "update"):
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .foreachBatch(lambda df, bid: out.append((bid, df.collect())))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def _write_batches(spark, tmpdir, batches, schema):
+    src = str(tmpdir / "src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    return src
+
+
+@pytest.fixture()
+def stream_reader(spark, tmp_path):
+    def make(batches, schema):
+        src = _write_batches(spark, tmp_path, batches, schema)
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    return make
+
+
+SCHEMA = "user_id string, key string, value double, seq long"
+
+
+def test_streaming_dp_zero_noise_carry_forward(stream_reader):
+    batches = [
+        [(f"u{i}", "hot", 1.0, i) for i in range(4)] + [("solo", "cold", 1.0, 99)],
+        [(f"u{i}", "hot", 1.0, 10 + i) for i in range(4, 6)],
+        [("x", "late", 1.0, 50)],
+    ]
+    stream = stream_reader(batches, SCHEMA)
+    out: list = []
+    _run_stream(
+        dp_histogram_stream(stream, DPParams.zero_noise(t=10, mu=0), num_buckets=1), out
+    )
+    # batches arrive as separate epochs; final epoch's histogram is
+    # cumulative with carry-forward (cold released in epoch 0 persists)
+    final = {r["key"]: r["count"] for _, rows in out for r in rows if rows}
+    assert final == {"hot": 6, "cold": 1, "late": 1}
+    epochs = sorted({r["epoch"] for _, rows in out for r in rows})
+    assert epochs == [0, 1, 2]
+
+
+def test_streaming_dp_mu_gate(stream_reader):
+    # 3 users in batch 0 (below mu=5), 2 more in batch 1 -> released at epoch 1
+    batches = [
+        [(f"u{i}", "k", 1.0, i) for i in range(3)],
+        [(f"u{i}", "k", 1.0, 10 + i) for i in range(3, 5)],
+    ]
+    stream = stream_reader(batches, SCHEMA)
+    out: list = []
+    _run_stream(
+        dp_histogram_stream(stream, DPParams.zero_noise(t=10, mu=5), num_buckets=1), out
+    )
+    by_epoch = {}
+    for _, rows in out:
+        for r in rows:
+            by_epoch.setdefault(r["epoch"], {})[r["key"]] = r["count"]
+    assert 0 not in by_epoch or "k" not in by_epoch.get(0, {})
+    assert by_epoch[1]["k"] == 5
+
+
+def test_streaming_bounding_across_batches(stream_reader):
+    batches = [
+        [("u1", "a", 1.0, i) for i in range(3)],
+        [("u1", "a", 1.0, 10 + i) for i in range(3)] + [("u2", "a", 1.0, 99)],
+    ]
+    stream = stream_reader(batches, SCHEMA)
+    out: list = []
+    _run_stream(
+        bound_contributions_stream(stream, max_contributions=4, order_cols=("seq",)),
+        out,
+        mode="append",
+    )
+    rows = [r for _, batch in out for r in batch]
+    u1 = sorted(r["seq"] for r in rows if r["user_id"] == "u1")
+    assert u1 == [0, 1, 2, 10]  # first 4 across batches, in seq order
+    assert [r["seq"] for r in rows if r["user_id"] == "u2"] == [99]
+
+
+def test_streaming_replay_window(stream_reader):
+    batches = [
+        # batch 0: out-of-order within window accepted once, dup rejected
+        [("p", "k", 1.0, s) for s in [5, 3, 3, 7, 6, 4]],
+        # batch 1: replay of 5 rejected; 8 accepted; jump to 200 clears
+        [("p", "k", 1.0, s) for s in [5, 8, 200]],
+        # batch 2: 72 == 200-128 too old; 150/199 in-window; 200 dup
+        [("p", "k", 1.0, s) for s in [72, 150, 199, 200]],
+    ]
+    stream = stream_reader(batches, SCHEMA)
+    out: list = []
+    _run_stream(
+        replay_filter_stream(stream, producer_col="user_id", order_col="seq"),
+        out,
+        mode="append",
+    )
+    accepted = sorted(r["seq"] for _, batch in out for r in batch)
+    assert accepted == [3, 4, 5, 6, 7, 8, 150, 199, 200]
+
+
+def test_replay_window_unit_cases():
+    """ReplayWindowTest.java:16-98 cases on the pure function."""
+    from confidential_storm_spark.functions.replay import ReplayWindow
+
+    w = ReplayWindow(128)
+    assert w.accept(0) is True  # first
+    assert w.accept(0) is False  # duplicate
+    assert w.accept(-1) is False  # negative
+    assert w.accept(5) is True
+    assert w.accept(3) is True  # out-of-order within window
+    assert w.accept(3) is False  # duplicate within window
+    w2 = ReplayWindow(128)
+    assert w2.accept(1000) is True
+    assert w2.accept(1000 - 128) is False  # at lower boundary: too old
+    assert w2.accept(1000 - 127) is True  # just inside window
+    assert w2.accept(5000) is True  # forward jump > window clears history
+    assert w2.accept(4999) is True  # new window position accepted
+    assert w2.accept(1000) is False  # far below new window
+
+
+def test_mechanism_state_pickles():
+    from confidential_storm_spark.dp.mechanism import StreamingDPMechanism
+
+    m = StreamingDPMechanism(1.0, 2.0, 4.26, 10, 0, 32, seed=3)
+    m.add_contribution("u", "k", 1.0)
+    m.snapshot()
+    m2 = pickle.loads(pickle.dumps(m))
+    m.add_contribution("u2", "k", 1.0)
+    m2.add_contribution("u2", "k", 1.0)
+    assert m.snapshot() == m2.snapshot()

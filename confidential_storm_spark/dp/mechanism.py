@@ -89,6 +89,7 @@ class StreamingDPMechanism:
         # staging window (drained by snapshot)
         self._window_counts: dict[str, float] = {}
         self._window_users: dict[str, set] = {}
+        self._tau_vectors: dict[tuple[int, float], np.ndarray] = {}
 
     # ------------------------------------------------------------------
     # ingestion
@@ -157,10 +158,13 @@ class StreamingDPMechanism:
                     new_users += 1
             tree.add(self.time_step, float(new_users))
 
-            # Algo 1 steps 8-9: noisy count vs time-dependent threshold
+            # Algo 1 steps 8-9: noisy count vs time-dependent threshold.
+            # The 1e-9 slack absorbs float rounding of the Honaker dot
+            # product at exact-boundary cases (zero-noise, count == mu);
+            # under real noise tau is O(sigma) and the slack is inert.
             noisy_unique = tree.prefix_sum(self.time_step)
             tau = self._tau(tree.variance(self.time_step))
-            if noisy_unique >= self.mu + tau:
+            if noisy_unique >= self.mu + tau - 1e-9:
                 self._update_histogram_tree(key)
                 self._reset_key_selection_state(key)
             elif appeared:
@@ -189,13 +193,30 @@ class StreamingDPMechanism:
 
     def _run_empty_key_prediction(self, key: str, tree: BinaryAggregationTree) -> None:
         """Algorithm 3: earliest future step where the existing noisy
-        prefix (no new data) crosses the threshold."""
+        prefix (no new data) crosses the threshold.  The whole future
+        scan is one matvec over the shared Honaker weight matrix
+        (SURVEY §7 'hard parts': vectorize the O(T) prediction loop)."""
         if key in self._predicted_release_times:
             return
-        for tr_p in range(self.time_step + 1, self.max_time_steps):
-            if tree.prefix_sum(tr_p) >= self.mu + self._tau(tree.variance(tr_p)):
-                self._predicted_release_times[key] = tr_p
-                break
+        start = self.time_step + 1
+        if start >= self.max_time_steps:
+            return
+        end = self.max_time_steps - start  # exclude leaves beyond T
+        sums = tree.prefix_sums_from(start)[:end]
+        taus = self._tau_vector(tree)[start : start + end]
+        hits = np.nonzero(sums >= self.mu + taus - 1e-9)[0]
+        if hits.size:
+            self._predicted_release_times[key] = start + int(hits[0])
+
+    def _tau_vector(self, tree: BinaryAggregationTree) -> np.ndarray:
+        """Per-leaf threshold tau = sqrt(variance) * quantile, cached
+        per tree shape+sigma (shared across all keys)."""
+        cache_key = (tree.num_leaves, tree.sigma)
+        vec = self._tau_vectors.get(cache_key)
+        if vec is None:
+            vec = np.sqrt(tree._variances) * self.threshold_quantile
+            self._tau_vectors[cache_key] = vec
+        return vec
 
     def _produce_histogram(self) -> dict[str, int]:
         out = {

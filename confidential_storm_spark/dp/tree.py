@@ -34,6 +34,15 @@ __all__ = ["BinaryAggregationTree"]
 # millions of) per-key trees.
 _VARIANCE_CACHE: dict[tuple[int, float], np.ndarray] = {}
 
+# The Honaker prefix-sum estimator is LINEAR in the tree values:
+# prefix(i) = W[i] . tree, where row i accumulates c_j over every
+# level-j slice of every canonical node of [0, i].  W depends only on
+# the tree SHAPE, so one dense (num_leaves x size) matrix per shape
+# turns every prefix sum — and whole-future prediction scans — into a
+# numpy matvec.  (T=100 -> 128x255 = 0.25 MB; T=1000 -> 16 MB, shared
+# across all per-key trees in the process.)
+_WEIGHT_CACHE: dict[int, np.ndarray] = {}
+
 
 class BinaryAggregationTree:
     """DP binary aggregation tree over ``n`` time steps.
@@ -53,7 +62,7 @@ class BinaryAggregationTree:
         reproducible without changing the distribution.
     """
 
-    __slots__ = ("height", "num_leaves", "sigma", "tree", "_variances")
+    __slots__ = ("height", "num_leaves", "sigma", "tree", "_variances", "_weights")
 
     def __init__(self, n: int, sigma: float, rng: np.random.Generator | None = None):
         if n <= 0:
@@ -69,6 +78,7 @@ class BinaryAggregationTree:
                 rng = np.random.default_rng()
             self.tree = rng.normal(0.0, sigma, size)
         self._variances = self._shared_variances(self.num_leaves, self.height, self.sigma)
+        self._weights = self._shared_weights(self.num_leaves, self.height)
 
     # ------------------------------------------------------------------
     # mutation
@@ -90,12 +100,27 @@ class BinaryAggregationTree:
     # ------------------------------------------------------------------
     def prefix_sum(self, i: int) -> float:
         """DP prefix sum over leaves ``[0, i]`` with Honaker reduction."""
+        return float(self._weights[i] @ self.tree)
+
+    get_total_sum = prefix_sum
+
+    def prefix_sums_from(self, start: int) -> np.ndarray:
+        """Vector of prefix sums for leaves ``start .. num_leaves-1`` in
+        one matvec — the whole-future scan of the empty-key release
+        prediction (Algorithm 3) in one shot."""
+        return self._weights[start:] @ self.tree
+
+    def variances_from(self, start: int) -> np.ndarray:
+        return self._variances[start:]
+
+    def prefix_sum_reference(self, i: int) -> float:
+        """Traversal implementation (mirrors the reference's
+        getTotalSum loop node-for-node); kept as the oracle the
+        weight-matrix fast path is tested against."""
         s_priv = 0.0
         for node, kappa in self._canonical_nodes(i):
             s_priv += self._honaker_estimate(node, kappa)
         return s_priv
-
-    get_total_sum = prefix_sum
 
     def variance(self, i: int) -> float:
         """Pre-computed Honaker total variance of ``prefix_sum(i)``."""
@@ -139,6 +164,28 @@ class BinaryAggregationTree:
             hi = lo + (1 << j)
             est += (0.5**j / norm) * float(tree[lo:hi].sum())
         return est
+
+    @classmethod
+    def _shared_weights(cls, num_leaves: int, height: int) -> np.ndarray:
+        w = _WEIGHT_CACHE.get(num_leaves)
+        if w is not None:
+            return w
+        size = 2 * num_leaves - 1
+        w = np.zeros((num_leaves, size), dtype=np.float64)
+        # re-run the canonical-node traversal once per leaf, spreading
+        # each node's Honaker level weights over its contiguous slices
+        proto = cls.__new__(cls)
+        proto.height = height
+        proto.num_leaves = num_leaves
+        for i in range(num_leaves):
+            for node, kappa in proto._canonical_nodes(i):
+                norm = 2.0 * (1.0 - 0.5**kappa)
+                base = node + 1
+                for j in range(kappa):
+                    lo = (base << j) - 1
+                    w[i, lo : lo + (1 << j)] += 0.5**j / norm
+        _WEIGHT_CACHE[num_leaves] = w
+        return w
 
     @staticmethod
     def _shared_variances(num_leaves: int, height: int, sigma: float) -> np.ndarray:

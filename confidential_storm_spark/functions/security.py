@@ -23,10 +23,21 @@ __all__ = [
     "validate_routes",
     "replay_filter",
     "stamp_sequence",
+    "routing_key",
     "REPLAY_WINDOW_SIZE",
 ]
 
 REPLAY_WINDOW_SIZE = 128  # ref ReplayWindow.java:9-33
+
+
+def routing_key(prefix: str, col) -> "F.Column":
+    """P4+P9: SHA-256 routing key ``sha256(prefix + value)`` as the
+    reference computes inside the enclave (``user:<id>`` for per-user
+    routing, ``word:<word>`` for per-key routing,
+    AbstractUserContributionBoundingServiceProvider.java:103-105).
+    In Spark this is only needed when a user wants the explicit key —
+    ``groupBy`` hash-partitions equivalently for free."""
+    return F.sha2(F.concat(F.lit(prefix), F.col(col) if isinstance(col, str) else col), 256)
 
 
 def validate_routes(

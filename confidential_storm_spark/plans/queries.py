@@ -438,6 +438,19 @@ FROM s ORDER BY doc_id
 """
 
 
+def simple_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: the reference's hello-world enclave op (string reverse,
+    SimpleEnclaveServiceProvider.java:27-39) — a built-in column
+    function here."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.reverse(F.col("text")).alias("reversed")).orderBy("doc_id")
+
+
+SIMPLE_REVERSE_SQL = """
+SELECT doc_id, reverse(text) AS reversed FROM documents ORDER BY doc_id
+"""
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
@@ -632,6 +645,7 @@ QUERIES: dict[str, QueryDef] = {
     "sec_seq_stamp": QueryDef(sec_seq_stamp, SEC_SEQ_SQL, "per-producer seq generator", "V4"),
     "sec_route_validation": QueryDef(sec_route_validation, SEC_ROUTE_SQL, "route check vs edges table", "V1"),
     "wordcount_histogram": QueryDef(wordcount_histogram, WORDCOUNT_SQL, "split+explode+count", "P1"),
+    "simple_reverse": QueryDef(simple_reverse, SIMPLE_REVERSE_SQL, "hello-world string reverse", "P5"),
     "text_quality": QueryDef(text_quality, TEXT_QUALITY_SQL, "quality features per doc", "training-data"),
     "text_lang_id": QueryDef(text_lang_id, None, "keyword language ID", "training-data"),
     "text_fingerprint": QueryDef(text_fingerprint, FINGERPRINT_SQL, "rolling-hash fingerprint", "training-data"),

@@ -41,7 +41,8 @@ CSV_HEADER = (
 )
 
 
-def run_once(spark, t: int, users: int, keys: int, seed: int, buckets: int):
+def run_once(spark, t: int, users: int, keys: int, seed: int, buckets: int,
+             composition: CompositionMode = CompositionMode.ZCDP_LINEAR):
     from pyspark.sql import functions as F
 
     from confidential_storm_spark.operators.dp_batch import DPParams, dp_histogram_batch
@@ -67,7 +68,9 @@ def run_once(spark, t: int, users: int, keys: int, seed: int, buckets: int):
     print(f"# generated {len(uid):,} rows ({gen_sec:.1f}s) -> {path}", file=sys.stderr)
 
     df = spark.read.parquet(path)
-    params = DPParams.from_budget(EPSILON, DELTA, c=C, t=t, mu=MU, seed=seed)
+    params = DPParams.from_budget(
+        EPSILON, DELTA, c=C, t=t, mu=MU, seed=seed, composition=composition
+    )
 
     t0 = time.perf_counter()
     dp = dp_histogram_batch(
@@ -97,15 +100,22 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=1)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--buckets", type=int, default=128)
+    ap.add_argument(
+        "--composition",
+        default="ZCDP_LINEAR",
+        choices=[m.name for m in CompositionMode],
+        help="C-fold composition theorem (reference sweep: DWORK_ANALYTICAL, OPTIMAL_KOV, ZCDP_LINEAR)",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    composition = CompositionMode[args.composition]
 
     from confidential_storm_spark.session import get_spark
 
     spark = get_spark(app_name="utility-bench")
 
     cal = calibrate(
-        CompositionMode.ZCDP_LINEAR, EPSILON / 2, DELTA * 2 / 3, EPSILON / 2, DELTA / 3,
+        composition, EPSILON / 2, DELTA * 2 / 3, EPSILON / 2, DELTA / 3,
         C, args.t, L_M, ALPHA,
     )
     kappa = math.ceil(math.log2(args.t))
@@ -115,9 +125,9 @@ def main() -> None:
 
     lines = [CSV_HEADER]
     for run in range(args.runs):
-        row, sec = run_once(spark, args.t, args.users, args.keys, args.seed + run, args.buckets)
+        row, sec = run_once(spark, args.t, args.users, args.keys, args.seed + run, args.buckets, composition)
         line = (
-            f"{args.t},{ALPHA:.4f},ZCDP_LINEAR,{MU},{run},"
+            f"{args.t},{ALPHA:.4f},{composition.name},{MU},{run},"
             f"{row['l0']},{row['l_inf']:.0f},{row['l1']:.0f},{row['l2']:.3f},{sec:.1f},"
             f"{cal.epsilon_key_round:.6e},{cal.delta_key_round:.6e},"
             f"{cal.sigma_key:.6f},{cal.sigma_hist:.6f},{cal.beta:.6e},"

@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Callable
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

@@ -82,8 +82,11 @@ def run_once(spark, t: int, users: int, keys: int, seed: int, buckets: int,
     d = F.coalesce(F.col("count").cast("double"), F.lit(0.0))
     g = F.coalesce(F.col("gt_total"), F.lit(0.0))
     err = d - g
+    # l0 = dp.size() in the reference's computeMetrics
+    # (UtilityBenchmarkTest.java:434-451): ALL released keys, including
+    # those whose noisy sum clamped/rounded to 0 — not count(dp > 0).
     row = joined.agg(
-        F.count(F.when(d > 0, 1)).alias("l0"),
+        F.count(F.col("count")).alias("l0"),
         F.max(F.abs(err)).alias("l_inf"),
         F.sum(F.abs(err)).alias("l1"),
         F.sqrt(F.sum(err * err)).alias("l2"),

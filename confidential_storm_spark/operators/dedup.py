@@ -36,6 +36,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash64",
+    "simhash_neardup_pairs",
     "embedding_neardup_pairs",
 ]
 
@@ -300,6 +301,59 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     # SparkSession to resolve the DDL return type
     udf = pandas_udf(_simhash64_batch, "long")
     return df.select(F.col(id_col), udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: banded 16-bit bucket join over the
+    64-bit fingerprint (a pair within Hamming distance < bands must
+    agree on at least one full band — pigeonhole), then exact Hamming
+    verification via JVM ``bit_count(a XOR b)``.  Returns
+    (id_a, id_b, hamming) with id_a < id_b."""
+    bits_per_band = 64 // bands
+    mask = (1 << bits_per_band) - 1
+    sigs = simhash64(df, text_col, id_col).withColumnRenamed(id_col, "_id")
+    sigs = sigs.localCheckpoint(eager=False)  # UDF output reused by both join sides
+    banded = sigs.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.band_val")
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    sh = sigs.select("_id", "simhash")
+    return (
+        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("simhash", "sim_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("simhash", "sim_b"), "id_b")
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def embedding_neardup_pairs(

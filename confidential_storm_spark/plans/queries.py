@@ -576,6 +576,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=12
+    ).orderBy("id_a", "id_b")
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
@@ -654,6 +662,7 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_ngram_jaccard": QueryDef(dedup_ngram_jaccard, NGRAM_JACCARD_SQL, "exact n-gram Jaccard pairs", "training-data"),
     "dedup_minhash_lsh": QueryDef(dedup_minhash_lsh, None, "minhash LSH near-dup pairs", "training-data"),
     "dedup_simhash": QueryDef(dedup_simhash, None, "simhash fingerprints", "training-data"),
+    "dedup_simhash_pairs": QueryDef(dedup_simhash_pairs, None, "simhash banded near-dup pairs", "training-data"),
     "dedup_embedding": QueryDef(dedup_embedding, DEDUP_EMBEDDING_SQL, "embedding-cosine near-dups", "training-data"),
     "knn_brute_force": QueryDef(knn_brute_force, KNN_SQL, "exact cosine top-k", "similarity"),
     "knn_lsh": QueryDef(knn_lsh, None, "LSH-bucketed approximate top-k", "similarity"),

@@ -172,6 +172,55 @@ ORDER BY revenue DESC, n_name
 """
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set rollup over (returnflag, linestatus) — not in the
+    reference (SURVEY §2.5 'not present') but free in Spark; exposed so
+    the engine's relational surface is complete."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL window-function demo (rank within partition) — also absent
+    from the reference, free in Spark."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+Q_TOPORDERS_SQL = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 2
+ORDER BY o_custkey, rk
+"""
+
+
 # ---------------------------------------------------------------------------
 # DP pipeline queries (SURVEY §2.5)
 # ---------------------------------------------------------------------------
@@ -643,6 +692,8 @@ QUERIES: dict[str, QueryDef] = {
     "q1_pricing_summary": QueryDef(q1_pricing_summary, Q1_SQL, "TPC-H Q1 scan+agg+sort", "§2.5 A1/O1"),
     "q3_top_revenue": QueryDef(q3_top_revenue, Q3_SQL, "join + agg + top-k", "§2.6"),
     "q5_nation_revenue": QueryDef(q5_nation_revenue, Q5_SQL, "multi-join broadcast + agg", "§2.6"),
+    "q_rollup_revenue": QueryDef(q_rollup_revenue, Q_ROLLUP_SQL, "rollup grouping sets", "beyond-ref"),
+    "q_top_orders_per_customer": QueryDef(q_top_orders_per_customer, Q_TOPORDERS_SQL, "window rank per partition", "beyond-ref"),
     "dp_bounded_histogram": QueryDef(dp_bounded_histogram, DP_BOUNDED_SQL, "flagship: clamp+bound+histogram", "P2,A2,A1,A13,O1"),
     "dp_zero_noise_full": QueryDef(dp_zero_noise_full, DP_BOUNDED_SQL, "full DP mechanism at sigma=0 == exact", "A1-A13"),
     "dp_unique_users": QueryDef(dp_unique_users, DP_UNIQUE_SQL, "unique users per key/epoch", "A3"),

@@ -252,6 +252,49 @@ def dp_zero_noise_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_histogram_batch(bounded, DPParams.zero_noise(DP_T, mu=0, c=DP_C))
 
 
+def dp_zero_noise_mu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mu-gated mechanism at sigma=0: releases happen only when a
+    round accumulates >= mu unique users, and the round RESETS after
+    each release (A8 + A11).  The oracle reproduces the round-reset
+    recursion as a DuckDB recursive CTE — a strictly stronger gate
+    than the mu=0 keystone."""
+    contrib = contributions_view(spark, sf_dir)
+    bounded = bounded_clamped(contrib, DP_C, DP_CLAMP)
+    return dp_histogram_batch(bounded, DPParams.zero_noise(DP_T, mu=DP_MU, c=DP_C))
+
+
+DP_ZERO_NOISE_MU_SQL = f"""
+WITH RECURSIVE
+contrib AS ({{bounded}}),
+ks AS (SELECT DISTINCT key FROM contrib),
+has_data AS (SELECT DISTINCT key, epoch FROM contrib),
+uniqcnt AS (
+  SELECT key, s, e, COUNT(DISTINCT user_id) AS u
+  FROM contrib, (SELECT unnest(range(0, {DP_T})) AS s), (SELECT unnest(range(0, {DP_T})) AS e)
+  WHERE s <= e AND epoch BETWEEN s AND e
+  GROUP BY key, s, e
+),
+-- forward recursion over epochs per key: release when the current
+-- round's window [round_start, epoch] holds >= mu unique users AND the
+-- key has data this epoch; a release restarts the round at epoch+1
+steps AS (
+  SELECT key, -1 AS epoch, 0 AS round_start, -1 AS last_release FROM ks
+  UNION ALL
+  SELECT st.key, st.epoch + 1,
+         CASE WHEN hd.key IS NOT NULL AND COALESCE(u.u, 0) >= {DP_MU} THEN st.epoch + 2 ELSE st.round_start END,
+         CASE WHEN hd.key IS NOT NULL AND COALESCE(u.u, 0) >= {DP_MU} THEN st.epoch + 1 ELSE st.last_release END
+  FROM steps st
+  LEFT JOIN has_data hd ON hd.key = st.key AND hd.epoch = st.epoch + 1
+  LEFT JOIN uniqcnt u ON u.key = st.key AND u.s = st.round_start AND u.e = st.epoch + 1
+  WHERE st.epoch + 1 < {DP_T}
+),
+final AS (SELECT key, last_release FROM steps WHERE epoch = {DP_T} - 1 AND last_release >= 0)
+SELECT c.key AS key, GREATEST(CAST(FLOOR(SUM(c.value) + 0.5) AS BIGINT), 0) AS count
+FROM contrib c JOIN final f ON c.key = f.key AND c.epoch <= f.last_release
+GROUP BY c.key ORDER BY count DESC, c.key
+""".format(bounded=bounded_sql(CONTRIBUTIONS_SQL, DP_C, DP_CLAMP))
+
+
 def dp_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: unique users per key per epoch."""
     contrib = contributions_view(spark, sf_dir)
@@ -696,6 +739,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_top_orders_per_customer": QueryDef(q_top_orders_per_customer, Q_TOPORDERS_SQL, "window rank per partition", "beyond-ref"),
     "dp_bounded_histogram": QueryDef(dp_bounded_histogram, DP_BOUNDED_SQL, "flagship: clamp+bound+histogram", "P2,A2,A1,A13,O1"),
     "dp_zero_noise_full": QueryDef(dp_zero_noise_full, DP_BOUNDED_SQL, "full DP mechanism at sigma=0 == exact", "A1-A13"),
+    "dp_zero_noise_mu": QueryDef(dp_zero_noise_mu, DP_ZERO_NOISE_MU_SQL, "mu-gated mechanism vs recursive-CTE oracle", "A8,A11"),
     "dp_unique_users": QueryDef(dp_unique_users, DP_UNIQUE_SQL, "unique users per key/epoch", "A3"),
     "dp_key_selection": QueryDef(dp_key_selection, DP_KEYSEL_SQL, "zero-noise key-selection gate", "A8"),
     "dp_partial_merge": QueryDef(dp_partial_merge, DP_MERGE_SQL, "dedup+merge partial histograms", "A14,T6"),

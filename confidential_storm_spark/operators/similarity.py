@@ -15,7 +15,14 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_to_query", "brute_force_topk", "lsh_bucket", "lsh_ann_topk"]
+__all__ = [
+    "cosine_to_query",
+    "brute_force_topk",
+    "lsh_bucket",
+    "lsh_ann_topk",
+    "ivf_index",
+    "ivf_topk",
+]
 
 
 def cosine_to_query(vec: Column, query: list[float]) -> Column:
@@ -64,6 +71,62 @@ def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
         dot = F.aggregate(F.zip_with(v, p, lambda a, x: a * x), F.lit(0.0), lambda s, x: s + x)
         bucket = bucket + F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return bucket
+
+
+def ivf_index(
+    df: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Build an IVF (inverted-file) coarse quantizer: k-means over the
+    embeddings; returns (assigned DataFrame with a ``_cluster`` column,
+    centroid matrix).  At warehouse scale the assigned table is written
+    out partitioned by ``_cluster`` so queries prune to probed
+    partitions at scan time."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if n_clusters < 2:
+        raise ValueError("IVF needs n_clusters >= 2 (MLlib KMeans minimum); "
+                         "with one cluster use brute_force_topk")
+    feats = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="_features", predictionCol="_cluster").fit(
+        feats
+    )
+    assigned = model.transform(feats).drop("_features")
+    centroids = np.vstack([c for c in model.clusterCenters()])
+    return assigned, centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` clusters whose
+    centroids are nearest (by cosine) to the query, exact-rerank within
+    them.  Recall grows with n_probe (n_probe == n_clusters is exact)."""
+    assigned, centroids = ivf_index(df, n_clusters, vec_col, seed)
+    q = np.asarray(query, dtype=np.float64)
+    cnorm = np.linalg.norm(centroids, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    sims = (centroids @ q) / (cnorm * np.linalg.norm(q))
+    probe = np.argsort(-sims)[:n_probe].tolist()
+    return (
+        assigned.filter(F.col("_cluster").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine_to_query(F.col(vec_col), query), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
 
 
 def lsh_ann_topk(

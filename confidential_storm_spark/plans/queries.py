@@ -727,6 +727,15 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(load_table(spark, sf_dir, "embeddings"), q, k=KNN_K, num_planes=4)
 
 
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    q = _query_vec(spark, sf_dir)
+    return ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), q, k=KNN_K, n_clusters=16, n_probe=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -761,6 +770,7 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_embedding": QueryDef(dedup_embedding, DEDUP_EMBEDDING_SQL, "embedding-cosine near-dups", "training-data"),
     "knn_brute_force": QueryDef(knn_brute_force, KNN_SQL, "exact cosine top-k", "similarity"),
     "knn_lsh": QueryDef(knn_lsh, None, "LSH-bucketed approximate top-k", "similarity"),
+    "knn_ivf": QueryDef(knn_ivf, None, "IVF (k-means) approximate top-k", "similarity"),
 }
 
 # lang-id oracle is generated (depends on LANG_MARKERS)

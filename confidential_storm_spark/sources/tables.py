@@ -40,6 +40,13 @@ NUM_PRODUCERS = 4
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects
+        # unless read as long nanos.  Set the (runtime-settable) conf
+        # here so the engine works on ANY caller-provided session, not
+        # just ones built by session.get_spark — the driver passes its
+        # own session into entry()/queries().
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -35,9 +35,20 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as e
-    from confidential_storm_spark.session import get_spark
 
-    spark = get_spark(app_name="correctness-check")
+    # deliberately a PLAIN session (not session.get_spark): the driver
+    # passes its own session into queries(), so the engine must not
+    # depend on our session factory's configs
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .appName("correctness-check")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

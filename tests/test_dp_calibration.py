@@ -29,8 +29,10 @@ C, L_M, ALPHA = 32, 1.0, 0.5
 
 
 def _calibrate(t):
+    # LEGACY mode: the committed T100/T1000 benchmark CSVs were produced
+    # by the tight-rho re-derivation (see CompositionMode docstring)
     return calibrate(
-        CompositionMode.ZCDP_LINEAR, EPS_K, DELTA_K, EPS_H, DELTA_H, C, t, L_M, ALPHA
+        CompositionMode.ZCDP_LINEAR_LEGACY, EPS_K, DELTA_K, EPS_H, DELTA_H, C, t, L_M, ALPHA
     )
 
 
@@ -68,19 +70,38 @@ def test_cdp_roundtrip():
 
 
 def test_composition_mode_ordering():
-    """ZCDP_LINEAR gives the least noise (the reference's own
-    composition-comparison benchmark: sigma 30.79 < 170.98 < 215.58)."""
+    """ZCDP gives the least noise (the reference's own
+    composition-comparison benchmark: sigma 30.79 < 170.98 < 215.58 —
+    note the sweep CSV's 30.79 IS the sound linear split, confirming
+    ZCDP_LINEAR now matches the reference's current DPUtil)."""
     sigmas = {}
     for mode in CompositionMode:
         cal = calibrate(mode, EPS_K, DELTA_K, EPS_H, DELTA_H, C, 100, L_M, ALPHA)
         sigmas[mode] = cal.sigma_key
     assert sigmas[CompositionMode.ZCDP_LINEAR] < sigmas[CompositionMode.OPTIMAL_KOV]
     assert sigmas[CompositionMode.OPTIMAL_KOV] < sigmas[CompositionMode.DWORK_ANALYTICAL]
-    # magnitudes from the committed CSVs (new T100 for ZCDP, old sweep
-    # for KOV/DWORK which predate the tight-rho re-derivation)
-    assert sigmas[CompositionMode.ZCDP_LINEAR] == pytest.approx(27.85, rel=0.01)
+    # magnitudes from the committed CSVs (composition sweep for
+    # ZCDP/KOV/DWORK, new T100 CSV for the legacy re-derivation)
+    assert sigmas[CompositionMode.ZCDP_LINEAR] == pytest.approx(30.79, rel=0.01)
+    assert sigmas[CompositionMode.ZCDP_LINEAR_LEGACY] == pytest.approx(27.85, rel=0.01)
     assert sigmas[CompositionMode.OPTIMAL_KOV] == pytest.approx(170.98, rel=0.10)
     assert sigmas[CompositionMode.DWORK_ANALYTICAL] == pytest.approx(215.58, rel=0.10)
+
+
+def test_zcdp_linear_is_budget_sound():
+    """The sound mode's per-round rho composes to EXACTLY the total
+    budget (rho_round * C == cdp_rho(eps_k, delta_k)); the legacy mode
+    overruns it — which is why it is quarantined behind an explicit
+    opt-in."""
+    rho_total = cdp_rho(EPS_K, DELTA_K)
+    sound = calibrate(
+        CompositionMode.ZCDP_LINEAR, EPS_K, DELTA_K, EPS_H, DELTA_H, C, 100, L_M, ALPHA
+    )
+    legacy = calibrate(
+        CompositionMode.ZCDP_LINEAR_LEGACY, EPS_K, DELTA_K, EPS_H, DELTA_H, C, 100, L_M, ALPHA
+    )
+    assert sound.rho_key * C == pytest.approx(rho_total, rel=1e-12)
+    assert legacy.rho_key * C > rho_total * 1.05  # the documented overrun
 
 
 def test_beta_and_quantile_sanity():

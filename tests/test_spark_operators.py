@@ -77,6 +77,44 @@ def test_zero_noise_mu_matches_core_mechanism(contrib):
     assert dp == expected
 
 
+def test_dp_hot_key_bounded_state(spark):
+    """Skew guard: ONE key with 10^6 distinct users must run with
+    bounded per-row state (the old collect_set(user_id) shipped a
+    single million-element array row).  Zero-noise oracle: every user
+    contributes value 1 once, so the released count == n_users, and
+    with mu > 0 the key still releases (plenty of new users/epoch)."""
+    n_users, t = 1_000_000, 5
+    df = (
+        spark.range(n_users)
+        .select(
+            F.lit("hot").alias("key"),
+            F.col("id").alias("user_id"),
+            F.lit(1.0).alias("value"),
+            (F.col("id") % t).cast("int").alias("epoch"),
+        )
+    )
+    out = dp_histogram_batch(df, DPParams.zero_noise(t, mu=1000), num_buckets=4).collect()
+    assert len(out) == 1
+    assert out[0]["key"] == "hot" and out[0]["count"] == n_users
+
+
+def test_noisy_dp_unseeded_runs_differ(contrib):
+    """seed=None (the production default) draws fresh OS entropy — two
+    runs must not produce identical noise (predictable noise voids DP)."""
+    bounded = bounded_clamped(contrib, 32, 1.0).cache()
+    # moderate sigmas so keys actually release at sf0.001 (the paper
+    # budget's tau is far above this tiny fixture's unique-user counts)
+    params = DPParams(
+        sigma_key=1.0, sigma_hist=5.0, threshold_quantile=2.0,
+        max_time_steps=30, mu=0, max_contributions_per_user=32,
+    )
+    assert params.seed is None
+    a = sorted(dp_histogram_batch(bounded, params, num_buckets=8).collect())
+    b = sorted(dp_histogram_batch(bounded, params, num_buckets=8).collect())
+    assert len(a) > 0
+    assert a != b
+
+
 def test_noisy_dp_deterministic_under_seed(contrib):
     bounded = bounded_clamped(contrib, 32, 1.0).cache()
     params = DPParams.from_budget(6.0, 1e-9, c=32, t=30, mu=0, seed=7)

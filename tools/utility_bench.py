@@ -4,7 +4,8 @@ Replicates the reference's ``UtilityBenchmarkTest`` workload on the
 Spark engine: N_users with Zipf-Mandelbrot contribution budgets capped
 at C, keys ~ Zipf-Mandelbrot ranks, rows scattered uniformly over T
 epochs; paper DP parameters (eps=6, delta=1e-9, split eps/2, 2delta/3
-/ delta/3, C=32, L=1, mu=0, alpha=0.5, ZCDP_LINEAR).  Emits the
+/ delta/3, C=32, L=1, mu=0, alpha=0.5, ZCDP_LINEAR_LEGACY — the mode
+that produced the committed reference CSVs).  Emits the
 reference's CSV row format so results are directly comparable to
 `benchmark/utility/benchmark_T100_*.csv` (l0=32146, linf=1094,
 l1=16892132, l2=44538, ~698 s/run single-threaded).
@@ -105,9 +106,12 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=128)
     ap.add_argument(
         "--composition",
-        default="ZCDP_LINEAR",
+        default="ZCDP_LINEAR_LEGACY",
         choices=[m.name for m in CompositionMode],
-        help="C-fold composition theorem (reference sweep: DWORK_ANALYTICAL, OPTIMAL_KOV, ZCDP_LINEAR)",
+        help="C-fold composition theorem.  Default LEGACY matches the "
+        "reference's COMMITTED T100/T1000 CSV baselines (tight-rho "
+        "re-derivation); ZCDP_LINEAR is the budget-sound linear split "
+        "matching the reference's current DPUtil.",
     )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()

@@ -467,23 +467,33 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     broadcast_limit: int = 200_000,
+    block_rows: int = 65_536,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, ``id_a < id_b``.
+    """Embedding-cosine near-duplicate pairs, ``id_a < id_b`` — EXACT
+    (identical to the brute-force pair join) at any scale.
 
-    Block-matmul dataflow: the (normalized) matrix of one side is
-    broadcast to executors and each task computes cosines for its row
-    block as ONE numpy matmul — Arrow traffic is O(N*dim), not
-    O(N^2*dim) as a pair-join would ship (observed ~10x on 5k vectors,
-    growing quadratically).  Guarded by ``broadcast_limit``: beyond
-    ~200k vectors the broadcast side stops fitting and the scale path
-    is LSH bucketing (similarity.lsh_bucket) feeding this same
-    routine per bucket."""
-    rows = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).collect()
-    if len(rows) > broadcast_limit:
-        raise ValueError(
-            f"{len(rows)} vectors exceed broadcast_limit={broadcast_limit}; "
-            "pre-bucket with similarity.lsh_bucket and run per bucket"
-        )
+    Two physical strategies behind one semantic:
+
+    - ``n <= broadcast_limit``: the (normalized) matrix is broadcast
+      and each task matmuls its row block against it — Arrow traffic
+      O(N*dim), the single-digit-GB fast path.
+    - larger N (or ``broadcast_limit=0``): blocked all-pairs with NO
+      driver materialization.  Vectors are hashed into ``B = ceil(N /
+      block_rows)`` blocks; a broadcast (bi, bj>=bi) grid replicates
+      each row to its grid row/column, and a cogrouped
+      ``applyInPandas`` matmuls one block pair per task.  Peak task
+      memory is two blocks (~``2 * block_rows * dim * 8`` bytes)
+      regardless of N; communication is O(N*B) rows — the inherent
+      cost of exact all-pairs, spread evenly (no skew: blocks are
+      hash-assigned).  For approximate-but-subquadratic dedup at
+      extreme N, pre-restrict candidates with
+      ``similarity.lsh_bucket`` and verify survivors here.
+    """
+    src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    n = src.count()
+    if n > broadcast_limit:
+        return _blocked_neardup_pairs(src, n, threshold, block_rows)
+    rows = src.collect()
     ids = np.array([r["_id"] for r in rows], dtype=np.int64)
     mat = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
     norms = np.linalg.norm(mat, axis=1)
@@ -513,6 +523,61 @@ def embedding_neardup_pairs(
                 }
             )
 
-    return df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).mapInPandas(
-        block, schema="id_a long, id_b long, cosine double"
+    return src.mapInPandas(block, schema="id_a long, id_b long, cosine double")
+
+
+def _blocked_neardup_pairs(
+    src: DataFrame, n: int, threshold: float, block_rows: int
+) -> DataFrame:
+    """Exact all-pairs cosine via a cogrouped block grid (see
+    :func:`embedding_neardup_pairs`).  ``src`` has columns (_id, _v)."""
+    num_blocks = max(1, -(-n // block_rows))
+    a = src.withColumn("_b", (F.crc32(F.col("_id").cast("string")) % num_blocks).cast("int"))
+    # a row in block p participates in grid cells (p, j>=p) as the left
+    # operand and (i<=p, p) as the right — generated with explode, no
+    # join needed
+    left = a.select(
+        F.col("_b").alias("bi"),
+        F.explode(F.sequence(F.col("_b"), F.lit(num_blocks - 1))).alias("bj"),
+        "_id",
+        "_v",
+    )
+    # rename the right side's data columns: both sides share the same
+    # lineage, and identical attribute ids get column-pruned off the
+    # right cogroup input otherwise
+    right = a.select(
+        F.explode(F.sequence(F.lit(0), F.col("_b"))).alias("bi"),
+        F.col("_b").alias("bj"),
+        F.col("_id").alias("_rid"),
+        F.col("_v").alias("_rv"),
+    )
+    thr = float(threshold)
+
+    def pair_blocks(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if lpdf.empty or rpdf.empty:
+            return empty
+        lm = np.stack([np.asarray(v, dtype=np.float64) for v in lpdf["_v"]])
+        rm = np.stack([np.asarray(v, dtype=np.float64) for v in rpdf["_rv"]])
+        ln = np.linalg.norm(lm, axis=1)
+        rn = np.linalg.norm(rm, axis=1)
+        ln[ln == 0] = 1.0
+        rn[rn == 0] = 1.0
+        sims = (lm @ rm.T) / ln[:, None] / rn[None, :]
+        ia, ib = np.nonzero(np.round(sims, 6) >= thr)
+        lid, rid = lpdf["_id"].to_numpy()[ia], rpdf["_rid"].to_numpy()[ib]
+        # a pair lands in exactly one grid cell; normalize id order and
+        # (diagonal cells see both orders + self-pairs) keep id_a < id_b
+        keep = lid != rid
+        lo = np.minimum(lid[keep], rid[keep])
+        hi = np.maximum(lid[keep], rid[keep])
+        out = pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cosine": np.round(sims[ia, ib][keep], 6)}
+        )
+        return out.drop_duplicates(["id_a", "id_b"])
+
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(pair_blocks, schema="id_a long, id_b long, cosine double")
     )

@@ -680,8 +680,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the SCALE path (broadcast_limit=0 forces the blocked
+    cogroup strategy, small blocks force a multi-cell grid) — the
+    oracle is the plain brute-force pair join, proving the blocked
+    dataflow is exact."""
     return embedding_neardup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        broadcast_limit=0,
+        block_rows=400,
     ).orderBy("id_a", "id_b")
 
 

@@ -162,3 +162,22 @@ def test_histogram_release_clamps_negatives(spark):
     )
     out = {r["key"]: r["count"] for r in histogram_release(df).collect()}
     assert out == {"a": 0, "b": 4}  # -3 clamps to 0; 3.6 rounds half-up to 4
+
+
+def test_embedding_neardup_blocked_equals_broadcast(spark, sf_dir):
+    """The blocked cogroup scale path (broadcast_limit=0) must produce
+    EXACTLY the broadcast fast path's pairs, across a multi-cell grid."""
+    from confidential_storm_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fast = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.4, broadcast_limit=0, block_rows=120
+        ).collect()
+    }
+    assert blocked == fast and len(fast) > 0

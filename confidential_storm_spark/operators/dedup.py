@@ -184,6 +184,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded minhash LSH + exact verification.
 
@@ -192,8 +193,14 @@ def minhash_lsh_pairs(
     shingle sets.  Returns (id_a, id_b, jaccard) with id_a < id_b.
 
     Scale: the only shuffles are (band_id, band_hash) bucket join and
-    the final dedup — candidate generation is linear in bucket sizes
-    (hot buckets would need bucket-size capping at extreme scale).
+    the final dedup — candidate generation is linear in bucket sizes.
+    ``max_bucket_size`` caps hot buckets: a band bucket holding k docs
+    emits k^2/2 candidates, so one degenerate bucket (e.g. a boilerplate
+    band shared by millions of docs) dominates the join quadratically.
+    Buckets above the cap are dropped via a broadcast anti-join (the
+    hot-bucket list is tiny by construction).  Off by default — capping
+    trades recall on the affected docs for bounded work; a dropped pair
+    can still surface through its other bands.
     """
     rows_per_band = num_hashes // bands
     sh_df = df.select(
@@ -235,6 +242,15 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.band_hash")
 
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
+
     cand = (
         banded.alias("l")
         .join(
@@ -273,11 +289,21 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index join:
     explode distinct shingles, self-join on shingle, count shared,
     jaccard = shared / (|A| + |B| - shared).  Returns (id_a, id_b,
-    jaccard >= threshold), id_a < id_b."""
+    jaccard >= threshold), id_a < id_b.
+
+    ``max_shingle_df`` is the standard document-frequency cap: a
+    shingle appearing in k docs contributes k^2/2 rows to the join, so
+    one stop-shingle ("in the of") turns natural text quadratic at
+    scale.  Shingles above the cap are dropped from the POSTINGS (not
+    the sizes), via broadcast anti-join on the tiny hot-shingle list.
+    Off by default: with a cap the computed jaccard undercounts shared
+    shingles for affected pairs (exactness is traded for bounded work,
+    the same trade every large-corpus dedup pipeline makes)."""
     sh = (
         df.select(
             F.col(id_col).alias("_id"), shingles_udf(F.col(text_col), shingle_n).alias("_sh")
@@ -290,6 +316,14 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
     postings = sh.select("_id", F.explode("_sh").alias("shingle"))
+    if max_shingle_df is not None:
+        hot = (
+            postings.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        postings = postings.join(F.broadcast(hot), "shingle", "left_anti")
     shared = (
         postings.alias("a")
         .join(

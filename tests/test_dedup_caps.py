@@ -1,0 +1,89 @@
+"""Document-frequency / bucket-size caps on the shared-shingle joins.
+
+The pathological corpus every natural-text crawl contains: boilerplate
+shared by ALL docs.  Uncapped, one stop-shingle in k docs emits k^2/2
+join rows; the caps bound that quadratic blowup (at the documented cost
+of recall through the capped shingle/bucket only).
+"""
+
+from confidential_storm_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+
+N_DOCS = 40
+
+
+def _boilerplate_corpus(spark):
+    # every doc shares one 3-gram ("alpha beta gamma"); the rest unique
+    return spark.createDataFrame(
+        [(i, f"alpha beta gamma unique{i} token{i} word{i}") for i in range(N_DOCS)],
+        "doc_id long, text string",
+    )
+
+
+def test_ngram_df_cap_bounds_quadratic_blowup(spark):
+    docs = _boilerplate_corpus(spark)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.05).collect()
+    }
+    # every pair shares exactly the boilerplate shingle -> full k^2/2
+    assert len(uncapped) == N_DOCS * (N_DOCS - 1) // 2
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.05, max_shingle_df=5).collect()
+    }
+    # the only shared shingle exceeds the cap -> no candidates at all
+    assert capped == set()
+    # and the cap only ever REMOVES pairs
+    assert capped <= uncapped
+
+
+def test_ngram_df_cap_keeps_legit_pairs(spark):
+    # two genuinely similar docs + boilerplate shared by everyone: the
+    # cap kills the boilerplate blowup but keeps the real near-dup
+    rows = [(i, f"alpha beta gamma unique{i} token{i} word{i}") for i in range(N_DOCS)]
+    rows += [
+        (100, "alpha beta gamma the quick brown fox jumps high"),
+        (101, "alpha beta gamma the quick brown fox jumps low"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_df=5).collect()
+    }
+    assert capped == {(100, 101)}
+
+
+def test_minhash_bucket_cap_bounds_hot_bucket(spark):
+    # identical docs -> identical signatures -> ONE bucket per band
+    # holding every doc
+    docs = spark.createDataFrame(
+        [(i, "same text in every single document here") for i in range(N_DOCS)],
+        "doc_id long, text string",
+    )
+    uncapped = minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    assert len(uncapped) == N_DOCS * (N_DOCS - 1) // 2
+    capped = minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, max_bucket_size=5
+    ).collect()
+    assert capped == []
+
+
+def test_minhash_bucket_cap_default_off_matches(spark, sf_dir):
+    from confidential_storm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.3).collect()
+    }
+    # a generous cap (larger than any real bucket here) changes nothing
+    roomy = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, jaccard_threshold=0.3, max_bucket_size=10_000
+        ).collect()
+    }
+    assert roomy == base and len(base) > 0

@@ -444,14 +444,41 @@ ROUTE_EDGES = [
 ]
 
 
+# demo key, mirroring the reference's hard-coded build-time key
+# (TopologyGraphGenerator.java:43-45; production provisions it via
+# attestation/sealed storage)
+TOPOLOGY_KEY = bytes(range(32))
+
+
+def _topology_artifact(spark: SparkSession) -> str:
+    """Build (once) and return the encrypted topology-graph artifact
+    the route check loads — the reference's build-time/runtime split
+    (TopologyGraphGenerator -> EncryptedTopologyProvider)."""
+    import os
+
+    from ..functions.topology import write_topology_graph
+
+    path = "/tmp/spark_graft_cache/topology.graph.enc"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        adjacency: dict[str, list[str]] = {}
+        for s, d in ROUTE_EDGES:
+            adjacency.setdefault(s, []).append(d)
+        write_topology_graph(adjacency, path, TOPOLOGY_KEY)
+    return path
+
+
 def sec_route_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V1 as a broadcast semi-join: (producer_id, event_type) must be a
-    declared edge; returns accepted-count per edge."""
+    declared edge of the DECRYPTED topology graph (fail-closed AES-GCM
+    artifact, not a plaintext table); returns accepted-count per edge."""
+    from ..functions.topology import topology_edges_df
+
     ev = load_table(spark, sf_dir, "events").select(
         F.concat(F.lit("p"), (F.col("user_id") % 4).cast("string")).alias("source"),
         F.col("event_type").alias("destination"),
     )
-    edges = spark.createDataFrame(ROUTE_EDGES, "src string, dst string")
+    edges = topology_edges_df(spark, _topology_artifact(spark), TOPOLOGY_KEY)
     ok = validate_routes(ev, edges)
     return ok.groupBy("source", "destination").agg(F.count(F.lit(1)).alias("accepted")).orderBy(
         "source", "destination"

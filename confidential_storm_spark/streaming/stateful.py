@@ -42,6 +42,23 @@ __all__ = [
 ]
 
 
+def heartbeat_stream(
+    spark, num_buckets: int, schema, rows_per_second: int = 1
+) -> DataFrame:
+    """T4 dummy traffic as a SOURCE, like the reference's spouts: a
+    rate stream exploded to one null-key row per bucket per tick, cast
+    to the event schema (plus the ``bucket`` routing column).  Unioned
+    into :func:`dp_histogram_stream` via its ``heartbeats`` argument it
+    guarantees every bucket's epoch advances every micro-batch even
+    when that bucket saw no data (exact tick parity with the
+    reference's dummy-traffic topologies)."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    cols = [
+        F.explode(F.sequence(F.lit(0), F.lit(num_buckets - 1))).cast("int").alias("bucket")
+    ] + [F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+    return rate.select(*cols)
+
+
 def dp_histogram_stream(
     events: DataFrame,
     params: DPParams,
@@ -49,15 +66,18 @@ def dp_histogram_stream(
     user_col: str = "user_id",
     value_col: str = "value",
     num_buckets: int = 8,
+    heartbeats: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming DP histogram: per micro-batch (== DP epoch) run one
     ``snapshot()`` per key-bucket and emit the full released histogram
     (carry-forward included) stamped with the bucket's epoch.
 
-    Note: the epoch counter is per-bucket (a bucket with no data in a
-    batch does not advance) — with the reference's dummy-traffic (T4)
-    every replica contributes every tick, which a heartbeat union row
-    per bucket reproduces if exact tick parity is needed.
+    The epoch counter is per-bucket (a bucket with no rows in a batch
+    does not advance).  For exact tick parity with the reference's
+    dummy-traffic topologies (T4), pass ``heartbeats`` — rows with a
+    ``bucket`` column and null ``key`` (see :func:`heartbeat_stream`):
+    they force every bucket group to be invoked each micro-batch while
+    contributing nothing to any histogram.
     """
     p = params
 
@@ -75,10 +95,16 @@ def dp_histogram_stream(
                 p.max_time_steps,
                 p.mu,
                 p.max_contributions_per_user,
-                rng=np.random.default_rng((p.seed, bucket_id)),
+                rng=(
+                    np.random.default_rng((p.seed, bucket_id))
+                    if p.seed is not None
+                    else np.random.default_rng()
+                ),
             )
         for pdf in pdfs:
             for k, v, u in zip(pdf[key_col], pdf[value_col], pdf[user_col]):
+                if k is None:  # heartbeat: ticks the epoch, adds nothing
+                    continue
                 mech.add_contribution(u, k, float(v))
         hist = mech.snapshot()
         epoch = mech.time_step - 1
@@ -94,6 +120,8 @@ def dp_histogram_stream(
     with_bucket = events.withColumn(
         "bucket", (F.crc32(F.col(key_col).cast("string")) % num_buckets).cast("int")
     )
+    if heartbeats is not None:
+        with_bucket = with_bucket.unionByName(heartbeats.select(*with_bucket.columns))
     return with_bucket.groupBy("bucket").applyInPandasWithState(
         process,
         outputStructType="key string, count long, epoch int",

@@ -43,34 +43,18 @@ CSV_HEADER = (
 
 
 def run_once(spark, t: int, users: int, keys: int, seed: int, buckets: int,
-             composition: CompositionMode = CompositionMode.ZCDP_LINEAR):
+             composition: CompositionMode = CompositionMode.ZCDP_LINEAR,
+             alpha: float = ALPHA, data_path: str | None = None):
     from pyspark.sql import functions as F
 
     from confidential_storm_spark.operators.dp_batch import DPParams, dp_histogram_batch
 
-    gen0 = time.perf_counter()
-    uid, key_rank, epoch = generate_benchmark_contributions(
-        num_users=users, num_keys=keys, max_contributions=C, t_steps=t, seed=seed
-    )
-    tmp = tempfile.mkdtemp(prefix="utility_bench_")
-    path = os.path.join(tmp, "contribs.parquet")
-    pq.write_table(
-        pa.table(
-            {
-                "user_id": uid,
-                "key": key_rank.astype(str),
-                "value": np.ones(len(uid)),
-                "epoch": epoch.astype(np.int32),
-            }
-        ),
-        path,
-    )
-    gen_sec = time.perf_counter() - gen0
-    print(f"# generated {len(uid):,} rows ({gen_sec:.1f}s) -> {path}", file=sys.stderr)
+    if data_path is None:
+        data_path = _generate(t, users, keys, seed)
 
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(data_path)
     params = DPParams.from_budget(
-        EPSILON, DELTA, c=C, t=t, mu=MU, seed=seed, composition=composition
+        EPSILON, DELTA, c=C, t=t, mu=MU, seed=seed, composition=composition, alpha=alpha
     )
 
     t0 = time.perf_counter()
@@ -96,6 +80,31 @@ def run_once(spark, t: int, users: int, keys: int, seed: int, buckets: int,
     return row, sec
 
 
+def _generate(t: int, users: int, keys: int, seed: int) -> str:
+    """Write one seed's contribution parquet; reused across every
+    (alpha, composition) config of that run, as the reference does
+    (UtilityBenchmarkTest.java:240-262)."""
+    gen0 = time.perf_counter()
+    uid, key_rank, epoch = generate_benchmark_contributions(
+        num_users=users, num_keys=keys, max_contributions=C, t_steps=t, seed=seed
+    )
+    tmp = tempfile.mkdtemp(prefix="utility_bench_")
+    path = os.path.join(tmp, "contribs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": uid,
+                "key": key_rank.astype(str),
+                "value": np.ones(len(uid)),
+                "epoch": epoch.astype(np.int32),
+            }
+        ),
+        path,
+    )
+    print(f"# generated {len(uid):,} rows ({time.perf_counter()-gen0:.1f}s)", file=sys.stderr)
+    return path
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--t", type=int, default=100)
@@ -104,6 +113,19 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=1)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--buckets", type=int, default=128)
+    ap.add_argument("--alpha", type=float, default=ALPHA)
+    ap.add_argument(
+        "--alpha-sweep",
+        action="store_true",
+        help="sweep alpha in {0.1..0.9} x every composition mode "
+        "(UtilityBenchmarkTest.java:196-204; pair with the reference's "
+        "fast-mode sizes --users 500000 --keys 100000)",
+    )
+    ap.add_argument(
+        "--all-compositions",
+        action="store_true",
+        help="run every composition mode at the single --alpha",
+    )
     ap.add_argument(
         "--composition",
         default="ZCDP_LINEAR_LEGACY",
@@ -115,33 +137,48 @@ def main() -> None:
     )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
-    composition = CompositionMode[args.composition]
+
+    if args.alpha_sweep:
+        alphas = [round(0.1 * i, 1) for i in range(1, 10)]
+        comps = list(CompositionMode)
+    elif args.all_compositions:
+        alphas = [args.alpha]
+        comps = list(CompositionMode)
+    else:
+        alphas = [args.alpha]
+        comps = [CompositionMode[args.composition]]
+    configs = [(a, m) for a in alphas for m in comps]
 
     from confidential_storm_spark.session import get_spark
 
     spark = get_spark(app_name="utility-bench")
-
-    cal = calibrate(
-        composition, EPSILON / 2, DELTA * 2 / 3, EPSILON / 2, DELTA / 3,
-        C, args.t, L_M, ALPHA,
-    )
     kappa = math.ceil(math.log2(args.t))
-    tau_last = math.sqrt(
-        kappa * cal.sigma_key**2 / (2.0 * (1.0 - 2.0**-kappa))
-    ) * cal.threshold_quantile
 
     lines = [CSV_HEADER]
     for run in range(args.runs):
-        row, sec = run_once(spark, args.t, args.users, args.keys, args.seed + run, args.buckets, composition)
-        line = (
-            f"{args.t},{ALPHA:.4f},{composition.name},{MU},{run},"
-            f"{row['l0']},{row['l_inf']:.0f},{row['l1']:.0f},{row['l2']:.3f},{sec:.1f},"
-            f"{cal.epsilon_key_round:.6e},{cal.delta_key_round:.6e},"
-            f"{cal.sigma_key:.6f},{cal.sigma_hist:.6f},{cal.beta:.6e},"
-            f"{cal.threshold_quantile:.6f},{tau_last:.6f}"
-        )
-        print(line)
-        lines.append(line)
+        seed = args.seed + run
+        data_path = _generate(args.t, args.users, args.keys, seed)
+        for alpha, composition in configs:
+            cal = calibrate(
+                composition, EPSILON / 2, DELTA * 2 / 3, EPSILON / 2, DELTA / 3,
+                C, args.t, L_M, alpha,
+            )
+            tau_last = math.sqrt(
+                kappa * cal.sigma_key**2 / (2.0 * (1.0 - 2.0**-kappa))
+            ) * cal.threshold_quantile
+            row, sec = run_once(
+                spark, args.t, args.users, args.keys, seed, args.buckets,
+                composition, alpha, data_path,
+            )
+            line = (
+                f"{args.t},{alpha:.4f},{composition.name},{MU},{run},"
+                f"{row['l0']},{row['l_inf']:.0f},{row['l1']:.0f},{row['l2']:.3f},{sec:.1f},"
+                f"{cal.epsilon_key_round:.6e},{cal.delta_key_round:.6e},"
+                f"{cal.sigma_key:.6f},{cal.sigma_hist:.6f},{cal.beta:.6e},"
+                f"{cal.threshold_quantile:.6f},{tau_last:.6f}"
+            )
+            print(line, flush=True)
+            lines.append(line)
 
     if args.out:
         with open(args.out, "w") as f:

@@ -2,12 +2,19 @@
 
 Images / audio / video are opaque ``binary`` columns plus a typed
 metadata struct; the heavy decode / feature-extract steps run as
-Arrow-batched ``mapInPandas`` stages.  The media codec libraries
-(Pillow, torchaudio, ffmpeg, ...) are NOT in this container, so the
-decode kernels are gated behind import-tries: with the library absent
-each operator either raises ``NotImplementedError`` (strict mode) or
-produces a clearly-marked deterministic fake (plumbing mode) so the
-Spark-side schema / partitioning / batch shape stay real and testable.
+Arrow-batched ``mapInPandas`` stages.
+
+Codec coverage is honest about the container:
+
+- UNCOMPRESSED formats are decoded FOR REAL in pure numpy/stdlib —
+  PPM (P6) / PGM (P5) and 24/32-bit BMP images, PCM WAV audio, and
+  YUV4MPEG2 (y4m) video.  Dimensions, durations, pixel statistics,
+  resizes and frame samples on these formats are exact.
+- COMPRESSED formats (JPEG/PNG/MP4/...) need Pillow / ffmpeg, which
+  are NOT in this container; those payloads either raise
+  ``NotImplementedError`` (``strict=True``) or flow through as a
+  clearly-marked deterministic fake (payload-digest-seeded) so the
+  Spark-side schema / partitioning / batch shape stay real.
 
 Scale: binary payloads ride the normal columnar path; feature columns
 are fixed-width arrays; mapInPandas streams record batches so a task
@@ -18,6 +25,9 @@ payloads in memory.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -27,8 +37,14 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "sniff_media",
+    "decode_image",
+    "encode_ppm",
+    "resize_nearest",
     "attach_media_metadata",
     "decode_image_features",
+    "resize_images",
+    "decode_audio_features",
     "sample_video_frames",
 ]
 
@@ -38,29 +54,203 @@ MEDIA_SCHEMA = (
     "duration_ms long, n_bytes long"
 )
 
+IMAGE_FEATURE_DIM = 16  # [w, h, c, mean, std, min, max, 8-bin luma hist, aspect]
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy codecs (uncompressed formats only — see module docstring)
+# ---------------------------------------------------------------------------
+
+
+def _parse_pnm(data: bytes):
+    """PPM (P6, RGB) / PGM (P5, gray) binary decode."""
+    magic = data[:2]
+    channels = 3 if magic == b"P6" else 1
+    # header: magic, width, height, maxval — whitespace/comment separated
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PNM unsupported")
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * channels, offset=pos)
+    return px.reshape(h, w, channels)
+
+
+def _parse_bmp(data: bytes):
+    """Uncompressed 24/32-bit BMP decode (BITMAPINFOHEADER)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    px_offset = struct.unpack_from("<I", data, 10)[0]
+    header_size = struct.unpack_from("<I", data, 14)[0]
+    if header_size < 40:
+        raise ValueError("BMP core header unsupported")
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"BMP bpp={bpp} compression={compression} unsupported")
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3  # rows padded to 4 bytes
+    flipped = h > 0
+    h = abs(h)
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=px_offset)
+    rows = rows.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    if flipped:
+        rows = rows[::-1]
+    # BGR(A) -> RGB
+    return rows[:, :, [2, 1, 0]].copy()
+
+
+def decode_image(data: bytes):
+    """Decode an uncompressed image payload to an (h, w, c) uint8 array,
+    or return None if the format needs an external codec."""
+    if data[:2] in (b"P6", b"P5"):
+        return _parse_pnm(data)
+    if data[:2] == b"BM":
+        try:
+            return _parse_bmp(data)
+        except ValueError:
+            return None
+    return None
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Encode (h, w, 1|3) uint8 back to binary PGM/PPM."""
+    h, w, c = img.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize via index sampling (pure numpy)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def sniff_media(data: bytes) -> tuple[str, str, int | None, int | None, int | None]:
+    """(media_type, mime, width, height, duration_ms) from the payload
+    header — real values for the supported uncompressed formats."""
+    if data is None:
+        return ("unknown", "application/octet-stream", None, None, None)
+    if data[:2] in (b"P6", b"P5"):
+        img = _parse_pnm(data)
+        mime = "image/x-portable-pixmap" if data[:2] == b"P6" else "image/x-portable-graymap"
+        return ("image", mime, img.shape[1], img.shape[0], None)
+    if data[:2] == b"BM":
+        img = decode_image(data)
+        if img is not None:
+            return ("image", "image/bmp", img.shape[1], img.shape[0], None)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        with wave.open(io.BytesIO(data)) as wf:
+            dur = int(wf.getnframes() * 1000 / wf.getframerate())
+        return ("audio", "audio/wav", None, None, dur)
+    if data[:9] == b"YUV4MPEG2":
+        w, h, fps = _y4m_header(data)[:3]
+        n = data.count(b"FRAME")
+        dur = int(n * 1000 / fps) if fps else None
+        return ("video", "video/x-yuv4mpeg", w, h, dur)
+    return ("unknown", "application/octet-stream", None, None, None)
+
+
+def _y4m_header(data: bytes):
+    """Parse a YUV4MPEG2 stream header -> (w, h, fps, header_end)."""
+    eol = data.index(b"\n")
+    w = h = None
+    fps = 0.0
+    for tok in data[9:eol].split():
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, den = tok[1:].split(b":")
+            fps = int(num) / int(den)
+    if w is None or h is None:
+        raise ValueError("y4m missing W/H")
+    return w, h, fps, eol + 1
+
+
+def _y4m_frames(data: bytes):
+    """Yield Y planes ((h, w) uint8) of a 4:2:0 or mono y4m stream."""
+    w, h, _, pos = _y4m_header(data)
+    y_size = w * h
+    # chroma size: detect 4:2:0 (default) vs C mono from header
+    header = data[: pos - 1]
+    frame_size = y_size if b"Cmono" in header else y_size * 3 // 2
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            break
+        pos = data.index(b"\n", pos) + 1
+        y = np.frombuffer(data, np.uint8, count=y_size, offset=pos).reshape(h, w)
+        yield y
+        pos += frame_size
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
 
 def attach_media_metadata(
-    df: DataFrame, payload_col: str = "payload", media_type: str = "image"
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
-    """Attach the typed metadata struct for an opaque binary column.
-    Sizes come from the payload itself; format-specific fields are
-    filled by the decode stage."""
-    return df.withColumn(
-        "media",
-        F.struct(
-            F.lit(media_type).alias("media_type"),
-            F.lit("application/octet-stream").alias("mime"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
-            F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
-        ),
+    """Attach the typed metadata struct for an opaque binary column —
+    sniffed from the payload header (real width/height/duration for
+    the supported uncompressed formats)."""
+    out_schema = f"{id_col} long, media struct<{MEDIA_SCHEMA.replace(', ', ',')}>"
+
+    def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for p in pdf[payload_col]:
+                mt, mime, w, h, dur = sniff_media(bytes(p) if p is not None else None)
+                metas.append(
+                    {
+                        "media_type": mt,
+                        "mime": mime,
+                        "width": w,
+                        "height": h,
+                        "duration_ms": dur,
+                        "n_bytes": len(p) if p is not None else 0,
+                    }
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "media": metas})
+
+    return df.select(id_col, payload_col).mapInPandas(sniff, schema=out_schema)
+
+
+def _image_features(img: np.ndarray) -> np.ndarray:
+    """Fixed-width real feature vector from a decoded image."""
+    h, w, c = img.shape
+    flat = img.astype(np.float32)
+    luma = flat.mean(axis=2)
+    hist, _ = np.histogram(luma, bins=8, range=(0, 256))
+    hist = hist.astype(np.float32) / max(luma.size, 1)
+    return np.concatenate(
+        [
+            np.array([w, h, c, flat.mean(), flat.std(), flat.min(), flat.max()], np.float32),
+            hist,
+            np.array([w / max(h, 1)], np.float32),
+        ]
     )
 
 
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
-    """Deterministic fake 'decoded features': seeded by the payload
-    digest, so tests are reproducible and content-sensitive."""
+    """Deterministic fake for UNSUPPORTED (compressed) formats: seeded
+    by the payload digest, reproducible and content-sensitive."""
     seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
     return np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
 
@@ -69,17 +259,15 @@ def decode_image_features(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "media_id",
-    dim: int = 16,
     strict: bool = False,
 ) -> DataFrame:
-    """Decode images and emit a feature vector per payload.
+    """Decode images and emit a 16-wide feature vector per payload:
+    [w, h, c, mean, std, min, max, 8-bin luma histogram, aspect].
 
-    With Pillow present this would decode + resize + embed; in this
-    container the decode kernel is STUBBED: ``strict=True`` raises
-    ``NotImplementedError``, otherwise a deterministic fake feature
-    vector (payload-digest-seeded) flows through the *real* Spark
-    plumbing (mapInPandas, Arrow batches, fixed-width output schema).
-    """
+    REAL decode for PPM/PGM/BMP; compressed formats fall back to
+    Pillow when present, else ``strict=True`` raises and
+    ``strict=False`` emits the digest-seeded fake with
+    ``decode_ok=false``."""
     try:
         from PIL import Image  # noqa: F401
 
@@ -87,26 +275,122 @@ def decode_image_features(
     except ImportError:
         have_pil = False
 
-    if strict and not have_pil:
-        raise NotImplementedError(
-            "image decode requires Pillow (not in container); "
-            "run with strict=False for the deterministic-fake plumbing path"
-        )
-
     out_schema = f"{id_col} long, features array<float>, decode_ok boolean"
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _fake_features(p, dim) if p is not None else np.zeros(dim, np.float32)
-                for p in pdf[payload_col]
-            ]
+            feats, oks = [], []
+            for p in pdf[payload_col]:
+                img = decode_image(bytes(p)) if p is not None else None
+                if img is None and p is not None and have_pil:
+                    from PIL import Image
+
+                    try:
+                        img = np.asarray(Image.open(io.BytesIO(bytes(p))).convert("RGB"))
+                    except Exception:
+                        img = None
+                if img is not None:
+                    if img.ndim == 2:
+                        img = img[:, :, None]
+                    feats.append(_image_features(img))
+                    oks.append(True)
+                elif strict:
+                    raise NotImplementedError(
+                        "compressed image decode requires Pillow (not in container); "
+                        "supported without it: PPM/PGM/BMP"
+                    )
+                else:
+                    feats.append(
+                        _fake_features(bytes(p), IMAGE_FEATURE_DIM)
+                        if p is not None
+                        else np.zeros(IMAGE_FEATURE_DIM, np.float32)
+                    )
+                    oks.append(False)
             yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "features": feats,
-                    "decode_ok": [p is not None for p in pdf[payload_col]],
-                }
+                {id_col: pdf[id_col].to_numpy(), "features": feats, "decode_ok": oks}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Nearest-neighbor resize of decodable payloads, re-encoded as
+    PPM/PGM binaries; undecodable payloads pass through with
+    ``resized_ok=false``."""
+    out_schema = f"{id_col} long, payload binary, resized_ok boolean"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, oks = [], []
+            for p in pdf[payload_col]:
+                img = decode_image(bytes(p)) if p is not None else None
+                if img is None:
+                    outs.append(p)
+                    oks.append(False)
+                else:
+                    outs.append(encode_ppm(resize_nearest(img, out_w, out_h)))
+                    oks.append(True)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "payload": outs, "resized_ok": oks}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize, schema=out_schema)
+
+
+def decode_audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    strict: bool = False,
+) -> DataFrame:
+    """PCM WAV audio features (REAL, stdlib wave + numpy): sample rate,
+    duration_ms, RMS, peak, zero-crossing rate.  Compressed audio
+    (mp3/ogg/flac) would need an external codec — strict raises,
+    otherwise decode_ok=false with zeros."""
+    out_schema = (
+        f"{id_col} long, sample_rate int, duration_ms long, "
+        "rms double, peak double, zero_cross_rate double, decode_ok boolean"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    data = bytes(p)
+                    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                        raise ValueError("not a PCM WAV")
+                    with wave.open(io.BytesIO(data)) as wf:
+                        sr, nf, sw = wf.getframerate(), wf.getnframes(), wf.getsampwidth()
+                        raw = wf.readframes(nf)
+                    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sw]
+                    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+                    if sw == 1:
+                        x -= 128.0
+                    scale = float(1 << (8 * sw - 1))
+                    x /= scale
+                    zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+                    rows.append(
+                        (mid, sr, int(nf * 1000 / sr), float(np.sqrt(np.mean(x**2))),
+                         float(np.abs(x).max(initial=0.0)), zc, True)
+                    )
+                except Exception:
+                    if strict:
+                        raise NotImplementedError(
+                            "compressed audio needs an external codec; PCM WAV is "
+                            "decoded natively"
+                        )
+                    rows.append((mid, 0, 0, 0.0, 0.0, 0.0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sample_rate", "duration_ms", "rms", "peak",
+                         "zero_cross_rate", "decode_ok"],
             )
 
     return df.select(id_col, payload_col).mapInPandas(decode, schema=out_schema)
@@ -119,30 +403,42 @@ def sample_video_frames(
     n_frames: int = 4,
     strict: bool = False,
 ) -> DataFrame:
-    """Sample N frames per video payload (one output row per frame).
-
-    Real implementation needs ffmpeg/av (absent) — STUBBED: frame
-    payloads are deterministic digests of (payload, frame_idx); the
-    explode/one-row-per-frame shape, schema, and batch streaming are
-    real.
-    """
-    if strict:
-        raise NotImplementedError(
-            "video frame sampling requires ffmpeg/av (not in container)"
-        )
-
-    out_schema = f"{id_col} long, frame_idx int, frame binary"
+    """Sample N uniformly-spaced frames per video payload (one output
+    row per frame).  REAL for YUV4MPEG2 streams: the Y plane of each
+    sampled frame is emitted as a PGM binary.  Other containers
+    (mp4/webm) need ffmpeg — strict raises, otherwise the frame is a
+    deterministic digest marked ``decoded_ok=false``."""
+    out_schema = f"{id_col} long, frame_idx int, frame binary, decoded_ok boolean"
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, frames = [], [], []
+            ids, idxs, frames, oks = [], [], [], []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
                 if p is None:
                     continue
-                for i in range(n_frames):
-                    ids.append(mid)
-                    idxs.append(i)
-                    frames.append(hashlib.md5(bytes(p) + i.to_bytes(4, "big")).digest())
-            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+                data = bytes(p)
+                if data[:9] == b"YUV4MPEG2":
+                    planes = list(_y4m_frames(data))
+                    if not planes:
+                        continue
+                    picks = np.linspace(0, len(planes) - 1, min(n_frames, len(planes)))
+                    for i in sorted({int(round(x)) for x in picks}):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(encode_ppm(planes[i][:, :, None]))
+                        oks.append(True)
+                elif strict:
+                    raise NotImplementedError(
+                        "non-y4m video needs ffmpeg (not in container)"
+                    )
+                else:
+                    for i in range(n_frames):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(hashlib.md5(data + i.to_bytes(4, "big")).digest())
+                        oks.append(False)
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame": frames, "decoded_ok": oks}
+            )
 
     return df.select(id_col, payload_col).mapInPandas(sample, schema=out_schema)

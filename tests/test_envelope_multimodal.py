@@ -162,28 +162,31 @@ def test_chacha20_roundtrip_and_tamper(spark):
 
 
 def test_multimodal_plumbing(spark):
+    """Unsupported (opaque) payloads: metadata sniff says unknown, the
+    digest-fake keeps the schema/batch shape real, strict raises."""
     media = spark.createDataFrame(
         [(i, bytes([i]) * (100 + i)) for i in range(8)] + [(99, None)],
         "media_id long, payload binary",
     )
     with_meta = attach_media_metadata(media)
     metas = {r["media_id"]: r["media"] for r in with_meta.collect()}
-    assert metas[3]["n_bytes"] == 103 and metas[3]["media_type"] == "image"
+    assert metas[3]["n_bytes"] == 103 and metas[3]["media_type"] == "unknown"
 
-    feats = decode_image_features(media, dim=16).collect()
+    feats = decode_image_features(media).collect()
     by_id = {r["media_id"]: r for r in feats}
     assert len(by_id[0]["features"]) == 16
     assert by_id[99]["decode_ok"] is False
     # deterministic: same payload -> same fake features
-    feats2 = {r["media_id"]: r["features"] for r in decode_image_features(media, dim=16).collect()}
+    feats2 = {r["media_id"]: r["features"] for r in decode_image_features(media).collect()}
     assert feats2[5] == by_id[5]["features"]
 
     frames = sample_video_frames(media.filter("payload is not null"), n_frames=3).collect()
     assert len(frames) == 8 * 3
     assert {r["frame_idx"] for r in frames} == {0, 1, 2}
-    assert all(len(r["frame"]) == 16 for r in frames)
+    assert all(len(r["frame"]) == 16 and not r["decoded_ok"] for r in frames)
 
-    with pytest.raises(NotImplementedError):
+    # worker-side NotImplementedError arrives wrapped in PythonException
+    with pytest.raises(Exception, match="requires Pillow"):
         decode_image_features(media, strict=True).collect()
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(Exception, match="needs ffmpeg"):
         sample_video_frames(media, strict=True).collect()

@@ -1,0 +1,152 @@
+"""REAL multimodal codec tests: PPM/PGM/BMP images, PCM WAV audio and
+YUV4MPEG2 video are decoded natively (pure numpy/stdlib) — payloads are
+synthesized bit-exactly in the test, no media libraries involved."""
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from confidential_storm_spark.operators.multimodal import (
+    decode_audio_features,
+    decode_image,
+    decode_image_features,
+    encode_ppm,
+    resize_images,
+    resize_nearest,
+    attach_media_metadata,
+    sample_video_frames,
+    sniff_media,
+)
+
+
+def make_ppm(w, h, seed=0):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    return encode_ppm(img), img
+
+
+def make_bmp(w, h, seed=0):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = img[::-1, :, [2, 1, 0]].reshape(h, w * 3)  # bottom-up BGR
+    header = b"BM" + struct.pack("<IHHI", 54 + rows.size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, rows.size, 2835, 2835, 0, 0)
+    return header + info + rows.tobytes(), img
+
+
+def make_wav(sr=8000, freq=440.0, seconds=0.5):
+    t = np.arange(int(sr * seconds)) / sr
+    x = (np.sin(2 * np.pi * freq * t) * 0.5 * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(x.tobytes())
+    return buf.getvalue(), x
+
+
+def make_y4m(w, h, n_frames, fps=25):
+    header = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420jpeg\n".encode()
+    frames = []
+    out = [header]
+    for i in range(n_frames):
+        y = np.full((h, w), i * 10, np.uint8)
+        frames.append(y)
+        uv = np.full((h // 2, w // 2), 128, np.uint8)
+        out.append(b"FRAME\n" + y.tobytes() + uv.tobytes() + uv.tobytes())
+    return b"".join(out), frames
+
+
+def test_pnm_bmp_roundtrip_exact():
+    ppm, img = make_ppm(13, 7, seed=1)
+    assert np.array_equal(decode_image(ppm), img)
+    bmp, img2 = make_bmp(10, 6, seed=2)  # non-multiple-of-4 row width
+    assert np.array_equal(decode_image(bmp), img2)
+    assert decode_image(b"\x89PNG\r\n....") is None  # compressed: no codec
+
+
+def test_resize_nearest_semantics():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    up = resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8, 1)
+    assert np.array_equal(up[::2, ::2], img)  # every source pixel kept
+    down = resize_nearest(img, 2, 2)
+    assert np.array_equal(down[:, :, 0], [[0, 2], [8, 10]])
+
+
+def test_sniff_media_real_headers():
+    ppm, _ = make_ppm(20, 10)
+    assert sniff_media(ppm)[:4] == ("image", "image/x-portable-pixmap", 20, 10)
+    wavb, _ = make_wav(sr=8000, seconds=0.25)
+    mt, mime, _, _, dur = sniff_media(wavb)
+    assert (mt, mime, dur) == ("audio", "audio/wav", 250)
+    y4m, _ = make_y4m(16, 8, 5, fps=25)
+    mt, mime, w, h, dur = sniff_media(y4m)
+    assert (mt, w, h, dur) == ("video", 16, 8, 200)
+
+
+def test_image_features_real_decode(spark):
+    ppm, img = make_ppm(24, 16, seed=3)
+    bmp, img2 = make_bmp(9, 5, seed=4)
+    media = spark.createDataFrame(
+        [(1, ppm), (2, bmp), (3, b"\xff\xd8\xff\xe0 fake jpeg")],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_image_features(media).collect()}
+    f1 = rows[1]["features"]
+    assert rows[1]["decode_ok"] and rows[2]["decode_ok"] and not rows[3]["decode_ok"]
+    assert f1[0] == 24.0 and f1[1] == 16.0 and f1[2] == 3.0
+    assert f1[3] == pytest.approx(float(img.astype(np.float32).mean()), rel=1e-6)
+    f2 = rows[2]["features"]
+    assert f2[3] == pytest.approx(float(img2.astype(np.float32).mean()), rel=1e-6)
+    # metadata sniff sees the real dimensions
+    metas = {r["media_id"]: r["media"] for r in attach_media_metadata(media).collect()}
+    assert (metas[1]["width"], metas[1]["height"]) == (24, 16)
+    assert (metas[2]["width"], metas[2]["height"]) == (9, 5)
+
+
+def test_resize_images_operator(spark):
+    ppm, img = make_ppm(32, 20, seed=5)
+    media = spark.createDataFrame(
+        [(1, ppm), (2, b"not an image")], "media_id long, payload binary"
+    )
+    rows = {r["media_id"]: r for r in resize_images(media, 8, 8).collect()}
+    assert rows[1]["resized_ok"] and not rows[2]["resized_ok"]
+    out = decode_image(bytes(rows[1]["payload"]))
+    assert out.shape == (8, 8, 3)
+    assert np.array_equal(out, resize_nearest(img, 8, 8))
+
+
+def test_audio_features_real_wav(spark):
+    wavb, x = make_wav(sr=8000, freq=440.0, seconds=0.5)
+    media = spark.createDataFrame(
+        [(1, wavb), (2, b"OggS not wav")], "media_id long, payload binary"
+    )
+    rows = {r["media_id"]: r for r in decode_audio_features(media).collect()}
+    r = rows[1]
+    assert r["decode_ok"] and r["sample_rate"] == 8000 and r["duration_ms"] == 500
+    expected_rms = float(np.sqrt(np.mean((x / 32768.0) ** 2)))
+    assert r["rms"] == pytest.approx(expected_rms, rel=1e-6)
+    # a 440 Hz tone crosses zero ~2*440 times/s -> rate ~ 880/8000
+    assert r["zero_cross_rate"] == pytest.approx(2 * 440 / 8000, rel=0.05)
+    assert not rows[2]["decode_ok"]
+    # worker-side NotImplementedError arrives wrapped in PythonException
+    with pytest.raises(Exception, match="external codec"):
+        decode_audio_features(media, strict=True).collect()
+
+
+def test_video_frame_sampling_real_y4m(spark):
+    y4m, frames = make_y4m(16, 8, 10, fps=25)
+    media = spark.createDataFrame([(1, y4m)], "media_id long, payload binary")
+    rows = sample_video_frames(media, n_frames=4).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 3, 6, 9]  # uniform picks
+    assert all(r["decoded_ok"] for r in rows)
+    first = decode_image(bytes(rows[0]["frame"]))
+    assert first.shape == (8, 16, 1)
+    assert np.array_equal(first[:, :, 0], frames[0])
+    last = decode_image(bytes(rows[-1]["frame"]))
+    assert np.array_equal(last[:, :, 0], frames[9])

@@ -116,35 +116,49 @@ def dp_histogram_batch(
     ``operators.bounding.bounded_clamped``), matching the reference
     pipeline order bounding -> perturbation -> aggregation.
     """
-    # per-(key, epoch) totals: the usual map-side-combinable sum
-    totals = contribs.groupBy(key_col, epoch_col).agg(F.sum(value_col).alias("total"))
-
-    # per-(key, epoch): users grouped by previous contribution epoch.
-    # collect_set(epoch) per (key, user) is bounded by C (contribution
-    # bounding runs upstream), so no aggregation row here can exceed
-    # C elements — contrast collect_set(user_id), which grows with the
-    # key's user cardinality.
-    eps_arr = F.array_sort(F.collect_set(epoch_col))
-    per_user = contribs.groupBy(key_col, user_col).agg(eps_arr.alias("_eps"))
-    prev_pairs = F.transform(
-        F.col("_eps"),
-        lambda e, i: F.struct(
-            e.alias("epoch"),
-            F.when(i == 0, F.lit(-1)).otherwise(
-                F.get(F.col("_eps"), i - 1)  # 0-based: the previous epoch
-            ).alias("prev"),
+    # SINGLE-PASS pre-aggregation: one (key, user) aggregate yields both
+    # the per-(key, epoch) totals and the previous-contribution-epoch
+    # counters, so the input (and any upstream bounding window) is
+    # scanned exactly once.  collect_list per (key, user) is bounded by
+    # C (contribution bounding runs upstream) — contrast
+    # collect_set(user_id), which grows with the key's cardinality.
+    # The (key, user) grouping needs no exchange when the input is
+    # already partitioned by user (the bounding window's layout).
+    evs = F.array_sort(
+        F.collect_list(F.struct(F.col(epoch_col).alias("e"), F.col(value_col).alias("v")))
+    )
+    per_user = contribs.groupBy(key_col, user_col).agg(evs.alias("_evs"))
+    # per event: carry value; stamp prev = previous DISTINCT epoch on the
+    # FIRST row of each epoch (-1 = first ever, null = repeat row)
+    prev_e = lambda i: F.get(F.col("_evs"), i - 1)["e"]  # noqa: E731
+    trip = F.transform(
+        F.col("_evs"),
+        lambda x, i: F.struct(
+            x["e"].alias("epoch"),
+            x["v"].alias("value"),
+            F.when(i == 0, F.lit(-1))
+            .otherwise(
+                F.when(prev_e(i) == x["e"], F.lit(None)).otherwise(prev_e(i))
+            )
+            .alias("prev"),
         ),
     )
-    prev_counts = (
-        per_user.select(F.col(key_col), F.explode(prev_pairs).alias("p"))
-        .groupBy(key_col, F.col("p.epoch").alias(epoch_col), F.col("p.prev").alias("prev"))
-        .agg(F.count(F.lit(1)).alias("n_users"))
-        .groupBy(key_col, epoch_col)
-        .agg(F.collect_list(F.struct("prev", "n_users")).alias("new_user_counts"))
+    rows = per_user.select(F.col(key_col), F.explode(trip).alias("t")).select(
+        key_col, F.col("t.epoch").alias(epoch_col), "t.value", "t.prev"
     )
-
+    # count(prev) skips nulls, so repeat rows add value but no user;
+    # the null-prev group still carries its value share into the total
+    part = rows.groupBy(key_col, epoch_col, "prev").agg(
+        F.sum("value").alias("v"), F.count("prev").alias("n_users")
+    )
     windowed = (
-        totals.join(prev_counts, [key_col, epoch_col])
+        part.groupBy(key_col, epoch_col)
+        .agg(
+            F.sum("v").alias("total"),
+            F.collect_list(  # when() -> null for the repeat-row group; collect_list drops nulls
+                F.when(F.col("prev").isNotNull(), F.struct("prev", "n_users"))
+            ).alias("new_user_counts"),
+        )
         .withColumn("bucket", F.crc32(F.col(key_col).cast("string")) % num_buckets)
     )
 

@@ -62,6 +62,18 @@ def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return list(zip(a.tolist(), b.tolist()))
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Ensure at least one input partition per core before an
+    Arrow-UDF stage: a small parquet arrives as ONE split, which would
+    run the whole UDF on one core.  No-op (and no shrink) when the
+    input already has enough partitions — at warehouse scale the scan
+    provides them and this never fires."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(id_col))
+    return df
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -203,8 +215,8 @@ def minhash_lsh_pairs(
     can still surface through its other bands.
     """
     rows_per_band = num_hashes // bands
-    sh_df = df.select(
-        F.col(id_col).alias("_id"),
+    sh_df = _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id").select(
+        "_id",
         shingles_udf(F.col(text_col), shingle_n).alias("_sh"),
     ).filter(F.size("_sh") > 0)
     sigs = sh_df.withColumn("_sig", minhash_from_shingles(F.col("_sh"), num_hashes, seed))
@@ -305,9 +317,8 @@ def ngram_jaccard_pairs(
     shingles for affected pairs (exactness is traded for bounded work,
     the same trade every large-corpus dedup pipeline makes)."""
     sh = (
-        df.select(
-            F.col(id_col).alias("_id"), shingles_udf(F.col(text_col), shingle_n).alias("_sh")
-        )
+        _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id")
+        .select("_id", shingles_udf(F.col(text_col), shingle_n).alias("_sh"))
         .filter(F.size("_sh") > 0)
         # localCheckpoint, NOT persist(): Spark's columnar cache encodes
         # large array columns ~10x slower than row serialization, and
@@ -377,7 +388,9 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     # pandas_udf is created lazily: the decorator needs an active
     # SparkSession to resolve the DDL return type
     udf = pandas_udf(_simhash64_batch, "long")
-    return df.select(F.col(id_col), udf(F.col(text_col)).alias("simhash"))
+    return _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), udf(F.col(text_col)).alias("simhash")
+    )
 
 
 def simhash_cte_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:

@@ -220,6 +220,24 @@ LIMIT {k}
 """
 
 
+def _probe_sequence(dots: np.ndarray, n_probe: int) -> list[int]:
+    """Multi-probe order (Lv et al., VLDB'07): buckets reached by
+    flipping subsets of the query's hyperplane bits, cheapest total
+    flip cost (sum of |margin| of flipped bits) first.  Element 0 is
+    always the query's own bucket."""
+    num_planes = len(dots)
+    qbits = sum(1 << b for b, d in enumerate(dots) if d > 0)
+    if n_probe <= 1:
+        return [qbits]
+    costs = np.abs(dots)
+    subsets: list[tuple[float, int]] = []
+    for mask in range(1 << num_planes):
+        flip_cost = float(sum(costs[b] for b in range(num_planes) if mask & (1 << b)))
+        subsets.append((flip_cost, mask))
+    subsets.sort()
+    return [qbits ^ mask for _, mask in subsets[:n_probe]]
+
+
 def lsh_ann_topk(
     df: DataFrame,
     query: list[float],
@@ -228,17 +246,25 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    n_probe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: restrict to the query's LSH bucket, then
-    exact-cosine rerank.  Recall is tunable via num_planes (fewer
-    planes => bigger buckets => higher recall); multi-probe (flipping
-    low-margin bits) is the standard extension."""
+    """Approximate top-k: restrict to the query's LSH bucket(s), then
+    exact-cosine rerank.  Recall is tunable two ways: fewer planes =>
+    bigger buckets; ``n_probe > 1`` => MULTI-PROBE — also scan the
+    buckets reached by flipping the lowest-|margin| hyperplane bits
+    (the standard fix for the single-probe recall cliff; probing all
+    ``2^num_planes`` buckets is provably brute force).  At warehouse
+    scale the bucket id is a partition column and the probe list
+    prunes to ``n_probe`` partitions at scan time."""
     dim = len(query)
     planes = _hyperplanes(dim, num_planes, seed)
-    qbits = sum(1 << b for b, plane in enumerate(planes) if float(np.dot(query, plane)) > 0)
+    dots = np.array([float(np.dot(query, p)) for p in planes])
+    probes = _probe_sequence(dots, n_probe)
+    bucket = lsh_bucket(F.col(vec_col), planes)
+    cond = F.col("_bucket") == probes[0] if len(probes) == 1 else F.col("_bucket").isin(probes)
     return (
-        df.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
-        .filter(F.col("_bucket") == qbits)
+        df.withColumn("_bucket", bucket)
+        .filter(cond)
         .select(
             F.col(id_col),
             F.round(cosine_to_query(F.col(vec_col), query), 6).alias("cosine"),

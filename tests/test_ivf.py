@@ -66,3 +66,30 @@ def test_ivf_prebuilt_index_prunes_partitions(spark, sf_dir, tmp_path):
     assert "_cluster" in seg
     rows = part.collect()
     assert rows[0]["vec_id"] == 0 and len(rows) == 10
+
+
+def test_lsh_multi_probe_recall(spark, sf_dir):
+    """Multi-probe LSH: recall grows monotonically with n_probe, and
+    probing every bucket (2^planes) is exactly brute force."""
+    from confidential_storm_spark.operators.similarity import lsh_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    bf = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+
+    def recall(n_probe):
+        got = [
+            r["vec_id"]
+            for r in lsh_ann_topk(emb, q, k=10, num_planes=4, n_probe=n_probe).collect()
+        ]
+        return len(set(got) & set(bf)) / len(bf)
+
+    r1, r4, r16 = recall(1), recall(4), recall(16)
+    assert r1 <= r4 <= r16
+    assert r16 == 1.0  # full probe == exact
+    full = [
+        tuple(r)
+        for r in lsh_ann_topk(emb, q, k=10, num_planes=4, n_probe=16).collect()
+    ]
+    exact = [tuple(r) for r in brute_force_topk(emb, q, k=10).collect()]
+    assert full == exact

@@ -40,6 +40,8 @@ __all__ = [
     "simhash_pairs_sql",
     "simhash_neardup_pairs",
     "embedding_neardup_pairs",
+    "embedding_neardup_pairs_lsh",
+    "embedding_lsh_pairs_sql",
 ]
 
 # ASCII word-character split: Java regex \W and DuckDB's RE2 \W are
@@ -571,6 +573,89 @@ def embedding_neardup_pairs(
             )
 
     return src.mapInPandas(block, schema="id_a long, id_b long, cosine double")
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """APPROXIMATE embedding near-dup pairs — the subquadratic path
+    for extreme N: random-hyperplane-bucket the vectors
+    (``similarity.lsh_bucket``), then exact all-pairs cosine WITHIN
+    each bucket via one numpy matmul per bucket group.  Work is
+    sum-of-bucket-sizes², ~N²/2^planes for balanced buckets, vs N² for
+    :func:`embedding_neardup_pairs`.  Recall: only same-bucket pairs
+    are found — by the hyperplane collision bound a pair at angle
+    theta collides with probability (1-theta/pi)^planes, so this is
+    for high thresholds (near-dups) or as a candidate stage.  Returns
+    (id_a, id_b, cosine), id_a < id_b."""
+    from .similarity import _hyperplanes, lsh_bucket
+
+    dim = len(
+        df.select(F.col(vec_col)).limit(1).head()[0]
+    )
+    planes = _hyperplanes(dim, num_planes, seed)
+    thr = float(threshold)
+    bucketed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+
+    def within_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ mat.T) / norms[:, None] / norms[None, :]
+        ia, ib = np.nonzero(np.round(sims, 6) >= thr)
+        ids = pdf["_id"].to_numpy()
+        keep = ids[ia] < ids[ib]
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia][keep],
+                "id_b": ids[ib][keep],
+                "cosine": np.round(sims[ia, ib][keep], 6),
+            }
+        )
+
+    return bucketed.groupBy("_bucket").applyInPandas(
+        within_bucket, schema="id_a long, id_b long, cosine double"
+    )
+
+
+def embedding_lsh_pairs_sql(
+    dim: int,
+    threshold: float,
+    num_planes: int = 4,
+    seed: int = 42,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle for :func:`embedding_neardup_pairs_lsh`: the
+    seeded hyperplanes are constants, so the bucket assignment and the
+    same-bucket pair join are reproduced exactly."""
+    from .similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, num_planes, seed)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in plane)}]) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
+bk AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+ORDER BY id_a, id_b
+"""
 
 
 def _blocked_neardup_pairs(

@@ -719,6 +719,16 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SUBQUADRATIC approximate variant: same-bucket pairs only
+    (work ~ N^2 / 2^planes); oracle reproduces buckets + join exactly."""
+    from ..operators.dedup import embedding_neardup_pairs_lsh
+
+    return embedding_neardup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, num_planes=4
+    ).orderBy("id_a", "id_b")
+
+
 DEDUP_EMBEDDING_SQL = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -870,6 +880,15 @@ QUERIES["knn_lsh"] = QueryDef(
     lsh_topk_sql(EMB_DIM, k=KNN_K, num_planes=LSH_PLANES),
     "LSH-bucketed approximate top-k",
     "similarity",
+)
+# LSH-bucketed near-dup oracle is generated (hyperplane constants)
+from ..operators.dedup import embedding_lsh_pairs_sql  # noqa: E402
+
+QUERIES["dedup_embedding_lsh"] = QueryDef(
+    dedup_embedding_lsh,
+    embedding_lsh_pairs_sql(EMB_DIM, threshold=0.4, num_planes=4),
+    "LSH-bucketed approximate embedding near-dups (subquadratic)",
+    "training-data",
 )
 
 

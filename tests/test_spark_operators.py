@@ -181,3 +181,25 @@ def test_embedding_neardup_blocked_equals_broadcast(spark, sf_dir):
         ).collect()
     }
     assert blocked == fast and len(fast) > 0
+
+
+def test_embedding_lsh_pairs_subset_of_exact(spark, sf_dir):
+    """The subquadratic LSH-bucketed variant returns a SUBSET of the
+    exact pairs (same-bucket only), with identical cosines on hits."""
+    from confidential_storm_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    assert set(approx) <= set(exact) and len(approx) > 0
+    for k, v in approx.items():
+        assert v == exact[k]

@@ -101,11 +101,18 @@ def dp_histogram_stream(
                     else np.random.default_rng()
                 ),
             )
+        # vectorized per-batch pre-aggregation (Spark forbids a real
+        # aggregation before the stateful op — only ONE stateful
+        # operator per query — so the windowing happens here in pandas
+        # C-speed, not a Python row loop)
         for pdf in pdfs:
-            for k, v, u in zip(pdf[key_col], pdf[value_col], pdf[user_col]):
-                if k is None:  # heartbeat: ticks the epoch, adds nothing
-                    continue
-                mech.add_contribution(u, k, float(v))
+            pdf = pdf[pdf[key_col].notna()]  # heartbeats tick, add nothing
+            if pdf.empty:
+                continue
+            totals = pdf.groupby(key_col, sort=False)[value_col].sum()
+            users = pdf.groupby(key_col, sort=False)[user_col].agg(set)
+            for k, total in totals.items():
+                mech.add_window(k, float(total), users[k])
         hist = mech.snapshot()
         epoch = mech.time_step - 1
         state.update((pickle.dumps(mech),))
@@ -154,15 +161,17 @@ def bound_contributions_stream(
             pdf = pd.concat(chunks, ignore_index=True)
             if order_cols:
                 pdf = pdf.sort_values(list(order_cols), ignore_index=True)
-            keep = np.zeros(len(pdf), dtype=bool)
-            for i, u in enumerate(pdf[user_col].tolist()):
-                if u is None:
-                    keep[i] = True
-                    continue
-                c = counts.get(u, 0)
-                if c < max_contributions:
-                    counts[u] = c + 1
-                    keep[i] = True
+            # vectorized bounding: a row is admitted iff (contributions
+            # admitted in prior batches) + (this user's 0-based rank
+            # within this batch, in order) < C; NULL users always pass
+            users = pdf[user_col]
+            prior = users.map(lambda u: counts.get(u, 0), na_action="ignore")
+            rank = pdf.groupby(user_col, sort=False, dropna=True).cumcount()
+            keep = users.isna() | ((prior + rank) < max_contributions)
+            keep = keep.to_numpy(dtype=bool)
+            admitted = pdf.loc[keep & users.notna().to_numpy(), user_col].value_counts()
+            for u, n in admitted.items():
+                counts[u] = counts.get(u, 0) + int(n)
             out = pdf.loc[keep, cols]
             if len(out):
                 yield out

@@ -154,3 +154,64 @@ def test_zero_noise_mechanism_vs_naive_model(events, mu):
                 model_observed.pop(k)
     expected = {k: int(v) for k, v in model_released.items()}
     assert result == dict(sorted(expected.items(), key=lambda kv: -kv[1]))
+
+
+# ---------------------------------------------------------------------------
+# mechanism: prev-epoch-counter ingestion == user-set ingestion on ANY stream
+# (the skew-safe batch statistic must be semantically invisible)
+# ---------------------------------------------------------------------------
+@settings(max_examples=40, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 11),  # epoch
+            st.integers(0, 3),   # key id
+            st.integers(0, 15),  # user id
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    mu=st.integers(0, 6),
+)
+def test_prev_counts_equivalent_to_user_sets(events, mu):
+    T = 12
+
+    def run_sets():
+        m = StreamingDPMechanism(0.0, 0.0, 4.2649, T, mu, 32)
+        hists = []
+        for ep in range(T):
+            agg = {}
+            for e, k, u in events:
+                if e == ep:
+                    tot_users = agg.setdefault(f"k{k}", [0.0, set()])
+                    tot_users[0] += 1.0
+                    tot_users[1].add(u)
+            for key, (tot, us) in sorted(agg.items()):
+                m.add_window(key, tot, us)
+            hists.append(m.snapshot())
+        return hists
+
+    def run_prev():
+        from collections import defaultdict
+
+        per_user = defaultdict(set)
+        totals = defaultdict(float)
+        for e, k, u in events:
+            per_user[(f"k{k}", u)].add(e)
+            totals[(f"k{k}", e)] += 1.0
+        pc = defaultdict(lambda: defaultdict(int))
+        for (key, _u), eps in per_user.items():
+            s = sorted(eps)
+            for i, e in enumerate(s):
+                pc[(key, e)][s[i - 1] if i > 0 else -1] += 1
+        m = StreamingDPMechanism(0.0, 0.0, 4.2649, T, mu, 32)
+        hists = []
+        for ep in range(T):
+            for (key, e), tot in sorted(totals.items()):
+                if e == ep:
+                    m.add_window_prev_counts(key, tot, pc[(key, e)].items())
+            hists.append(m.snapshot())
+        return hists
+
+    # equal at EVERY epoch, not just the end (round resets included)
+    assert run_sets() == run_prev()

@@ -153,3 +153,33 @@ def fingerprint_sql(col: str = "text") -> str:
         f"w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % {FP_PRIME})), "
         f"(acc, h) -> (acc * {FP_MULTIPLIER} + h) % {FP_PRIME})"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex tokenizer (training-data token counting)
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pretokenization pattern, restricted to a lookahead-free
+# ASCII form so Java regex (Spark), RE2 (DuckDB) and Python `re` all
+# match identically: contraction suffixes, space-prefixed letter runs,
+# space-prefixed digit runs, punctuation runs, whitespace runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9']+|\s+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish pretokens (whitespace-run matches dropped) — the token
+    unit an LLM-data pipeline budgets by."""
+    return F.filter(
+        F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0),
+        lambda t: F.trim(t) != "",
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
+def bpe_tokens_sql(col: str = "text") -> str:
+    """DuckDB twin (identical RE2-compatible pattern)."""
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"list_filter(regexp_extract_all({col}, '{pat}'), t -> trim(t) != '')"

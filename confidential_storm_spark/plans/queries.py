@@ -603,6 +603,36 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token budget per source — the unit an LLM-data
+    pipeline plans capacity in (whitespace tokenization undercounts
+    punctuation-heavy text)."""
+    from ..functions.text import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = bpe_token_count(F.col("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(n).alias("total_bpe_tokens"),
+            F.round(F.avg(n), 6).alias("avg_bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _token_stats_bpe_sql() -> str:
+    from ..functions.text import bpe_tokens_sql
+
+    toks = bpe_tokens_sql("text")
+    return f"""
+SELECT source,
+       CAST(SUM(len({toks})) AS BIGINT) AS total_bpe_tokens,
+       ROUND(AVG(len({toks})), 6)       AS avg_bpe_tokens
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deduplication (training-data ops)
 # ---------------------------------------------------------------------------
@@ -843,6 +873,7 @@ QUERIES: dict[str, QueryDef] = {
     "text_lang_id": QueryDef(text_lang_id, None, "keyword language ID", "training-data"),
     "text_fingerprint": QueryDef(text_fingerprint, FINGERPRINT_SQL, "rolling-hash fingerprint", "training-data"),
     "token_stats": QueryDef(token_stats, TOKEN_STATS_SQL, "token counts per source", "training-data"),
+    "token_stats_bpe": QueryDef(token_stats_bpe, None, "BPE-ish regex token counts per source", "training-data"),
     "dedup_exact": QueryDef(dedup_exact, DEDUP_EXACT_SQL, "exact content dedup", "training-data"),
     "dedup_ngram_jaccard": QueryDef(dedup_ngram_jaccard, NGRAM_JACCARD_SQL, "exact n-gram Jaccard pairs", "training-data"),
     "dedup_minhash_lsh": QueryDef(dedup_minhash_lsh, None, "minhash LSH near-dup pairs", "training-data"),
@@ -880,6 +911,13 @@ QUERIES["knn_lsh"] = QueryDef(
     lsh_topk_sql(EMB_DIM, k=KNN_K, num_planes=LSH_PLANES),
     "LSH-bucketed approximate top-k",
     "similarity",
+)
+# BPE token oracle is generated (shared regex constant)
+QUERIES["token_stats_bpe"] = QueryDef(
+    token_stats_bpe,
+    _token_stats_bpe_sql(),
+    "BPE-ish regex token counts per source",
+    "training-data",
 )
 # LSH-bucketed near-dup oracle is generated (hyperplane constants)
 from ..operators.dedup import embedding_lsh_pairs_sql  # noqa: E402

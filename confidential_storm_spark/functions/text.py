@@ -9,6 +9,8 @@ split on ``\\W+``, lowercase, drop empties
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -183,3 +185,127 @@ def bpe_tokens_sql(col: str = "text") -> str:
     """DuckDB twin (identical RE2-compatible pattern)."""
     pat = BPE_PATTERN.replace("'", "''")
     return f"list_filter(regexp_extract_all({col}, '{pat}'), t -> trim(t) != '')"
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS scheme)
+# ---------------------------------------------------------------------------
+
+
+def _winnow_norm(text: Column) -> Column:
+    """Winnowing normalization: lowercase, strip non-alphanumerics
+    (whitespace/punct-insensitive matching)."""
+    return F.regexp_replace(F.lower(text), "[^a-z0-9]", "")
+
+
+def winnow_grams(text: Column, k: int = 5) -> Column:
+    """Step 1 of winnowing: hashes of every char k-gram of the
+    normalized text (md5-prefix mod p, oracle-reproducible).  Docs
+    shorter than k chars get an empty array.  (Spark's
+    ``sequence(1, 0)`` DESCENDS instead of yielding empty, hence the
+    explicit ``when`` guard.)"""
+    norm = _winnow_norm(text)
+    n_grams = F.length(norm) - (k - 1)
+    return F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.conv(F.substring(F.md5(F.substr(norm, i, F.lit(k))), 1, 8), 16, 10)
+            .cast("long") % FP_PRIME,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def winnow_from_grams(grams: Column, w: int = 4) -> Column:
+    """Step 2 of winnowing: slide a w-window over the gram-hash array,
+    keep each window's minimum, dedupe, sort.  Guarantees any shared
+    substring of length >= w + k - 1 shares a fingerprint — the
+    standard sublinear document signature for near-dup detection.
+    Fewer than w grams contribute one whole-sequence window.
+
+    IMPORTANT: pass a MATERIALIZED column (``withColumn`` the grams
+    first) — Spark evaluates higher-order lambdas interpreted and
+    re-embeds the argument expression once per window, so an inline
+    :func:`winnow_grams` argument turns quadratic in doc length."""
+    n_windows = F.greatest(F.size(grams) - (w - 1), F.least(F.size(grams), F.lit(1)))
+    return F.when(
+        F.size(grams) >= 1,
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+                    lambda j: F.array_min(F.slice(grams, j, w)),
+                )
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
+    """One-expression convenience form of winnowing — ONLY for short
+    strings: the nested lambda re-evaluates the gram pipeline per
+    window (see :func:`winnow_from_grams`).  Pipelines should do
+    ``.withColumn("g", winnow_grams(text)).select(winnow_from_grams(F.col("g")))``."""
+    return winnow_from_grams(winnow_grams(text, k), w)
+
+
+def winnow_udf(text: Column, k: int = 5, w: int = 4) -> Column:
+    """Arrow-batched twin of the two-step winnowing producing IDENTICAL
+    fingerprints (md5-prefix gram hashes, per-window min, distinct,
+    sorted).  The expression form runs Spark's interpreted lambda
+    machinery per window (~2 ms/doc); this runs the loop in
+    numpy/hashlib ~20x faster and is what the registry uses — the
+    expression form remains the declarative mirror of the SQL oracle."""
+    import hashlib
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    non_alnum = _re.compile(r"[^a-z0-9]")
+
+    def batch(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            norm = non_alnum.sub("", t.lower()) if t else ""
+            n = len(norm) - (k - 1)
+            if n < 1:
+                out.append(np.array([], dtype=np.int64))
+                continue
+            hashes = np.fromiter(
+                (
+                    int(hashlib.md5(norm[i : i + k].encode()).hexdigest()[:8], 16)
+                    % FP_PRIME
+                    for i in range(n)
+                ),
+                np.int64,
+                count=n,
+            )
+            if n < w:
+                mins = hashes.min(keepdims=True)
+            else:
+                mins = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
+            out.append(np.unique(mins))  # unique == sort + distinct
+        return pd.Series(out)
+
+    return pandas_udf(batch, "array<long>")(text)
+
+
+def winnow_grams_sql(col: str = "text", k: int = 5) -> str:
+    """DuckDB twin of :func:`winnow_grams` (``range`` has an exclusive
+    end and yields empty naturally, so no short-doc guard needed)."""
+    norm = f"regexp_replace(lower({col}), '[^a-z0-9]', '', 'g')"
+    return (
+        f"list_transform(range(1, greatest(len({norm}) - {k - 1}, 0) + 1), "
+        f"i -> CAST('0x' || substr(md5(substr({norm}, i, {k})), 1, 8) AS BIGINT) % {FP_PRIME})"
+    )
+
+
+def winnow_from_grams_sql(gcol: str, w: int = 4) -> str:
+    """DuckDB twin of :func:`winnow_from_grams`; bind the grams in a
+    CTE first, mirroring the Spark two-step form."""
+    n_windows = f"greatest(len({gcol}) - {w - 1}, least(len({gcol}), 1))"
+    return (
+        f"list_sort(list_distinct(list_transform("
+        f"range(1, {n_windows} + 1), "
+        f"j -> list_min(list_slice({gcol}, j, j + {w - 1})))))"
+    )

@@ -603,6 +603,30 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03), one row
+    per (doc, fingerprint) — the sublinear signature a plagiarism/
+    near-dup index is built on."""
+    from ..functions.text import winnow_udf
+    from ..operators.dedup import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    return (
+        docs.select("doc_id", F.explode(winnow_udf(F.col("text"))).alias("fp"))
+        .orderBy("doc_id", "fp")
+    )
+
+
+def _text_winnow_sql() -> str:
+    from ..functions.text import winnow_from_grams_sql, winnow_grams_sql
+
+    return f"""
+WITH g AS (SELECT doc_id, {winnow_grams_sql("text")} AS grams FROM documents)
+SELECT doc_id, unnest({winnow_from_grams_sql("grams")}) AS fp
+FROM g ORDER BY doc_id, fp
+"""
+
+
 def token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token budget per source — the unit an LLM-data
     pipeline plans capacity in (whitespace tokenization undercounts
@@ -911,6 +935,13 @@ QUERIES["knn_lsh"] = QueryDef(
     lsh_topk_sql(EMB_DIM, k=KNN_K, num_planes=LSH_PLANES),
     "LSH-bucketed approximate top-k",
     "similarity",
+)
+# winnowing oracle is generated (shared k/w + md5 hash constants)
+QUERIES["text_winnow"] = QueryDef(
+    text_winnow,
+    _text_winnow_sql(),
+    "winnowing fingerprints per doc (MOSS scheme)",
+    "training-data",
 )
 # BPE token oracle is generated (shared regex constant)
 QUERIES["token_stats_bpe"] = QueryDef(

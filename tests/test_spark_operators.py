@@ -203,3 +203,42 @@ def test_embedding_lsh_pairs_subset_of_exact(spark, sf_dir):
     assert set(approx) <= set(exact) and len(approx) > 0
     for k, v in approx.items():
         assert v == exact[k]
+
+
+def test_winnow_udf_equals_expression_form(spark):
+    """The Arrow-batched winnowing twin must produce IDENTICAL
+    fingerprints to the declarative expression form (the SQL oracle's
+    mirror), including short-doc and empty edge cases."""
+    from confidential_storm_spark.functions.text import (
+        winnow_from_grams,
+        winnow_grams,
+        winnow_udf,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog repeatedly!"),
+            (2, "The quick brown fox jumps over the lazy cat repeatedly!"),
+            (3, "tiny"),       # < k chars after normalization
+            (4, ""),           # empty
+            (5, "abcdef"),     # fewer grams than the window
+            (6, "aaaaaaaaaaaaaaaaaaaa"),  # degenerate repeats
+        ],
+        "doc_id long, text string",
+    )
+    expr = {
+        r["doc_id"]: list(r["fp"])
+        for r in docs.withColumn("_g", winnow_grams(F.col("text")))
+        .select("doc_id", winnow_from_grams(F.col("_g")).alias("fp"))
+        .collect()
+    }
+    udf = {
+        r["doc_id"]: list(r["fp"])
+        for r in docs.select("doc_id", winnow_udf(F.col("text")).alias("fp")).collect()
+    }
+    assert udf == expr
+    assert udf[4] == [] and len(udf[3]) == 0  # both under k chars
+    assert len(udf[6]) == 1  # one distinct gram -> one fingerprint
+    # near-dup docs share most fingerprints
+    shared = set(udf[1]) & set(udf[2])
+    assert len(shared) / len(set(udf[1])) > 0.5

@@ -53,11 +53,16 @@ def validate_routes(
 
     ``edges(src, dst)`` is tiny (one row per topology edge) — always
     broadcast.  ``reject=True`` inverts the filter (audit mode).
+    Matching is case-insensitive on both ends, like the reference's
+    EncryptedTopologyProvider lookups (:121-137).
     """
-    e = F.broadcast(edges.select(F.col("src"), F.col("dst")).distinct())
+    e = F.broadcast(
+        edges.select(F.lower("src").alias("src"), F.lower("dst").alias("dst")).distinct()
+    )
     joined = df.join(
         e,
-        (F.col(source_col) == F.col("src")) & (F.col(dest_col) == F.col("dst")),
+        (F.lower(F.col(source_col)) == F.col("src"))
+        & (F.lower(F.col(dest_col)) == F.col("dst")),
         "left_semi" if not reject else "left_anti",
     )
     return joined

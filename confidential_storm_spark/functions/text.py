@@ -165,7 +165,20 @@ def fingerprint_sql(col: str = "text") -> str:
 # ASCII form so Java regex (Spark), RE2 (DuckDB) and Python `re` all
 # match identically: contraction suffixes, space-prefixed letter runs,
 # space-prefixed digit runs, punctuation runs, whitespace runs.
-BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9']+|\s+"
+# Whitespace is the EXPLICIT class [ \t\n\r\f] (not \s): Java's \s
+# includes \x0B, RE2's does not, and Python's is Unicode-aware — the
+# explicit class is the only form all three engines read identically.
+BPE_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+"
+    r"| ?[^ \t\n\r\fa-zA-Z0-9']+|[ \t\n\r\f]+"
+)
+
+
+# the whitespace-run alternative of BPE_PATTERN, used to DROP those
+# matches.  An explicit class again (not trim()): Spark's trim strips
+# only ASCII space while DuckDB's strips Unicode spaces, so trim-based
+# filtering diverges on U+00A0-style input.
+_BPE_WS_RUN = r"[ \t\n\r\f]+"
 
 
 def bpe_tokens(text: Column) -> Column:
@@ -173,7 +186,7 @@ def bpe_tokens(text: Column) -> Column:
     unit an LLM-data pipeline budgets by."""
     return F.filter(
         F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0),
-        lambda t: F.trim(t) != "",
+        lambda t: ~t.rlike(f"^{_BPE_WS_RUN}$"),
     )
 
 
@@ -182,9 +195,12 @@ def bpe_token_count(text: Column) -> Column:
 
 
 def bpe_tokens_sql(col: str = "text") -> str:
-    """DuckDB twin (identical RE2-compatible pattern)."""
+    """DuckDB twin (identical RE2-compatible pattern + filter)."""
     pat = BPE_PATTERN.replace("'", "''")
-    return f"list_filter(regexp_extract_all({col}, '{pat}'), t -> trim(t) != '')"
+    return (
+        f"list_filter(regexp_extract_all({col}, '{pat}'), "
+        f"t -> NOT regexp_full_match(t, '{_BPE_WS_RUN}'))"
+    )
 
 
 # ---------------------------------------------------------------------------

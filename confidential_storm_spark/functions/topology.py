@@ -60,11 +60,15 @@ class TopologyGraph:
     load, EncryptedTopologyProvider:121-137, 152-166)."""
 
     def __init__(self, forward: dict[str, list[str]]):
-        self.forward = {src.lower(): list(dsts) for src, dsts in forward.items()}
+        # normalize BOTH ends at load so edges()/downstream()/upstream()
+        # and the Spark-side join all see one canonical case
+        self.forward = {
+            src.lower(): [dst.lower() for dst in dsts] for src, dsts in forward.items()
+        }
         reverse: dict[str, list[str]] = {}
         for src, dsts in self.forward.items():
             for dst in dsts:
-                reverse.setdefault(dst.lower(), []).append(src)
+                reverse.setdefault(dst, []).append(src)
         self.reverse = reverse
 
     def downstream(self, component: str) -> list[str]:

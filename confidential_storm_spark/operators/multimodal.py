@@ -83,6 +83,10 @@ def _parse_pnm(data: bytes):
     w, h, maxval = fields
     if maxval > 255:
         raise ValueError("16-bit PNM unsupported")
+    if w <= 0 or h <= 0 or maxval <= 0:
+        raise ValueError(f"PNM invalid dimensions {w}x{h} maxval={maxval}")
+    if len(data) - pos < w * h * channels:
+        raise ValueError("PNM truncated pixel data")
     px = np.frombuffer(data, dtype=np.uint8, count=w * h * channels, offset=pos)
     return px.reshape(h, w, channels)
 
@@ -114,13 +118,17 @@ def _parse_bmp(data: bytes):
 
 def decode_image(data: bytes):
     """Decode an uncompressed image payload to an (h, w, c) uint8 array,
-    or return None if the format needs an external codec."""
+    or return None if the format needs an external codec or the payload
+    is malformed (truncated header, 16-bit PNM, ...)."""
     if data[:2] in (b"P6", b"P5"):
-        return _parse_pnm(data)
+        try:
+            return _parse_pnm(data)
+        except (ValueError, IndexError):
+            return None
     if data[:2] == b"BM":
         try:
             return _parse_bmp(data)
-        except ValueError:
+        except (ValueError, struct.error):
             return None
     return None
 
@@ -143,33 +151,42 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 def sniff_media(data: bytes) -> tuple[str, str, int | None, int | None, int | None]:
     """(media_type, mime, width, height, duration_ms) from the payload
     header — real values for the supported uncompressed formats."""
+    unknown = ("unknown", "application/octet-stream", None, None, None)
     if data is None:
-        return ("unknown", "application/octet-stream", None, None, None)
-    if data[:2] in (b"P6", b"P5"):
-        img = _parse_pnm(data)
-        mime = "image/x-portable-pixmap" if data[:2] == b"P6" else "image/x-portable-graymap"
-        return ("image", mime, img.shape[1], img.shape[0], None)
-    if data[:2] == b"BM":
-        img = decode_image(data)
-        if img is not None:
-            return ("image", "image/bmp", img.shape[1], img.shape[0], None)
-    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-        with wave.open(io.BytesIO(data)) as wf:
-            dur = int(wf.getnframes() * 1000 / wf.getframerate())
-        return ("audio", "audio/wav", None, None, dur)
-    if data[:9] == b"YUV4MPEG2":
-        w, h, fps = _y4m_header(data)[:3]
-        n = data.count(b"FRAME")
-        dur = int(n * 1000 / fps) if fps else None
-        return ("video", "video/x-yuv4mpeg", w, h, dur)
-    return ("unknown", "application/octet-stream", None, None, None)
+        return unknown
+    # Malformed payloads that merely LOOK like a known magic must fall
+    # through to "unknown", never crash the whole mapInPandas task.
+    try:
+        if data[:2] in (b"P6", b"P5"):
+            img = decode_image(data)
+            if img is None:
+                return unknown
+            mime = "image/x-portable-pixmap" if data[:2] == b"P6" else "image/x-portable-graymap"
+            return ("image", mime, img.shape[1], img.shape[0], None)
+        if data[:2] == b"BM":
+            img = decode_image(data)
+            if img is not None:
+                return ("image", "image/bmp", img.shape[1], img.shape[0], None)
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            with wave.open(io.BytesIO(data)) as wf:
+                dur = int(wf.getnframes() * 1000 / wf.getframerate())
+            return ("audio", "audio/wav", None, None, dur)
+        if data[:9] == b"YUV4MPEG2":
+            w, h, fps, pos, chroma = _y4m_header(data)
+            n = _y4m_frame_count(data)
+            dur = int(n * 1000 / fps) if fps else None
+            return ("video", "video/x-yuv4mpeg", w, h, dur)
+    except Exception:
+        return unknown
+    return unknown
 
 
 def _y4m_header(data: bytes):
-    """Parse a YUV4MPEG2 stream header -> (w, h, fps, header_end)."""
+    """Parse a YUV4MPEG2 stream header -> (w, h, fps, header_end, chroma)."""
     eol = data.index(b"\n")
     w = h = None
     fps = 0.0
+    chroma = b"420"  # y4m default when no C tag is present
     for tok in data[9:eol].split():
         if tok[:1] == b"W":
             w = int(tok[1:])
@@ -178,18 +195,33 @@ def _y4m_header(data: bytes):
         elif tok[:1] == b"F":
             num, den = tok[1:].split(b":")
             fps = int(num) / int(den)
+        elif tok[:1] == b"C":
+            chroma = tok[1:]
     if w is None or h is None:
         raise ValueError("y4m missing W/H")
-    return w, h, fps, eol + 1
+    return w, h, fps, eol + 1, chroma
+
+
+def _y4m_frame_bytes(w: int, h: int, chroma: bytes) -> int:
+    """Pixel bytes per frame for an explicit chroma tag; raises on
+    subsamplings this decoder doesn't implement."""
+    if chroma == b"mono":
+        return w * h
+    if chroma.startswith(b"420"):  # C420, C420jpeg, C420mpeg2, C420paldv
+        return w * h + 2 * (((w + 1) // 2) * ((h + 1) // 2))
+    if chroma == b"422":
+        return w * h + 2 * (((w + 1) // 2) * h)
+    if chroma == b"444":
+        return 3 * w * h
+    raise ValueError(f"y4m chroma subsampling {chroma!r} unsupported")
 
 
 def _y4m_frames(data: bytes):
-    """Yield Y planes ((h, w) uint8) of a 4:2:0 or mono y4m stream."""
-    w, h, _, pos = _y4m_header(data)
+    """Yield Y planes ((h, w) uint8) of a y4m stream; chroma planes are
+    skipped via the header-declared subsampling stride."""
+    w, h, _, pos, chroma = _y4m_header(data)
     y_size = w * h
-    # chroma size: detect 4:2:0 (default) vs C mono from header
-    header = data[: pos - 1]
-    frame_size = y_size if b"Cmono" in header else y_size * 3 // 2
+    frame_size = _y4m_frame_bytes(w, h, chroma)
     while pos < len(data):
         if data[pos : pos + 5] != b"FRAME":
             break
@@ -197,6 +229,21 @@ def _y4m_frames(data: bytes):
         y = np.frombuffer(data, np.uint8, count=y_size, offset=pos).reshape(h, w)
         yield y
         pos += frame_size
+
+
+def _y4m_frame_count(data: bytes) -> int:
+    """Frame count by walking header-derived frame strides (a FRAME
+    byte pattern inside pixel data never miscounts)."""
+    w, h, _, pos, chroma = _y4m_header(data)
+    frame_size = _y4m_frame_bytes(w, h, chroma)
+    n = 0
+    while pos < len(data) and data[pos : pos + 5] == b"FRAME":
+        nl = data.find(b"\n", pos)
+        if nl < 0:
+            break
+        pos = nl + 1 + frame_size
+        n += 1
+    return n
 
 
 # ---------------------------------------------------------------------------
@@ -418,7 +465,10 @@ def sample_video_frames(
                     continue
                 data = bytes(p)
                 if data[:9] == b"YUV4MPEG2":
-                    planes = list(_y4m_frames(data))
+                    try:
+                        planes = list(_y4m_frames(data))
+                    except (ValueError, IndexError):
+                        planes = []
                     if not planes:
                         continue
                     picks = np.linspace(0, len(planes) - 1, min(n_frames, len(planes)))

@@ -453,17 +453,23 @@ TOPOLOGY_KEY = bytes(range(32))
 def _topology_artifact(spark: SparkSession) -> str:
     """Build (once) and return the encrypted topology-graph artifact
     the route check loads — the reference's build-time/runtime split
-    (TopologyGraphGenerator -> EncryptedTopologyProvider)."""
+    (TopologyGraphGenerator -> EncryptedTopologyProvider).  The cache
+    path is keyed by a digest of the adjacency list so editing
+    ROUTE_EDGES rebuilds the artifact instead of reusing a stale one."""
+    import hashlib
     import os
 
     from ..functions.topology import write_topology_graph
 
-    path = "/tmp/spark_graft_cache/topology.graph.enc"
+    adjacency: dict[str, list[str]] = {}
+    for s, d in ROUTE_EDGES:
+        adjacency.setdefault(s, []).append(d)
+    digest = hashlib.md5(
+        repr(sorted((s, sorted(ds)) for s, ds in adjacency.items())).encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark_graft_cache/topology.graph.{digest}.enc"
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        adjacency: dict[str, list[str]] = {}
-        for s, d in ROUTE_EDGES:
-            adjacency.setdefault(s, []).append(d)
         write_topology_graph(adjacency, path, TOPOLOGY_KEY)
     return path
 

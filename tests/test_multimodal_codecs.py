@@ -150,3 +150,85 @@ def test_video_frame_sampling_real_y4m(spark):
     assert np.array_equal(first[:, :, 0], frames[0])
     last = decode_image(bytes(rows[-1]["frame"]))
     assert np.array_equal(last[:, :, 0], frames[9])
+
+
+def make_y4m_chroma(w, h, n_frames, chroma, fps=25):
+    """y4m stream with an explicit chroma tag (422/444/mono)."""
+    header = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C{chroma}\n".encode()
+    plane = {
+        "mono": 0,
+        "422": 2 * ((w + 1) // 2) * h,
+        "444": 2 * w * h,
+    }[chroma]
+    frames, out = [], [header]
+    for i in range(n_frames):
+        y = np.full((h, w), 40 + i * 7, np.uint8)
+        frames.append(y)
+        out.append(b"FRAME\n" + y.tobytes() + bytes([128]) * plane)
+    return b"".join(out), frames
+
+
+@pytest.mark.parametrize("chroma", ["mono", "422", "444"])
+def test_y4m_non420_chroma_parsed_correctly(chroma):
+    """ADVICE: C422/C444 streams used to misparse after frame 0 (stride
+    assumed 4:2:0); the chroma tag now sets the true frame stride."""
+    y4m, frames = make_y4m_chroma(10, 6, 4, chroma)
+    mt, _, w, h, dur = sniff_media(y4m)
+    assert (mt, w, h, dur) == ("video", 10, 6, 160)  # 4 frames @ 25fps
+    from confidential_storm_spark.operators.multimodal import _y4m_frames
+
+    decoded = list(_y4m_frames(y4m))
+    assert len(decoded) == 4
+    for got, want in zip(decoded, frames):
+        assert np.array_equal(got, want)
+
+
+def test_y4m_unsupported_chroma_raises():
+    y4m, _ = make_y4m_chroma(10, 6, 1, "444")
+    bad = y4m.replace(b"C444", b"C411", 1)
+    from confidential_storm_spark.operators.multimodal import _y4m_frames
+
+    with pytest.raises(ValueError, match="unsupported"):
+        list(_y4m_frames(bad))
+    # sniff never raises on dirty data — unknown fallback
+    assert sniff_media(bad)[0] == "unknown"
+
+
+def test_y4m_frame_count_ignores_FRAME_in_pixels():
+    """A literal b'FRAME' inside pixel data must not inflate duration."""
+    w, h = 10, 6
+    header = f"YUV4MPEG2 W{w} H{h} F25:1 Cmono\n".encode()
+    y = bytearray(np.full((h, w), 7, np.uint8).tobytes())
+    y[5:10] = b"FRAME"  # adversarial pixels
+    data = header + b"FRAME\n" + bytes(y) + b"FRAME\n" + bytes(y)
+    mt, _, _, _, dur = sniff_media(data)
+    assert (mt, dur) == ("video", 80)  # exactly 2 frames @ 25fps
+
+
+def test_sniff_media_malformed_payloads_fall_back_unknown():
+    """ADVICE (medium): payloads that LOOK like a known magic but are
+    malformed must sniff as unknown, not crash the task."""
+    cases = [
+        b"P6",                          # truncated PNM header
+        b"P6\n10 10\n65535\n" + b"\x00" * 600,  # 16-bit PNM
+        b"P5\n4 -1\n255\n",             # nonsense dims
+        b"RIFF\x10\x00\x00\x00WAVEjunk",  # truncated WAV chunks
+        b"YUV4MPEG2 F25:1\nFRAME\n",    # y4m missing W/H
+        b"BM" + b"\x00" * 5,            # truncated BMP header
+    ]
+    for payload in cases:
+        assert sniff_media(payload)[0] == "unknown", payload[:16]
+
+
+def test_decode_image_features_dirty_data_nonstrict(spark):
+    """strict=False contract: dirty payloads flow through decode_ok=false."""
+    ppm, _ = make_ppm(8, 8)
+    media = spark.createDataFrame(
+        [(1, ppm), (2, b"P6\n10 10\n65535\n" + b"\x00" * 600), (3, b"P5")],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_image_features(media).collect()}
+    assert rows[1]["decode_ok"]
+    assert not rows[2]["decode_ok"] and not rows[3]["decode_ok"]
+    metas = {r["media_id"]: r["media"] for r in attach_media_metadata(media).collect()}
+    assert metas[2]["media_type"] == "unknown"

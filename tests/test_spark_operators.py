@@ -242,3 +242,45 @@ def test_winnow_udf_equals_expression_form(spark):
     # near-dup docs share most fingerprints
     shared = set(udf[1]) & set(udf[2])
     assert len(shared) / len(set(udf[1])) > 0.5
+
+
+def test_bpe_pattern_explicit_ascii_whitespace(spark):
+    """ADVICE: \\s diverges across Java/RE2/Python ([\\x0B], Unicode);
+    the explicit ASCII class must tokenize identically in all three
+    engines even on vertical-tab / Unicode-whitespace input."""
+    import re
+
+    import duckdb
+
+    from confidential_storm_spark.functions.text import (
+        BPE_PATTERN,
+        bpe_tokens,
+        bpe_tokens_sql,
+    )
+
+    texts = [
+        "hello\x0bworld",            # vertical tab: Java \s yes, RE2 \s no
+        "non breaking space",   # U+00A0: Python \s yes, ASCII class no
+        "tabs\tand\nnewlines\r\fok",
+        "it's 42 degrees... right?",
+        " em-space run",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    spark_toks = [
+        list(r["t"]) for r in df.select(bpe_tokens(F.col("text")).alias("t")).collect()
+    ]
+    con = duckdb.connect()
+    duck_toks = [
+        con.execute(f"SELECT {bpe_tokens_sql('?::VARCHAR')}").fetchone()[0]
+        if False else con.execute(
+            f"SELECT {bpe_tokens_sql('t')} FROM (SELECT ?::VARCHAR AS t)", [t]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    # explicit ws-run drop, mirroring the engine-side regex filter
+    py_toks = [
+        [m for m in re.findall(BPE_PATTERN, t) if not re.fullmatch("[ \t\n\r\f]+", m)]
+        for t in texts
+    ]
+    for t, s_t, d_t, p_t in zip(texts, spark_toks, duck_toks, py_toks):
+        assert s_t == d_t == p_t, (t, s_t, d_t, p_t)

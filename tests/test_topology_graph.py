@@ -74,3 +74,30 @@ def test_edges_df_feeds_validate_routes(spark, tmp_path):
         (r["source"], r["destination"]) for r in validate_routes(df, edges).collect()
     )
     assert ok == [("a", "b"), ("b", "c")]
+
+
+def test_mixed_case_components_normalized_both_ends(spark, tmp_path):
+    """ADVICE: dst was kept original-case while src was lowered, so
+    mixed-case graphs rejected valid routes.  Both ends normalize now."""
+    from confidential_storm_spark.functions.security import validate_routes
+
+    g = TopologyGraph({"SpoutA": ["BoltB", "boltC"], "BOLTB": ["boltC"]})
+    assert sorted(g.edges()) == [
+        ("boltb", "boltc"),
+        ("spouta", "boltb"),
+        ("spouta", "boltc"),
+    ]
+    assert g.downstream("sPoUtA") == ["boltb", "boltc"]
+    assert sorted(g.upstream("BoltC")) == ["boltb", "spouta"]
+
+    path = str(tmp_path / "mixed.enc")
+    write_topology_graph({"SpoutA": ["BoltB"]}, path, KEY)
+    edges = topology_edges_df(spark, path, KEY)
+    df = spark.createDataFrame(
+        [("spouta", "boltb"), ("SPOUTA", "BoltB"), ("spouta", "nope")],
+        "source string, destination string",
+    )
+    ok = sorted(
+        (r["source"], r["destination"]) for r in validate_routes(df, edges).collect()
+    )
+    assert ok == [("SPOUTA", "BoltB"), ("spouta", "boltb")]

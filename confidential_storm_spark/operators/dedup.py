@@ -198,7 +198,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs via banded minhash LSH + exact verification.
 
@@ -212,9 +212,12 @@ def minhash_lsh_pairs(
     emits k^2/2 candidates, so one degenerate bucket (e.g. a boilerplate
     band shared by millions of docs) dominates the join quadratically.
     Buckets above the cap are dropped via a broadcast anti-join (the
-    hot-bucket list is tiny by construction).  Off by default — capping
-    trades recall on the affected docs for bounded work; a dropped pair
-    can still surface through its other bands.
+    hot-bucket list is tiny by construction).  ON by default (1000):
+    the cap only engages on degenerate buckets, where the quadratic
+    blowup is exactly what kills a natural-corpus run at scale; a
+    dropped pair can still surface through its other bands.  Pass
+    ``max_bucket_size=None`` for exact (unbounded) semantics — the
+    oracle registry does.
     """
     rows_per_band = num_hashes // bands
     sh_df = _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id").select(
@@ -303,7 +306,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index join:
     explode distinct shingles, self-join on shingle, count shared,
@@ -315,9 +318,12 @@ def ngram_jaccard_pairs(
     one stop-shingle ("in the of") turns natural text quadratic at
     scale.  Shingles above the cap are dropped from the POSTINGS (not
     the sizes), via broadcast anti-join on the tiny hot-shingle list.
-    Off by default: with a cap the computed jaccard undercounts shared
-    shingles for affected pairs (exactness is traded for bounded work,
-    the same trade every large-corpus dedup pipeline makes)."""
+    ON by default (1000) — the safe setting for a natural-text corpus;
+    with a cap the computed jaccard undercounts shared shingles for
+    affected pairs (exactness traded for bounded work, the same trade
+    every large-corpus dedup pipeline makes).  Pass
+    ``max_shingle_df=None`` for exact semantics — the oracle registry
+    does."""
     sh = (
         _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id")
         .select("_id", shingles_udf(F.col(text_col), shingle_n).alias("_sh"))

@@ -21,6 +21,7 @@ __all__ = [
     "lsh_bucket",
     "lsh_ann_topk",
     "lsh_topk_sql",
+    "lsh_multiprobe_topk_sql",
     "ivf_index",
     "ivf_write_index",
     "ivf_topk",
@@ -215,6 +216,52 @@ qb AS (SELECT bucket AS qbucket, v AS qv FROM bk WHERE vec_id = {query_id})
 SELECT b.vec_id, ROUND(list_cosine_similarity(b.v, q.qv), 6) AS cosine
 FROM bk b, qb q
 WHERE b.bucket = q.qbucket
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""
+
+
+def lsh_multiprobe_topk_sql(
+    dim: int,
+    k: int = 10,
+    num_planes: int = 4,
+    seed: int = 42,
+    n_probe: int = 4,
+    table: str = "embeddings",
+    query_id: int = 0,
+) -> str:
+    """DuckDB oracle for MULTI-PROBE :func:`lsh_ann_topk`: reproduces
+    the Lv et al. probe order in SQL — enumerate all 2^planes flip
+    masks, cost = sum of |dot_b| over flipped bits, take the n_probe
+    cheapest (ties by mask, matching ``_probe_sequence``'s sort), then
+    rerank the union of probed buckets by exact cosine."""
+    planes = _hyperplanes(dim, num_planes, seed)
+    dot_exprs = ", ".join(
+        f"list_dot_product(v, [{', '.join(repr(float(x)) for x in plane)}])"
+        for plane in planes
+    )
+    bucket_expr = " + ".join(
+        f"(CASE WHEN dots[{b + 1}] > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(num_planes)
+    )
+    cost_expr = " + ".join(
+        f"(CASE WHEN (m.mask & {1 << b}) > 0 THEN abs(q.qdots[{b + 1}]) ELSE 0.0 END)"
+        for b in range(num_planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
+d AS (SELECT vec_id, v, [{dot_exprs}] AS dots FROM e),
+bk AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM d),
+q AS (SELECT b.bucket AS qbucket, d.dots AS qdots, b.v AS qv
+      FROM bk b JOIN d ON b.vec_id = d.vec_id WHERE b.vec_id = {query_id}),
+probes AS (
+  SELECT xor(q.qbucket, m.mask) AS bucket
+  FROM q CROSS JOIN (SELECT unnest(range({1 << num_planes})) AS mask) m
+  ORDER BY {cost_expr}, m.mask
+  LIMIT {n_probe}
+)
+SELECT b.vec_id, ROUND(list_cosine_similarity(b.v, q.qv), 6) AS cosine
+FROM bk b JOIN probes p ON b.bucket = p.bucket CROSS JOIN q
 ORDER BY cosine DESC, vec_id
 LIMIT {k}
 """

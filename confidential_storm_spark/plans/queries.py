@@ -682,10 +682,13 @@ MINHASH_K, MINHASH_BANDS, SHINGLE_N = 16, 4, 3
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_shingle_df=None: the oracle is exact Jaccard, so the registry
+    # runs the uncapped path (the operator's default caps hot shingles)
     return ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         shingle_n=SHINGLE_N,
         threshold=NEARDUP_THRESHOLD,
+        max_shingle_df=None,
     ).orderBy("id_a", "id_b")
 
 
@@ -711,12 +714,15 @@ ORDER BY id_a, id_b
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_bucket_size=None: oracle recomputes identical signatures, so
+    # the registry runs the uncapped path (the operator default caps)
     return minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
         num_hashes=MINHASH_K,
         bands=MINHASH_BANDS,
         shingle_n=SHINGLE_N,
         jaccard_threshold=NEARDUP_THRESHOLD,
+        max_bucket_size=None,
     ).orderBy("id_a", "id_b")
 
 
@@ -840,6 +846,23 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LSH_N_PROBE = 4
+
+
+def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al. VLDB'07): also scans the
+    buckets reached by flipping the lowest-|margin| hyperplane bits —
+    the standard fix for the single-probe recall cliff."""
+    q = _query_vec(spark, sf_dir)
+    return lsh_ann_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        q,
+        k=KNN_K,
+        num_planes=LSH_PLANES,
+        n_probe=LSH_N_PROBE,
+    )
+
+
 IVF_CLUSTERS = 16
 
 
@@ -933,13 +956,21 @@ QUERIES["dedup_simhash_pairs"] = QueryDef(
     "simhash banded near-dup pairs (guaranteed recall)",
     "training-data",
 )
-# knn_lsh oracle is generated (seeded hyperplane constants)
-from ..operators.similarity import lsh_topk_sql  # noqa: E402
+# knn_lsh oracles are generated (seeded hyperplane constants)
+from ..operators.similarity import lsh_multiprobe_topk_sql, lsh_topk_sql  # noqa: E402
 
 QUERIES["knn_lsh"] = QueryDef(
     knn_lsh,
     lsh_topk_sql(EMB_DIM, k=KNN_K, num_planes=LSH_PLANES),
     "LSH-bucketed approximate top-k",
+    "similarity",
+)
+QUERIES["knn_lsh_multiprobe"] = QueryDef(
+    knn_lsh_multiprobe,
+    lsh_multiprobe_topk_sql(
+        EMB_DIM, k=KNN_K, num_planes=LSH_PLANES, n_probe=LSH_N_PROBE
+    ),
+    "multi-probe LSH top-k (Lv VLDB'07 probe order)",
     "similarity",
 )
 # winnowing oracle is generated (shared k/w + md5 hash constants)

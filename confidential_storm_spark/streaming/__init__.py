@@ -6,6 +6,13 @@ micro-batch barrier itself; per-enclave operator state (§1.3) -> the
 state store via ``applyInPandasWithState``.
 """
 
+from .keyed import (
+    dp_histogram_stream_keyed,
+    prev_epoch_counts_stream,
+    read_epoch_stream,
+    run_keyed_dp_available_now,
+    stamp_epoch_stream,
+)
 from .stateful import (
     bound_contributions_stream,
     dp_histogram_stream,
@@ -15,5 +22,10 @@ from .stateful import (
 __all__ = [
     "bound_contributions_stream",
     "dp_histogram_stream",
+    "dp_histogram_stream_keyed",
+    "prev_epoch_counts_stream",
+    "read_epoch_stream",
+    "run_keyed_dp_available_now",
     "replay_filter_stream",
+    "stamp_epoch_stream",
 ]

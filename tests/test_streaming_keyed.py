@@ -1,0 +1,232 @@
+"""Per-key streaming DP state (streaming/keyed.py) — the round-3
+scale-hardening of the streaming path.
+
+Covers the VERDICT r2 'done' criteria:
+- zero-noise / mu-gate semantics match the per-bucket operator,
+- checkpoint stop/restart recovery,
+- state WRITE volume scales with keys touched per batch (state-store
+  metrics), not keys held,
+- hot-key state stays bounded: the DP state row for one key is the
+  same size whether 10 or 10,000 users contribute (NO user ids in
+  state — the one reference behavior NOT kept,
+  StreamingDPMechanism.java:66's unbounded set).
+"""
+
+import numpy as np
+import pytest
+
+from confidential_storm_spark.operators.dp_batch import DPParams
+from confidential_storm_spark.streaming.keyed import (
+    _pack_state,
+    _unpack_state,
+    dp_histogram_stream_keyed,
+    run_keyed_dp_available_now,
+)
+
+SCHEMA = "user_id string, key string, value double, seq long"
+
+
+def _write_batch(spark, src, rows, first=False):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "overwrite" if first else "append"
+    ).parquet(src)
+
+
+def _reader(spark, src):
+    return spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+
+
+def _final_counts(batches):
+    """(key -> count) at each key's LATEST emitted epoch."""
+    latest: dict = {}
+    for _, rows in batches:
+        for r in rows:
+            if r["key"] not in latest or r["epoch"] >= latest[r["key"]][0]:
+                latest[r["key"]] = (r["epoch"], r["count"])
+    return {k: c for k, (_, c) in latest.items()}
+
+
+def test_keyed_zero_noise_carry_forward(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, [(f"u{i}", "hot", 1.0, i) for i in range(4)] + [("solo", "cold", 1.0, 99)], first=True)
+    _write_batch(spark, src, [(f"u{i}", "hot", 1.0, 10 + i) for i in range(4, 6)])
+    _write_batch(spark, src, [("x", "late", 1.0, 50)])
+    res = run_keyed_dp_available_now(
+        spark, _reader(spark, src), DPParams.zero_noise(t=10, mu=0),
+        str(tmp_path / "wd"), SCHEMA,
+    )
+    assert _final_counts(res["batches"]) == {"hot": 6, "cold": 1, "late": 1}
+    by_key_epoch = {
+        (r["key"], r["epoch"]): r["count"] for _, rows in res["batches"] for r in rows
+    }
+    # epochs stamped from the batch id: hot released at 0 and updated at 1
+    assert by_key_epoch[("hot", 0)] == 4 and by_key_epoch[("hot", 1)] == 6
+    assert by_key_epoch[("cold", 0)] == 1 and by_key_epoch[("late", 2)] == 1
+
+
+def test_keyed_mu_gate_counts_new_users_only(spark, tmp_path):
+    """mu=5: 3 users at epoch 0 (held), 2 NEW + 2 REPEAT users at epoch
+    1 -> 5 unique crosses the gate at epoch 1 with count = all 7
+    contributions.  Repeat users counting as new would release with the
+    wrong semantics; dropping prev-epoch tracking entirely would never
+    release."""
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, [(f"u{i}", "k", 1.0, i) for i in range(3)], first=True)
+    _write_batch(
+        spark, src,
+        [(f"u{i}", "k", 1.0, 10 + i) for i in range(3, 5)]
+        + [("u0", "k", 1.0, 20), ("u1", "k", 1.0, 21)],
+    )
+    res = run_keyed_dp_available_now(
+        spark, _reader(spark, src), DPParams.zero_noise(t=10, mu=5),
+        str(tmp_path / "wd"), SCHEMA,
+    )
+    rows = [r for _, rs in res["batches"] for r in rs]
+    assert all(r["epoch"] != 0 for r in rows)  # gate holds at epoch 0
+    assert {(r["key"], r["epoch"], r["count"]) for r in rows} == {("k", 1, 7)}
+
+
+def test_keyed_recovery_from_checkpoint(spark, tmp_path):
+    """Stop after two epochs, deliver more data, re-run from the SAME
+    workdir: per-key state (trees, round scalars) resumes and the final
+    histogram equals an uninterrupted run."""
+    src, wd = str(tmp_path / "src"), str(tmp_path / "wd")
+    batches = [
+        [(f"u{i}", "hot", 1.0, i) for i in range(4)],
+        [("x1", "cold", 1.0, 10)],
+        [(f"u{i}", "hot", 1.0, 20 + i) for i in range(4, 6)],
+        [("x2", "cold", 1.0, 30), ("x3", "late", 1.0, 31)],
+    ]
+    p = DPParams.zero_noise(t=10, mu=0)
+    _write_batch(spark, src, batches[0], first=True)
+    _write_batch(spark, src, batches[1])
+    res1 = run_keyed_dp_available_now(spark, _reader(spark, src), p, wd, SCHEMA)
+    assert _final_counts(res1["batches"]) == {"hot": 4, "cold": 1}
+    # "down": two more batches land, then the pipeline restarts
+    _write_batch(spark, src, batches[2])
+    _write_batch(spark, src, batches[3])
+    res2 = run_keyed_dp_available_now(spark, _reader(spark, src), p, wd, SCHEMA)
+    # epochs RESUMED (stamp checkpoint holds the batch counter)
+    epochs2 = sorted({r["epoch"] for _, rows in res2["batches"] for r in rows})
+    assert epochs2 == [2, 3]
+    assert _final_counts(res2["batches"]) == {"hot": 6, "cold": 2, "late": 1}
+
+    # uninterrupted twin
+    src2, wd2 = str(tmp_path / "src2"), str(tmp_path / "wd2")
+    for i, rows in enumerate(batches):
+        _write_batch(spark, src2, rows, first=(i == 0))
+    ref = run_keyed_dp_available_now(spark, _reader(spark, src2), p, wd2, SCHEMA)
+    assert _final_counts(ref["batches"]) == {"hot": 6, "cold": 2, "late": 1}
+
+
+def test_keyed_state_writes_scale_with_touched_keys(spark, tmp_path):
+    """THE per-key property: batch 0 touches 30 keys, batch 1 touches 2
+    -> the DP stage's state store updates 30 then 2 rows (it HOLDS 30
+    throughout).  The per-bucket operator would rewrite its whole blob
+    either way."""
+    src = str(tmp_path / "src")
+    _write_batch(
+        spark, src, [(f"u{i}", f"k{i}", 1.0, i) for i in range(30)], first=True
+    )
+    _write_batch(spark, src, [("ux", "k0", 1.0, 100), ("uy", "k1", 1.0, 101)])
+    res = run_keyed_dp_available_now(
+        spark, _reader(spark, src), DPParams.zero_noise(t=10, mu=0),
+        str(tmp_path / "wd"), SCHEMA,
+    )
+    dp_prog = [pr for pr in res["progress"]["dp"] if pr["numRowsUpdated"] > 0]
+    assert [pr["numRowsUpdated"] for pr in dp_prog] == [30, 2]
+    assert dp_prog[-1]["numRowsTotal"] == 30  # held, not rewritten
+    prev_prog = [
+        pr for pr in res["progress"]["prev_counts"] if pr["numRowsUpdated"] > 0
+    ]
+    assert [pr["numRowsUpdated"] for pr in prev_prog] == [30, 2]
+
+
+def test_keyed_hot_key_state_is_bounded(spark, tmp_path):
+    """10,000 users on ONE key: the DP state row stays the same size as
+    a 10-user run (two O(T) trees + scalars — no user ids), and the
+    mu-gate still counts unique users exactly."""
+    src = str(tmp_path / "src")
+    n = 10_000
+    _write_batch(
+        spark, src,
+        [(f"u{i}", "hot", 1.0, i) for i in range(n)],
+        first=True,
+    )
+    # epoch 1: 100 repeats + 5 new users; exact unique count = n + 5
+    _write_batch(
+        spark, src,
+        [(f"u{i}", "hot", 1.0, n + i) for i in range(100)]
+        + [(f"v{i}", "hot", 1.0, 2 * n + i) for i in range(5)],
+    )
+    res = run_keyed_dp_available_now(
+        spark, _reader(spark, src),
+        DPParams.zero_noise(t=10, mu=n + 5),  # gate crosses ONLY if repeats aren't double-counted...
+        str(tmp_path / "wd"), SCHEMA,
+    )
+    rows = [r for _, rs in res["batches"] for r in rs]
+    # unique users after epoch 1 = n + 5 == mu -> released exactly at epoch 1
+    assert all(r["epoch"] != 0 for r in rows)
+    assert {(r["key"], r["epoch"], r["count"]) for r in rows} == {("hot", 1, n + 105)}
+    # DP state: exactly ONE row regardless of user count
+    dp_prog = [pr for pr in res["progress"]["dp"] if pr["numRowsUpdated"] > 0]
+    assert all(pr["numRowsUpdated"] == 1 for pr in dp_prog)
+    assert dp_prog[-1]["numRowsTotal"] == 1
+
+
+def test_packed_state_size_independent_of_users():
+    """Direct proof there are no user ids in stage-3 state: feed the
+    single-key mechanism 10 vs 100,000 users; the packed state row is
+    byte-for-byte the SAME SIZE (trees depend on T only)."""
+    p = DPParams.zero_noise(t=64, mu=0)
+
+    def packed_size(n_users: int) -> int:
+        m = _mech(p)
+        m.add_window_prev_counts("k", float(n_users), [(-1, n_users)])
+        m.snapshot()
+        row = _pack_state(m, "k")
+        return sum(len(x) for x in row[:2]) + 8 * (len(row) - 2)
+
+    def _mech(p):
+        from confidential_storm_spark.dp.mechanism import StreamingDPMechanism
+
+        return StreamingDPMechanism(
+            p.sigma_key, p.sigma_hist, p.threshold_quantile,
+            p.max_time_steps, p.mu, p.max_contributions_per_user,
+            rng=np.random.default_rng(0),
+        )
+
+    assert packed_size(10) == packed_size(100_000)
+    # and the round-trip is exact: unpack -> repack is identical
+    m = _mech(p)
+    m.add_window_prev_counts("k", 7.0, [(-1, 7)])
+    m.snapshot()
+    row = _pack_state(m, "k")
+    m2 = _unpack_state(row, p, "k", np.random.default_rng(0))
+    assert _pack_state(m2, "k") == row
+    # and both mechanisms evolve identically afterwards
+    m.add_window_prev_counts("k", 3.0, [(-1, 2), (0, 1)])
+    m2.add_window_prev_counts("k", 3.0, [(-1, 2), (0, 1)])
+    assert m.snapshot() == m2.snapshot()
+
+
+def test_keyed_silent_epoch_catch_up(spark, tmp_path):
+    """A key absent for several epochs catches up deterministically:
+    'hot' appears at epochs 0 and 3 (other keys drive epochs 1-2); its
+    tree leaves land on the GLOBAL epoch indexes, so cumulative counts
+    match the always-present twin."""
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, [("a", "hot", 1.0, 0), ("b", "other", 1.0, 1)], first=True)
+    _write_batch(spark, src, [("c", "other", 1.0, 2)])
+    _write_batch(spark, src, [("d", "other", 1.0, 3)])
+    _write_batch(spark, src, [("e", "hot", 1.0, 4)])
+    res = run_keyed_dp_available_now(
+        spark, _reader(spark, src), DPParams.zero_noise(t=10, mu=0),
+        str(tmp_path / "wd"), SCHEMA,
+    )
+    by_key_epoch = {
+        (r["key"], r["epoch"]): r["count"] for _, rows in res["batches"] for r in rows
+    }
+    assert by_key_epoch[("hot", 0)] == 1
+    assert by_key_epoch[("hot", 3)] == 2  # caught up through epochs 1-2
+    assert by_key_epoch[("other", 2)] == 3

@@ -53,10 +53,15 @@ def heartbeat_stream(
     when that bucket saw no data (exact tick parity with the
     reference's dummy-traffic topologies)."""
     rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
-    cols = [
-        F.explode(F.sequence(F.lit(0), F.lit(num_buckets - 1))).cast("int").alias("bucket")
-    ] + [F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
-    return rate.select(*cols)
+    # generators can't nest inside other expressions (e.g. a cast) in a
+    # select — explode first, cast in a second projection
+    exploded = rate.select(
+        F.explode(F.sequence(F.lit(0), F.lit(num_buckets - 1))).alias("_b")
+    )
+    cols = [F.col("_b").cast("int").alias("bucket")] + [
+        F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields
+    ]
+    return exploded.select(*cols)
 
 
 def dp_histogram_stream(

@@ -340,7 +340,12 @@ def run_keyed_dp_available_now(
     prev = prev_epoch_counts_stream(stamped, key_col, user_col, value_col)
 
     def write_prev(df: DataFrame, batch_id: int) -> None:
-        df.coalesce(1).write.mode("append").parquet(prev_path)
+        # repartition(1), NOT coalesce(1): coalesce's narrow dependency
+        # would collapse the 32-way stateful stage into a single task;
+        # the shuffle keeps state processing parallel and only the
+        # small per-pair output funnels through one writer (one file
+        # per batch keeps the downstream batch == epoch mapping)
+        df.repartition(1).write.mode("append").parquet(prev_path)
 
     q2 = (
         prev.writeStream.foreachBatch(write_prev)

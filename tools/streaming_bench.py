@@ -95,7 +95,7 @@ def bench_bucketed(spark, rows_per_second: int, seconds: float, heartbeats: bool
         schema: StructType = events.schema
         hb = heartbeat_stream(spark, num_buckets=8, schema=schema, rows_per_second=1)
     out = dp_histogram_stream(
-        events, DPParams.zero_noise(t=1_000, mu=0), num_buckets=8, heartbeats=hb
+        events, DPParams.zero_noise(t=100, mu=0), num_buckets=8, heartbeats=hb
     )
     q = (
         out.writeStream.outputMode("update")
@@ -124,9 +124,13 @@ def bench_keyed(spark, rows_per_second: int, seconds: float):
     prev = prev_epoch_counts_stream(rate_epoch)
     workdir = tempfile.mkdtemp(prefix="sbk_")
     q2 = (
+        # repartition(1), NOT coalesce(1): coalesce is a narrow
+        # dependency, so it would collapse the whole stateful stage
+        # into one task; repartition keeps the 32-way state processing
+        # and funnels only the tiny output through one writer
         prev.writeStream.outputMode("update")
         .foreachBatch(
-            lambda df, bid: df.coalesce(1)
+            lambda df, bid: df.repartition(1)
             .write.mode("append")
             .parquet(f"{workdir}/prev")
         )
@@ -139,7 +143,7 @@ def bench_keyed(spark, rows_per_second: int, seconds: float):
 
     prev_stream = spark.readStream.schema(PREV_COUNTS_SCHEMA).parquet(f"{workdir}/prev")
     q3 = (
-        dp_histogram_stream_keyed(prev_stream, DPParams.zero_noise(t=1_000, mu=0))
+        dp_histogram_stream_keyed(prev_stream, DPParams.zero_noise(t=100, mu=0))
         .writeStream.outputMode("update")
         .format("noop")
         .option("checkpointLocation", f"{workdir}/ckpt3")

@@ -19,6 +19,8 @@ __all__ = [
     "explode_words",
     "token_count",
     "quality_features",
+    "repetition_signals",
+    "repetition_signals_sql",
     "lang_id",
     "fingerprint",
     "STOPWORDS",
@@ -89,6 +91,101 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "alpha_ratio"
         ),
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1 — the standard LLM-data repetition
+    filters): per document,
+
+    - ``dup_word_frac``  = 1 - distinct_words / total_words
+    - ``top_word_frac``  = occurrences of the most common word / total
+    - ``top_bigram_frac`` = occurrences of the most common word bigram
+      / total bigrams (0 for docs with < 2 words)
+
+    Scale shape: explode -> two-level groupBy — partial aggregation
+    (map-side combine) collapses each doc's words before the shuffle,
+    so shuffle volume is O(distinct words per doc), and both groupBys
+    hash-partition on ``id_col`` so the second reuses the first's
+    partitioning.  No Python, no per-row HOF quadratics."""
+    ws = words(F.col(text_col))
+    base = df.select(F.col(id_col), ws.alias("_ws"))
+    uni = (
+        base.select(id_col, F.explode("_ws").alias("_w"))
+        .groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("_n"),
+            F.max("_c").alias("_m"),
+            F.count(F.lit(1)).alias("_d"),
+        )
+    )
+    bigrams = F.when(
+        F.size("_ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_ws") - 1),
+            lambda i: F.concat(
+                F.element_at(F.col("_ws"), i), F.lit(" "), F.element_at(F.col("_ws"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (
+        base.select(id_col, F.explode(bigrams).alias("_b"))
+        .groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.sum("_c").alias("_bn"), F.max("_c").alias("_bm"))
+    )
+    return (
+        df.select(id_col)
+        .join(uni, id_col, "left")
+        .join(bi, id_col, "left")
+        .select(
+            id_col,
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) - F.col("_d").cast("double") / F.col("_n"), F.lit(0.0)
+                ),
+                6,
+            ).alias("dup_word_frac"),
+            F.round(
+                F.coalesce(F.col("_m").cast("double") / F.col("_n"), F.lit(0.0)), 6
+            ).alias("top_word_frac"),
+            F.round(
+                F.coalesce(F.col("_bm").cast("double") / F.col("_bn"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def repetition_signals_sql(col: str = "text", table: str = "documents") -> str:
+    """DuckDB twin of :func:`repetition_signals`."""
+    ws = words_sql(col)
+    return f"""
+WITH t AS (SELECT doc_id, {ws} AS ws FROM {table}),
+u AS (SELECT doc_id, w, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY doc_id, w),
+us AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, MAX(c) AS m, COUNT(*) AS d
+       FROM u GROUP BY doc_id),
+bg AS (SELECT doc_id,
+              CASE WHEN len(ws) >= 2
+                   THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                   ELSE [] END AS bs
+       FROM t),
+b AS (SELECT doc_id, bb, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(bs) AS bb FROM bg) GROUP BY doc_id, bb),
+bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS bn, MAX(c) AS bm
+       FROM b GROUP BY doc_id)
+SELECT t.doc_id,
+       ROUND(COALESCE(1.0 - CAST(us.d AS DOUBLE) / us.n, 0.0), 6) AS dup_word_frac,
+       ROUND(COALESCE(CAST(us.m AS DOUBLE) / us.n, 0.0), 6) AS top_word_frac,
+       ROUND(COALESCE(CAST(bs.bm AS DOUBLE) / bs.bn, 0.0), 6) AS top_bigram_frac
+FROM t LEFT JOIN us ON t.doc_id = us.doc_id LEFT JOIN bs ON t.doc_id = bs.doc_id
+ORDER BY t.doc_id
+"""
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:

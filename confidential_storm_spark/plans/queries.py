@@ -541,6 +541,21 @@ FROM t ORDER BY doc_id
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition quality signals (Rae et al. 2021 §A1.1) per
+    document — the standard dup-word / top-n-gram-fraction filters of
+    an LLM-data pipeline."""
+    from ..functions.text import repetition_signals
+
+    return repetition_signals(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _text_repetition_sql() -> str:
+    from ..functions.text import repetition_signals_sql
+
+    return repetition_signals_sql()
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -924,6 +939,7 @@ QUERIES: dict[str, QueryDef] = {
     "simple_reverse": QueryDef(simple_reverse, SIMPLE_REVERSE_SQL, "hello-world string reverse", "P5"),
     "text_quality": QueryDef(text_quality, TEXT_QUALITY_SQL, "quality features per doc", "training-data"),
     "text_lang_id": QueryDef(text_lang_id, None, "keyword language ID", "training-data"),
+    "text_repetition": QueryDef(text_repetition, None, "Gopher repetition quality signals", "training-data"),
     "text_fingerprint": QueryDef(text_fingerprint, FINGERPRINT_SQL, "rolling-hash fingerprint", "training-data"),
     "token_stats": QueryDef(token_stats, TOKEN_STATS_SQL, "token counts per source", "training-data"),
     "token_stats_bpe": QueryDef(token_stats_bpe, None, "BPE-ish regex token counts per source", "training-data"),
@@ -940,6 +956,13 @@ QUERIES: dict[str, QueryDef] = {
 
 # lang-id oracle is generated (depends on LANG_MARKERS)
 QUERIES["text_lang_id"] = QueryDef(text_lang_id, _lang_sql(), "keyword language ID", "training-data")
+# repetition-signals oracle is generated (shared word-split constant)
+QUERIES["text_repetition"] = QueryDef(
+    text_repetition,
+    _text_repetition_sql(),
+    "Gopher repetition quality signals (dup-word / top-n-gram fractions)",
+    "training-data",
+)
 # minhash oracle is generated (depends on permutation params)
 QUERIES["dedup_minhash_lsh"] = QueryDef(
     dedup_minhash_lsh, _minhash_sql(), "minhash LSH near-dup pairs", "training-data"

@@ -14,7 +14,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -218,6 +218,84 @@ FROM (
   FROM orders
 ) WHERE rk <= 2
 ORDER BY o_custkey, rk
+"""
+
+
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN, Spark-first: attribute each purchase to the user's
+    most recent view at-or-before it (the classic event-attribution /
+    market-data as-of semantics; absent from the reference — a
+    training-data pipeline uses the same shape for snapshot joins).
+
+    Implementation is the scalable union+window plan, NOT a range
+    join: tag both streams, union, one window over (user, time) with
+    ``last(ignorenulls)`` carrying the latest view forward.  One
+    shuffle on user_id, no quadratic range-candidate blowup, works at
+    any skew (AQE splits hot users' sort spill, not a join explosion).
+    The DuckDB oracle is its native ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    # deduplicate views per (user, ts) so the as-of match is
+    # deterministic under timestamp collisions (both engines)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_event_id"), "ts"
+    )
+    tagged = views.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("_is_p"),  # views sort first at equal ts => inclusive <=
+        "view_event_id",
+        F.lit(None).cast("long").alias("purchase_event_id"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("_is_p"),
+            F.lit(None).cast("long").alias("view_event_id"),
+            "purchase_event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_is_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("_v_id", F.last("view_event_id", ignorenulls=True).over(w))
+        .withColumn("_v_ts", F.last(F.when(F.col("_is_p") == 0, F.col("ts")), ignorenulls=True).over(w))
+        .filter(F.col("_is_p") == 1)
+        .select(
+            "user_id",
+            "purchase_event_id",
+            F.col("_v_id").alias("view_event_id"),
+            # floor each side to micros BEFORE subtracting: DuckDB reads
+            # the TIMESTAMP_NS column at micro precision, so the oracle
+            # can only see micro-floored operands
+            F.expr("(ts div 1000) - (_v_ts div 1000)").alias("lag_us"),
+        )
+        .orderBy("purchase_event_id")
+    )
+
+
+# ts is long nanos on the Spark side and TIMESTAMP_NS in DuckDB; both
+# compute the lag as floor(nanos_diff / 1000)
+Q_ASOF_SQL = """
+WITH v AS (
+  SELECT user_id, ts, MAX(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+p AS (
+  SELECT user_id, event_id AS purchase_event_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.purchase_event_id, v.view_event_id,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY purchase_event_id
 """
 
 
@@ -925,6 +1003,7 @@ QUERIES: dict[str, QueryDef] = {
     "q5_nation_revenue": QueryDef(q5_nation_revenue, Q5_SQL, "multi-join broadcast + agg", "§2.6"),
     "q_rollup_revenue": QueryDef(q_rollup_revenue, Q_ROLLUP_SQL, "rollup grouping sets", "beyond-ref"),
     "q_top_orders_per_customer": QueryDef(q_top_orders_per_customer, Q_TOPORDERS_SQL, "window rank per partition", "beyond-ref"),
+    "q_asof_attribution": QueryDef(q_asof_attribution, Q_ASOF_SQL, "as-of join via union+window (vs native ASOF oracle)", "beyond-ref"),
     "dp_bounded_histogram": QueryDef(dp_bounded_histogram, DP_BOUNDED_SQL, "flagship: clamp+bound+histogram", "P2,A2,A1,A13,O1"),
     "dp_zero_noise_full": QueryDef(dp_zero_noise_full, DP_BOUNDED_SQL, "full DP mechanism at sigma=0 == exact", "A1-A13"),
     "dp_zero_noise_mu": QueryDef(dp_zero_noise_mu, DP_ZERO_NOISE_MU_SQL, "mu-gated mechanism vs recursive-CTE oracle", "A8,A11"),

@@ -290,7 +290,12 @@ def dp_histogram_stream_keyed(
             mech.add_window_prev_counts(k, total, prev_counts_pairs)
             hist = mech.snapshot()
             if k in hist:
-                out.append((k, int(hist[k]), epoch))
+                # emit the step that actually processed the window:
+                # normally == epoch, but LATE rows (epoch already
+                # passed for this key) fold into the current step
+                # (T5/T6 late-partial semantics) and must not be
+                # labeled with the stale epoch
+                out.append((k, int(hist[k]), mech.time_step - 1))
         state.update(_pack_state(mech, k))
         if out:
             yield pd.DataFrame(out, columns=["key", "count", "epoch"])

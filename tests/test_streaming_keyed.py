@@ -230,3 +230,39 @@ def test_keyed_silent_epoch_catch_up(spark, tmp_path):
     assert by_key_epoch[("hot", 0)] == 1
     assert by_key_epoch[("hot", 3)] == 2  # caught up through epochs 1-2
     assert by_key_epoch[("other", 2)] == 3
+
+
+def test_keyed_late_epoch_folds_into_current_step(spark, tmp_path):
+    """T5/T6 late partials: rows for an epoch the key already passed
+    fold into the key's CURRENT step and the emitted row carries the
+    processing step, not the stale epoch label."""
+    prev_dir = str(tmp_path / "prev")
+    rows0 = [("k", 2, 5.0, -1)]           # epoch 2 first (users new)
+    rows1 = [("k", 0, 3.0, -1)]           # then a LATE epoch-0 partial
+    from confidential_storm_spark.streaming.keyed import PREV_COUNTS_SCHEMA
+
+    spark.createDataFrame(rows0, PREV_COUNTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(prev_dir)
+    spark.createDataFrame(rows1, PREV_COUNTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(prev_dir)
+    stream = (
+        spark.readStream.schema(PREV_COUNTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(prev_dir)
+    )
+    out: list = []
+    q = (
+        dp_histogram_stream_keyed(stream, DPParams.zero_noise(t=10, mu=0))
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: out.append((bid, df.collect())))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [(r["key"], r["count"], r["epoch"]) for _, rs in out for r in rs]
+    # epoch 2 processed at step 2 (count 5); the late epoch-0 partial
+    # folds into step 3 (cumulative 8) — NOT labeled epoch 0
+    assert rows == [("k", 5, 2), ("k", 8, 3)]

@@ -1,0 +1,74 @@
+"""Deterministic mixture sampling — the data-mixing / source-weighting
+primitive of an LLM training-data pipeline (sample each stratum at its
+mixture weight, reproducibly, with no RNG state).
+
+Acceptance is a pure hash test: ``md5(id) mod M < rate * M`` — so the
+sample is (a) deterministic across runs/engines (the DuckDB oracle
+recomputes the identical decision), (b) stable under re-partitioning
+(per-ROW decision, no per-partition RNG), and (c) a plain Catalyst
+expression: the filter fuses with the scan in one WholeStageCodegen
+span — NO shuffle, no UDF, and column pruning still applies.  At 100 TB, subsampling a source is
+exactly this one predicate.
+
+The same ``hash < threshold`` family also gives consistent train/test
+splits (disjoint hash ranges) and incremental re-sampling (raising a
+rate only ADDS documents — the accepted set is monotone in the rate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_accept", "mixture_sample", "mixture_sample_sql"]
+
+_MOD = 1_000_000
+
+
+def hash_accept(id_col: Column, rate: Column | float) -> Column:
+    """Deterministic per-row acceptance at ``rate``: uniform hash in
+    [0, 1M) from the md5 of the id, compared to rate * 1M."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % _MOD
+    threshold = (
+        F.lit(int(round(rate * _MOD))) if isinstance(rate, (int, float)) else rate
+    )
+    return h < threshold
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's mixture weight (strata missing
+    from ``rates`` get ``default_rate``).  Pure expression — the
+    decision codegens fused with the scan, no shuffle."""
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in rates.items() for x in (kv[0], int(round(kv[1] * _MOD)))]
+    )
+    threshold = F.coalesce(
+        F.element_at(rate_map, F.col(strat_col)),
+        F.lit(int(round(default_rate * _MOD))),
+    )
+    return df.filter(hash_accept(F.col(id_col), threshold))
+
+
+def mixture_sample_sql(
+    rates: dict[str, float],
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> str:
+    """DuckDB twin of the acceptance predicate (identical md5 decision,
+    see the md5->BIGINT equivalence used throughout the oracles)."""
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(round(r * _MOD))}" for s, r in rates.items()
+    )
+    return (
+        f"(CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 8) AS BIGINT) % {_MOD}) "
+        f"< (CASE {strat_col} {cases} ELSE {int(round(default_rate * _MOD))} END)"
+    )

@@ -634,6 +634,29 @@ def _text_repetition_sql() -> str:
     return repetition_signals_sql()
 
 
+MIXTURE_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
+
+
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling (data-mixing weights per
+    language): pure hash-threshold predicate pushed to the scan — the
+    way a 100 TB pipeline downsamples a source."""
+    from ..operators.sampling import mixture_sample
+
+    return mixture_sample(
+        load_table(spark, sf_dir, "documents"), MIXTURE_RATES
+    ).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+def _sample_mixture_sql() -> str:
+    from ..operators.sampling import mixture_sample_sql
+
+    return (
+        "SELECT doc_id, lang, source FROM documents "
+        f"WHERE {mixture_sample_sql(MIXTURE_RATES)} ORDER BY doc_id"
+    )
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -1035,6 +1058,13 @@ QUERIES: dict[str, QueryDef] = {
 
 # lang-id oracle is generated (depends on LANG_MARKERS)
 QUERIES["text_lang_id"] = QueryDef(text_lang_id, _lang_sql(), "keyword language ID", "training-data")
+# mixture-sampling oracle is generated (shared rate table)
+QUERIES["sample_mixture"] = QueryDef(
+    sample_mixture,
+    _sample_mixture_sql(),
+    "deterministic hash-threshold mixture sampling (data-mixing weights)",
+    "training-data",
+)
 # repetition-signals oracle is generated (shared word-split constant)
 QUERIES["text_repetition"] = QueryDef(
     text_repetition,

@@ -284,3 +284,28 @@ def test_bpe_pattern_explicit_ascii_whitespace(spark):
     ]
     for t, s_t, d_t, p_t in zip(texts, spark_toks, duck_toks, py_toks):
         assert s_t == d_t == p_t, (t, s_t, d_t, p_t)
+
+
+def test_mixture_sample_monotone_and_deterministic(spark, sf_dir):
+    """hash-threshold sampling: accepted sets are MONOTONE in the rate
+    (raising a weight only adds docs) and deterministic across calls."""
+    from confidential_storm_spark.operators.sampling import mixture_sample
+    from confidential_storm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def ids(rate):
+        return {
+            r["doc_id"]
+            for r in mixture_sample(docs, {"en": rate}, default_rate=0.0).select(
+                "doc_id"
+            ).collect()
+        }
+
+    s25, s50, s100 = ids(0.25), ids(0.5), ids(1.0)
+    assert s25 <= s50 <= s100
+    n_en = docs.filter("lang = 'en'").count()
+    assert len(s100) == n_en  # rate 1.0 keeps everything in-stratum
+    # roughly proportional (hash uniformity; wide tolerance at n~200)
+    assert 0.3 * n_en <= len(s50) <= 0.7 * n_en
+    assert ids(0.5) == s50  # deterministic re-run

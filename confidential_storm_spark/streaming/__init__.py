@@ -15,12 +15,14 @@ from .keyed import (
 )
 from .stateful import (
     bound_contributions_stream,
+    bound_contributions_stream_keyed,
     dp_histogram_stream,
     replay_filter_stream,
 )
 
 __all__ = [
     "bound_contributions_stream",
+    "bound_contributions_stream_keyed",
     "dp_histogram_stream",
     "dp_histogram_stream_keyed",
     "prev_epoch_counts_stream",

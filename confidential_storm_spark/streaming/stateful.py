@@ -38,6 +38,7 @@ from ..operators.dp_batch import DPParams
 __all__ = [
     "dp_histogram_stream",
     "bound_contributions_stream",
+    "bound_contributions_stream_keyed",
     "replay_filter_stream",
 ]
 
@@ -193,6 +194,50 @@ def bound_contributions_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def bound_contributions_stream_keyed(
+    events: DataFrame,
+    max_contributions: int,
+    user_col: str = "user_id",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """PER-USER state variant of :func:`bound_contributions_stream`
+    (round 3, same motivation as the per-key DP state): state is ONE
+    ``long`` per user on the state store instead of a pickled
+    user->count dict per hash bucket, so state writes scale with users
+    touched per batch and a row is never larger than O(1).  NULL users
+    always pass (event-level privacy) — they bypass the stateful
+    operator entirely via a union, since a null group key would
+    otherwise collapse all null rows into one group."""
+    cols = events.columns
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        admitted = int(state.get[0]) if state.exists else 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if order_cols:
+            pdf = pdf.sort_values(list(order_cols), ignore_index=True)
+        room = max(0, max_contributions - admitted)
+        out = pdf.iloc[:room][cols]
+        state.update((admitted + len(out),))
+        if len(out):
+            yield out
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in events.schema.fields)
+    with_user = events.filter(F.col(user_col).isNotNull())
+    bounded = with_user.groupBy(user_col).applyInPandasWithState(
+        process,
+        outputStructType=schema,
+        stateStructType="admitted long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return bounded.unionByName(events.filter(F.col(user_col).isNull()))
 
 
 def replay_filter_stream(

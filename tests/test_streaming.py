@@ -263,3 +263,27 @@ def test_streaming_dp_heartbeat_ticks_silent_buckets(spark, tmp_path):
             by_epoch.setdefault(r["epoch"], {})[r["key"]] = r["count"]
     # heartbeat-only ticks advanced epochs 1 and 2 with carried state
     assert by_epoch == {0: {"k": 2}, 1: {"k": 2}, 2: {"k": 2}}
+
+
+def test_streaming_bounding_keyed_matches_bucketed(stream_reader):
+    """Round-3 per-user state variant: same admit semantics as the
+    bucketed operator (first C per user across batches, NULLs pass),
+    with one long of state per user instead of a dict blob."""
+    from confidential_storm_spark.streaming import bound_contributions_stream_keyed
+
+    batches = [
+        [("u1", "a", 1.0, i) for i in range(3)] + [(None, "a", 1.0, 50)],
+        [("u1", "a", 1.0, 10 + i) for i in range(3)] + [("u2", "a", 1.0, 99)],
+    ]
+    stream = stream_reader(batches, SCHEMA)
+    out: list = []
+    _run_stream(
+        bound_contributions_stream_keyed(stream, max_contributions=4, order_cols=("seq",)),
+        out,
+        mode="append",
+    )
+    rows = [r for _, batch in out for r in batch]
+    u1 = sorted(r["seq"] for r in rows if r["user_id"] == "u1")
+    assert u1 == [0, 1, 2, 10]
+    assert [r["seq"] for r in rows if r["user_id"] == "u2"] == [99]
+    assert sorted(r["seq"] for r in rows if r["user_id"] is None) == [50]

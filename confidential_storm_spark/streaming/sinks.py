@@ -31,11 +31,16 @@ def histogram_file_sink(out_dir: str, key_col: str = "key", count_col: str = "co
     buckets that processed data — so the sink upserts into its own
     running view instead of overwriting (a DP bucket silent this tick
     must keep its released keys in the file, the reference's
-    carry-forward behavior)."""
+    carry-forward behavior).  If the rows carry an ``epoch`` column
+    (the per-key stream can emit several epochs of one key in one
+    batch), the HIGHEST epoch per key wins the upsert."""
     state: dict = {}
 
     def write(df: DataFrame, batch_id: int) -> None:
-        for r in df.collect():
+        rows = df.collect()
+        if rows and "epoch" in df.columns:
+            rows = sorted(rows, key=lambda r: r["epoch"])
+        for r in rows:
             state[r[key_col]] = r[count_col]
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, "histogram.txt")

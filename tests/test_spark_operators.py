@@ -309,3 +309,40 @@ def test_mixture_sample_monotone_and_deterministic(spark, sf_dir):
     # roughly proportional (hash uniformity; wide tolerance at n~200)
     assert 0.3 * n_en <= len(s50) <= 0.7 * n_en
     assert ids(0.5) == s50  # deterministic re-run
+
+
+def test_repetition_signals_random_differential(spark):
+    """Randomized differential test: repetition_signals vs a direct
+    pure-Python computation over 40 random word-soup docs (including
+    empty, single-word and all-same-word edge cases)."""
+    import collections
+    import re
+
+    from confidential_storm_spark.functions.text import repetition_signals
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "Gamma", "delta-x", "e9", "the"]
+    docs = [(0, ""), (1, "solo"), (2, "same same same same")]
+    for i in range(3, 40):
+        n = int(rng.integers(1, 30))
+        docs.append((i, " ".join(rng.choice(vocab, n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["dup_word_frac"], r["top_word_frac"], r["top_bigram_frac"])
+        for r in repetition_signals(df).collect()
+    }
+    for doc_id, text in docs:
+        ws = [w for w in re.split(r"\W+", text.lower()) if w]
+        if not ws:
+            want = (0.0, 0.0, 0.0)
+        else:
+            c = collections.Counter(ws)
+            bgs = collections.Counter(
+                f"{a} {b}" for a, b in zip(ws, ws[1:])
+            )
+            want = (
+                round(1 - len(c) / len(ws), 6),
+                round(max(c.values()) / len(ws), 6),
+                round(max(bgs.values()) / sum(bgs.values()), 6) if bgs else 0.0,
+            )
+        assert got[doc_id] == pytest.approx(want), (doc_id, text)

@@ -266,3 +266,40 @@ def test_keyed_late_epoch_folds_into_current_step(spark, tmp_path):
     # epoch 2 processed at step 2 (count 5); the late epoch-0 partial
     # folds into step 3 (cumulative 8) — NOT labeled epoch 0
     assert rows == [("k", 5, 2), ("k", 8, 3)]
+
+
+def test_keyed_output_feeds_histogram_sink(spark, tmp_path):
+    """End-to-end K1 composition: the per-key stream's update-mode
+    output drives histogram_file_sink; multiple epochs of one key in a
+    single batch upsert latest-epoch-wins, and carry-forward keys stay
+    in the file."""
+    from confidential_storm_spark.streaming.keyed import PREV_COUNTS_SCHEMA
+    from confidential_storm_spark.streaming.sinks import histogram_file_sink
+
+    prev_dir = str(tmp_path / "prev")
+    # one file = one batch; the batch carries TWO epochs for "hot"
+    rows0 = [("hot", 0, 4.0, -1), ("hot", 1, 2.0, -1), ("cold", 1, 1.0, -1)]
+    rows1 = [("late", 2, 3.0, -1)]  # cold/hot silent; must carry forward
+    spark.createDataFrame(rows0, PREV_COUNTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(prev_dir)
+    spark.createDataFrame(rows1, PREV_COUNTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(prev_dir)
+    stream = (
+        spark.readStream.schema(PREV_COUNTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(prev_dir)
+    )
+    out_dir = str(tmp_path / "hist")
+    q = (
+        dp_histogram_stream_keyed(stream, DPParams.zero_noise(t=10, mu=0))
+        .writeStream.outputMode("update")
+        .foreachBatch(histogram_file_sink(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    lines = open(f"{out_dir}/histogram.txt").read().splitlines()
+    assert lines[1:] == ["hot:6", "late:3", "cold:1"]  # desc, latest epoch won

@@ -422,3 +422,102 @@ def winnow_from_grams_sql(gcol: str, w: int = 4) -> str:
         f"range(1, {n_windows} + 1), "
         f"j -> list_min(list_slice({gcol}, j, j + {w - 1})))))"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+# Lookahead-free, explicit-ASCII patterns so Java regex (Spark) and
+# RE2 (DuckDB) match byte-for-byte (same reasoning as BPE_PATTERN).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "phone": r"\+?[0-9][0-9 ()-]{6,}[0-9]",
+}
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails / IPv4s / phone-ish digit runs to typed placeholder
+    tokens — the standard training-data PII pass.  Pure
+    ``regexp_replace`` chain: JVM-side, codegen, no UDF.  Order
+    matters: emails first (an address contains digit runs), then IPs,
+    then phones."""
+    out = text
+    for kind in ("email", "ipv4", "phone"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Match counts per PII kind (for corpus audit reports)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii_sql(col: str = "text") -> str:
+    """DuckDB twin (identical patterns, 'g' flag for replace-all —
+    Spark's regexp_replace is replace-all by default)."""
+    out = col
+    for kind in ("email", "ipv4", "phone"):
+        pat = PII_PATTERNS[kind].replace("'", "''")
+        out = f"regexp_replace({out}, '{pat}', '<{kind.upper()}>', 'g')"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# unigram self-surprisal (corpus-typicality quality score)
+# ---------------------------------------------------------------------------
+
+
+def unigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc mean unigram surprisal ``-ln p(w)`` under the corpus's
+    OWN unigram distribution — the cheap proxy for LM-perplexity
+    quality filtering (atypical/garbled docs score high, boilerplate
+    scores low).  Two aggregations: global word frequencies (a small
+    relation, broadcast back), then a per-doc mean.  Both are
+    partial-aggregated map-side; nothing leaves the JVM."""
+    toks = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("_w"))
+    freqs = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    total = toks.count()
+    scored = toks.join(F.broadcast(freqs), "_w").select(
+        id_col,
+        (-F.log(F.col("_c") / F.lit(float(total)))).alias("_s"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("_s"), 6).alias("mean_surprisal"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("int").alias("n_tokens"),
+            F.coalesce("mean_surprisal", F.lit(0.0)).alias("mean_surprisal"),
+        )
+    )
+
+
+def unigram_surprisal_sql(col: str = "text", table: str = "documents") -> str:
+    """DuckDB twin of :func:`unigram_surprisal`."""
+    ws = words_sql(col)
+    return f"""
+WITH t AS (SELECT doc_id, {ws} AS ws FROM {table}),
+tok AS (SELECT doc_id, unnest(ws) AS w FROM t),
+freq AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT COUNT(*) AS n FROM tok),
+sc AS (SELECT tok.doc_id, -ln(CAST(freq.c AS DOUBLE) / tot.n) AS s
+       FROM tok JOIN freq USING (w) CROSS JOIN tot),
+pd AS (SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(s), 6) AS mean_surprisal
+       FROM sc GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(COALESCE(pd.n_tokens, 0) AS INTEGER) AS n_tokens,
+       COALESCE(pd.mean_surprisal, 0.0) AS mean_surprisal
+FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id
+ORDER BY t.doc_id
+"""

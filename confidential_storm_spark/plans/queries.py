@@ -657,6 +657,64 @@ def _sample_mixture_sql() -> str:
     )
 
 
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a synthesized dirty corpus: each doc gets a
+    doc_id-derived email + IPv4 appended (both engines synthesize the
+    identical string), then the redaction chain runs — so the oracle
+    verifies real, non-trivial replacements on every row."""
+    from ..functions.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    counts = pii_counts(dirty)
+    return docs.select(
+        "doc_id",
+        redact_pii(dirty).alias("redacted"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+    ).orderBy("doc_id")
+
+
+def _text_redact_pii_sql() -> str:
+    from ..functions.text import PII_PATTERNS, redact_pii_sql
+
+    dirty = (
+        "text || ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' "
+        "|| CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    )
+    count_exprs = ", ".join(
+        f"CAST(len(regexp_extract_all(d, '{PII_PATTERNS[k]}')) AS INTEGER) AS n_{k}"
+        for k in ("email", "ipv4", "phone")
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {dirty} AS d FROM documents)
+SELECT doc_id, {redact_pii_sql("d")} AS redacted, {count_exprs}
+FROM t ORDER BY doc_id
+"""
+
+
+def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram self-surprisal per doc (corpus-typicality quality
+    score, the cheap perplexity-filter proxy)."""
+    from ..functions.text import unigram_surprisal
+
+    return unigram_surprisal(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _text_surprisal_sql() -> str:
+    from ..functions.text import unigram_surprisal_sql
+
+    return unigram_surprisal_sql()
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -1058,6 +1116,19 @@ QUERIES: dict[str, QueryDef] = {
 
 # lang-id oracle is generated (depends on LANG_MARKERS)
 QUERIES["text_lang_id"] = QueryDef(text_lang_id, _lang_sql(), "keyword language ID", "training-data")
+# PII + surprisal oracles are generated (shared pattern/word constants)
+QUERIES["text_redact_pii"] = QueryDef(
+    text_redact_pii,
+    _text_redact_pii_sql(),
+    "PII redaction (email/IPv4/phone) over a synthesized dirty corpus",
+    "training-data",
+)
+QUERIES["text_surprisal"] = QueryDef(
+    text_surprisal,
+    _text_surprisal_sql(),
+    "unigram self-surprisal quality score (perplexity-filter proxy)",
+    "training-data",
+)
 # mixture-sampling oracle is generated (shared rate table)
 QUERIES["sample_mixture"] = QueryDef(
     sample_mixture,

@@ -346,3 +346,32 @@ def test_repetition_signals_random_differential(spark):
                 round(max(bgs.values()) / sum(bgs.values()), 6) if bgs else 0.0,
             )
         assert got[doc_id] == pytest.approx(want), (doc_id, text)
+
+
+def test_redact_pii_synthetic(spark):
+    """The redaction chain actually scrubs emails, IPv4s and phone-ish
+    digit runs (and leaves clean text alone)."""
+    from confidential_storm_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail bob.smith+x@corp.example.org now"),
+        (2, "server at 192.168.0.1 down"),
+        (3, "call +41 79 555-12-34 today"),
+        (4, "clean text with numbers 42 and 7"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    c = pii_counts(F.col("text"))
+    got = {
+        r["id"]: (r["red"], r["ne"], r["ni"], r["np"])
+        for r in df.select(
+            "id",
+            redact_pii(F.col("text")).alias("red"),
+            c["email"].alias("ne"),
+            c["ipv4"].alias("ni"),
+            c["phone"].alias("np"),
+        ).collect()
+    }
+    assert got[1] == ("mail <EMAIL> now", 1, 0, 0)
+    assert got[2] == ("server at <IPV4> down", 0, 1, 0)
+    assert got[3] == ("call <PHONE> today", 0, 0, 1)
+    assert got[4][0] == "clean text with numbers 42 and 7"

@@ -117,3 +117,28 @@ def test_default_caps_bound_pathological_corpus(spark):
         minhash_lsh_pairs(same, jaccard_threshold=0.5, max_bucket_size=None).count()
         == k * (k - 1) // 2
     )
+
+
+def test_prefix_filter_identical_to_naive_join(spark, sf_dir):
+    """Prefix filtering (AllPairs/PPJoin) must lose NO pairs: the
+    prefix-filtered default equals the naive full-postings join on the
+    real corpus, uncapped and capped, across thresholds."""
+    from confidential_storm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for t in (0.2, 0.5):
+        for cap in (None, 5):
+            fast = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(
+                    docs, threshold=t, max_shingle_df=cap, prefix_filter=True
+                ).collect()
+            }
+            naive = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(
+                    docs, threshold=t, max_shingle_df=cap, prefix_filter=False
+                ).collect()
+            }
+            assert fast == naive, (t, cap)
+    assert len(naive) >= 0

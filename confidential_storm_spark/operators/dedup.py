@@ -42,6 +42,8 @@ __all__ = [
     "embedding_neardup_pairs",
     "embedding_neardup_pairs_lsh",
     "embedding_lsh_pairs_sql",
+    "connected_components",
+    "neardup_clusters",
 ]
 
 # ASCII word-character split: Java regex \W and DuckDB's RE2 \W are
@@ -784,4 +786,82 @@ def _blocked_neardup_pairs(
         left.groupBy("bi", "bj")
         .cogroup(right.groupBy("bi", "bj"))
         .applyInPandas(pair_blocks, schema="id_a long, id_b long, cosine double")
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair list — the step that
+    turns pairwise matches into dedup CLUSTERS (keep one survivor per
+    component).  Returns (node, component) where component = the
+    smallest node id reachable through the pair graph.
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; converges in O(diameter)
+    rounds (near-dup components are shallow — a handful of rounds).
+    Each round is one join + one groupBy, localCheckpointed to keep
+    the lineage flat; convergence is detected by a changed-label count
+    hitting zero.  At warehouse scale this is the standard iterative
+    CC (the large-star/small-star optimization drops in if components
+    ever get deep)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("_nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("_nmin", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("_nmin", F.col("component")) < F.col("component")).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint()  # eager: one job per round, flat lineage
+        )
+        changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def neardup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster assignment for EVERY document: docs in a near-dup
+    component share its min doc id as ``cluster_id``; singletons are
+    their own cluster.  ``is_survivor`` marks the one doc per cluster
+    a dedup pass keeps."""
+    cc = connected_components(pairs)
+    return (
+        df.select(F.col(id_col))
+        .join(cc, df[id_col] == cc.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_survivor", F.col(id_col) == F.col("cluster_id"))
     )

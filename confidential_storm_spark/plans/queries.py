@@ -887,6 +887,46 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> CLUSTERS: connected components over the exact
+    n-gram Jaccard pair graph, one survivor per component — the step
+    that turns pairwise dedup into an actual keep/drop decision."""
+    from ..operators.dedup import neardup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, shingle_n=SHINGLE_N, threshold=NEARDUP_THRESHOLD, max_shingle_df=None
+    )
+    return neardup_clusters(docs, pairs).orderBy("doc_id")
+
+
+def _dedup_clusters_sql() -> str:
+    # the pair CTE is the (already-oracle-checked) exact Jaccard join;
+    # the recursive CTE is min-label transitive closure: reach(id,
+    # label) holds every label reachable through the bidirectional pair
+    # graph; MIN per id == smallest doc id in the component.
+    pair_body = NGRAM_JACCARD_SQL.replace("ORDER BY id_a, id_b", "")
+    return f"""
+WITH RECURSIVE pairs AS ({pair_body}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, label) AS (
+  SELECT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON r.id = e.src
+),
+cc AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id)
+SELECT d.doc_id,
+       COALESCE(cc.component, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(cc.component, d.doc_id) AS is_survivor
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+ORDER BY d.doc_id
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_bucket_size=None: oracle recomputes identical signatures, so
     # the registry runs the uncapped path (the operator default caps)
@@ -1106,6 +1146,7 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_exact": QueryDef(dedup_exact, DEDUP_EXACT_SQL, "exact content dedup", "training-data"),
     "dedup_ngram_jaccard": QueryDef(dedup_ngram_jaccard, NGRAM_JACCARD_SQL, "exact n-gram Jaccard pairs", "training-data"),
     "dedup_minhash_lsh": QueryDef(dedup_minhash_lsh, None, "minhash LSH near-dup pairs", "training-data"),
+    "dedup_clusters": QueryDef(dedup_clusters, None, "near-dup clusters via connected components", "training-data"),
     "dedup_simhash": QueryDef(dedup_simhash, None, "simhash fingerprints", "training-data"),
     "dedup_simhash_pairs": QueryDef(dedup_simhash_pairs, None, "simhash banded near-dup pairs (guaranteed recall)", "training-data"),
     "dedup_embedding": QueryDef(dedup_embedding, DEDUP_EMBEDDING_SQL, "embedding-cosine near-dups", "training-data"),
@@ -1116,6 +1157,14 @@ QUERIES: dict[str, QueryDef] = {
 
 # lang-id oracle is generated (depends on LANG_MARKERS)
 QUERIES["text_lang_id"] = QueryDef(text_lang_id, _lang_sql(), "keyword language ID", "training-data")
+# dedup-clusters oracle is generated (recursive-CTE closure over the
+# shared exact-Jaccard pair CTE)
+QUERIES["dedup_clusters"] = QueryDef(
+    dedup_clusters,
+    _dedup_clusters_sql(),
+    "near-dup clusters via connected components (recursive-CTE oracle)",
+    "training-data",
+)
 # PII + surprisal oracles are generated (shared pattern/word constants)
 QUERIES["text_redact_pii"] = QueryDef(
     text_redact_pii,

@@ -142,3 +142,32 @@ def test_prefix_filter_identical_to_naive_join(spark, sf_dir):
             }
             assert fast == naive, (t, cap)
     assert len(naive) >= 0
+
+
+def test_connected_components_handcrafted(spark):
+    """CC over a chain (propagation depth > 1), a triangle, and an
+    isolated pair; singletons only appear via neardup_clusters."""
+    from confidential_storm_spark.operators.dedup import (
+        connected_components,
+        neardup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+        for r in neardup_clusters(docs, pairs).collect()
+    }
+    assert rows[99] == (99, True)  # singleton: own cluster, survivor
+    assert rows[4] == (1, False) and rows[1] == (1, True)
+    assert sum(1 for c, s in rows.values() if s) == 4  # one survivor per cluster

@@ -1,0 +1,169 @@
+"""Distributed k-means over the embedding column (Lloyd's algorithm)
+— the clustering primitive behind corpus curation (topic balancing,
+semantic dedup blocking, IVF coarse quantizers).
+
+Spark-first shape (the same one MLlib's KMeans uses, re-expressed on
+DataFrames):
+
+* centroids are a k x d matrix held on the DRIVER and broadcast into
+  an Arrow-batched assignment UDF — k*d doubles (a few KB), never a
+  shuffle;
+* the centroid UPDATE is computed as per-partition partial sums
+  (``mapInPandas`` emits one (cluster, count, sum-vector) row per
+  cluster per partition) and combined on the driver — the exchange
+  carries O(partitions * k) tiny rows instead of shuffling N vectors
+  into k skewed groups;
+* per iteration the corpus is scanned exactly once; iterations are a
+  driver loop exactly like MLlib (``RDD.treeAggregate`` there,
+  ``mapInPandas`` + driver combine here).
+
+Determinism (for the cross-engine oracle): seeds are the k
+lowest-id vectors; assignment ties break toward the smallest cluster
+id; empty clusters are dropped.  Distances use float64 throughout, so
+the DuckDB twin reproduces the same trajectory (FP summation-order
+differences are ~1e-13 against inter-centroid gaps of O(0.1) — they
+cannot flip an argmin on real embeddings).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+__all__ = ["kmeans_fit", "kmeans_assign", "kmeans_sql"]
+
+
+def kmeans_assign(
+    df: DataFrame,
+    cids: np.ndarray,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment: squared-L2 argmin over the
+    broadcast ``centroids`` (k x d float64), labeled with ``cids``
+    (ascending, so the first-minimum tie-break lands on the smallest
+    cluster id)."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    ids = np.asarray(cids, dtype=np.int64)
+
+    @pandas_udf("long")
+    def nearest(vs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(ids[D.argmin(axis=1)])
+
+    return df.withColumn(out_col, nearest(F.col(vec_col)))
+
+
+def _partial_sums(assigned: DataFrame, vec_col: str) -> pd.DataFrame:
+    """One (cluster, count, sum-vector) row per cluster per partition,
+    combined on the driver (k * partitions rows — tiny)."""
+
+    def part(batches):
+        for pdf in batches:
+            for cid, grp in pdf.groupby("cluster"):
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in grp[vec_col]]
+                )
+                yield pd.DataFrame(
+                    {
+                        "cluster": [int(cid)],
+                        "cnt": [len(grp)],
+                        "sums": [X.sum(axis=0)],
+                    }
+                )
+
+    return (
+        assigned.select("cluster", vec_col)
+        .mapInPandas(part, "cluster long, cnt long, sums array<double>")
+        .toPandas()
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Lloyd's algorithm: seeds = the ``k`` lowest-``id_col`` vectors
+    (deterministic), ``iters`` assignment/update rounds.  Returns
+    ``(cids, centroids)`` — cluster ids ascending and their k' x d
+    float64 centers (k' <= k if clusters emptied)."""
+    seed_rows = (
+        df.orderBy(id_col).limit(k).select(vec_col).collect()
+    )  # TakeOrdered: no full sort
+    C = np.array([r[0] for r in seed_rows], dtype=np.float64)
+    cids = np.arange(len(C), dtype=np.int64)
+    for _ in range(iters):
+        assigned = kmeans_assign(df, cids, C, vec_col=vec_col)
+        parts = _partial_sums(assigned, vec_col)
+        merged = parts.groupby("cluster", sort=True).agg(
+            cnt=("cnt", "sum"), sums=("sums", lambda s: np.sum(np.stack(s.to_numpy()), axis=0))
+        )
+        cids = merged.index.to_numpy(dtype=np.int64)
+        C = np.stack(merged["sums"].to_numpy()) / merged["cnt"].to_numpy()[:, None]
+    return cids, C
+
+
+def kmeans_sql(
+    k: int = 8,
+    iters: int = 4,
+    dim: int = 64,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin: the same trajectory as unrolled CTE iterations
+    (seed -> [assign -> update] * iters -> final assignment)."""
+    sq = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i])))"
+    )
+
+    def assign(cent: str, name: str) -> str:
+        return f"""{name} AS (
+    SELECT {id_col}, cid FROM (
+        SELECT p.{id_col}, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.{id_col}
+                   ORDER BY {sq} ASC, c.cid ASC
+               ) AS rn
+        FROM pts p CROSS JOIN {cent} c
+    ) WHERE rn = 1
+)"""
+
+    def update(asg: str, name: str) -> str:
+        return f"""{name} AS (
+    SELECT cid, list(av ORDER BY dim) AS v FROM (
+        SELECT a.cid, r.dim, AVG(p.v[r.dim]) AS av
+        FROM {asg} a JOIN pts p USING ({id_col})
+        CROSS JOIN range(1, {dim + 1}) r(dim)
+        GROUP BY a.cid, r.dim
+    ) GROUP BY cid
+)"""
+
+    ctes = [
+        f"""pts AS (
+    SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+    FROM {table}
+)""",
+        f"""c0 AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS cid, v
+    FROM (SELECT {id_col}, v FROM pts ORDER BY {id_col} LIMIT {k})
+)""",
+    ]
+    for i in range(iters):
+        ctes.append(assign(f"c{i}", f"a{i + 1}"))
+        ctes.append(update(f"a{i + 1}", f"c{i + 1}"))
+    ctes.append(assign(f"c{iters}", "afinal"))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT {id_col}, cid AS cluster FROM afinal"
+    )

@@ -17,10 +17,16 @@ rate only ADDS documents — the accepted set is monotone in the rate).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_accept", "mixture_sample", "mixture_sample_sql"]
+__all__ = [
+    "hash_accept",
+    "mixture_sample",
+    "mixture_sample_sql",
+    "stratified_topn",
+    "stratified_topn_sql",
+]
 
 _MOD = 1_000_000
 
@@ -72,3 +78,49 @@ def mixture_sample_sql(
         f"(CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 8) AS BIGINT) % {_MOD}) "
         f"< (CASE {strat_col} {cases} ELSE {int(round(default_rate * _MOD))} END)"
     )
+
+
+def stratified_topn(
+    df: DataFrame,
+    n: int,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-N-per-stratum deterministic sample: rank each stratum's
+    rows by ``md5(id)`` (a uniform, engine-independent shuffle order)
+    and keep the first ``n``.  The fixed-COUNT complement of
+    :func:`mixture_sample`'s fixed-RATE sampling — what "give me 10k
+    eval docs per language" needs.
+
+    Scale shape: the ``row_number <= n`` filter triggers Spark's
+    WindowGroupLimit rewrite — each input partition keeps only its
+    local top-``n`` per stratum BEFORE the shuffle, so the exchange
+    carries O(partitions * strata * n) rows, not the corpus.  Skewed
+    strata therefore cost the same as uniform ones.
+    """
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strat_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
+        .drop("sample_rank")
+    )
+
+
+def stratified_topn_sql(
+    n: int,
+    columns: str,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin (identical md5 ordering; hex compares the same)."""
+    return f"""
+SELECT {columns} FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY {strat_col}
+        ORDER BY md5(CAST({id_col} AS VARCHAR)) ASC, {id_col} ASC
+    ) AS sample_rank
+    FROM {table}
+) WHERE sample_rank <= {n}
+"""

@@ -657,6 +657,124 @@ def _sample_mixture_sql() -> str:
     )
 
 
+STRAT_N = 20  # docs kept per language stratum
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N-per-stratum deterministic sample (md5-ranked): the
+    fixed-count complement of the mixture sampler, e.g. 'give me N
+    eval docs per language'."""
+    from ..operators.sampling import stratified_topn
+
+    return (
+        stratified_topn(load_table(spark, sf_dir, "documents"), STRAT_N)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _sample_stratified_sql() -> str:
+    from ..operators.sampling import stratified_topn_sql
+
+    return stratified_topn_sql(STRAT_N, "doc_id, lang, source") + " ORDER BY doc_id"
+
+
+CONTAM_N = 3  # word n-gram width for the overlap test
+CONTAM_BENCH_MOD = 19  # every 19th doc plays the held-out benchmark
+
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc n-gram overlap against a
+    benchmark corpus (here the doc_id % 19 subset plays the eval set,
+    so benchmark members score 1.0 and vocabulary-sharing neighbors
+    score fractionally)."""
+    from ..operators.contamination import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    return ngram_contamination(docs, bench, n=CONTAM_N).orderBy("doc_id")
+
+
+def _text_contamination_sql() -> str:
+    from ..operators.contamination import contamination_sql
+
+    return (
+        contamination_sql(f"doc_id % {CONTAM_BENCH_MOD} = 0", n=CONTAM_N)
+        + " ORDER BY doc_id"
+    )
+
+
+PACK_BUDGET = 1024  # tokens per training sequence
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy concat-and-chunk of each language
+    shard's token stream into 1024-token training sequences; one
+    summary row per pack."""
+    from ..operators.packing import pack_stats
+
+    return pack_stats(load_table(spark, sf_dir, "documents"), PACK_BUDGET).orderBy(
+        "lang", "pack_id"
+    )
+
+
+def _pack_sequences_sql() -> str:
+    from ..operators.packing import pack_stats_sql
+
+    return pack_stats_sql(PACK_BUDGET) + " ORDER BY lang, pack_id"
+
+
+def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact length-distribution quantiles per language (the corpus
+    profile that picks truncation/packing budgets).  Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` share the type-7
+    linear-interpolation definition."""
+    docs = load_table(spark, sf_dir, "documents")
+    qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9}
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[
+                F.round(F.expr(f"percentile(n_chars, {q})"), 6).alias(name)
+                for name, q in qs.items()
+            ],
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_LENGTH_QUANTILES_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+       ROUND(quantile_cont(n_chars, 0.5), 6)  AS p50,
+       ROUND(quantile_cont(n_chars, 0.75), 6) AS p75,
+       ROUND(quantile_cont(n_chars, 0.9), 6)  AS p90
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 4
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding table (seeded by
+    the k lowest vec_ids, 4 rounds), returning the final per-vector
+    cluster assignment."""
+    from ..operators.clustering import kmeans_assign, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cids, C = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return kmeans_assign(emb, cids, C).select("vec_id", "cluster").orderBy("vec_id")
+
+
+def _kmeans_sql() -> str:
+    from ..operators.clustering import kmeans_sql
+
+    return kmeans_sql(KMEANS_K, KMEANS_ITERS, EMB_DIM) + " ORDER BY vec_id"
+
+
 def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over a synthesized dirty corpus: each doc gets a
     doc_id-derived email + IPv4 appended (both engines synthesize the
@@ -1247,6 +1365,37 @@ QUERIES["dedup_embedding_lsh"] = QueryDef(
     embedding_lsh_pairs_sql(EMB_DIM, threshold=0.4, num_planes=4),
     "LSH-bucketed approximate embedding near-dups (subquadratic)",
     "training-data",
+)
+# round-3 additions: the curation-pipeline surface around the corpus
+QUERIES["sample_stratified"] = QueryDef(
+    sample_stratified,
+    _sample_stratified_sql(),
+    "exactly-N-per-stratum deterministic sample (md5-ranked)",
+    "training-data",
+)
+QUERIES["text_contamination"] = QueryDef(
+    text_contamination,
+    _text_contamination_sql(),
+    "benchmark decontamination (n-gram overlap fractions)",
+    "training-data",
+)
+QUERIES["pack_sequences"] = QueryDef(
+    pack_sequences,
+    _pack_sequences_sql(),
+    "sequence packing into fixed token budgets (per-shard prefix sum)",
+    "training-data",
+)
+QUERIES["text_length_quantiles"] = QueryDef(
+    text_length_quantiles,
+    TEXT_LENGTH_QUANTILES_SQL,
+    "exact per-language length quantiles (type-7 interpolation)",
+    "training-data",
+)
+QUERIES["kmeans_embeddings"] = QueryDef(
+    kmeans_embeddings,
+    _kmeans_sql(),
+    "distributed Lloyd k-means assignments (unrolled-CTE oracle)",
+    "clustering",
 )
 
 

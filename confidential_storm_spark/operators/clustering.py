@@ -111,7 +111,7 @@ def kmeans_fit(
     return cids, C
 
 
-def kmeans_sql(
+def _kmeans_ctes(
     k: int = 8,
     iters: int = 4,
     dim: int = 64,
@@ -119,8 +119,8 @@ def kmeans_sql(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> str:
-    """DuckDB twin: the same trajectory as unrolled CTE iterations
-    (seed -> [assign -> update] * iters -> final assignment)."""
+    """The shared CTE chain: seed -> [assign -> update] * iters ->
+    ``afinal(vec_id, cid)`` plus ``pts(vec_id, v)``."""
     sq = (
         f"list_sum(list_transform(range(1, {dim + 1}), "
         f"i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i])))"
@@ -162,8 +162,109 @@ def kmeans_sql(
         ctes.append(assign(f"c{i}", f"a{i + 1}"))
         ctes.append(update(f"a{i + 1}", f"c{i + 1}"))
     ctes.append(assign(f"c{iters}", "afinal"))
+    return "WITH " + ",\n".join(ctes)
+
+
+def kmeans_sql(
+    k: int = 8,
+    iters: int = 4,
+    dim: int = 64,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of fit+assign: the same trajectory as unrolled CTE
+    iterations (seed -> [assign -> update] * iters -> assignment)."""
     return (
-        "WITH "
-        + ",\n".join(ctes)
+        _kmeans_ctes(k, iters, dim, table, vec_col, id_col)
         + f"\nSELECT {id_col}, cid AS cluster FROM afinal"
     )
+
+
+def semantic_neardup_pairs(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    threshold: float = 0.85,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_size: int | None = 20_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al.
+    2023): k-means the embeddings, then compare vectors ONLY within
+    their cluster — the classic blocking trick that turns O(N^2)
+    cosine dedup into k * O((N/k)^2), with the cluster structure
+    reusable for curation.
+
+    Within-cluster comparison is one Arrow batch per cluster (numpy
+    normalize + matmul).  ``max_cluster_size`` is the scale guard: a
+    cluster bigger than the cap is sub-blocked deterministically (by
+    id order) and compared block-vs-block, so task memory stays
+    O(cap^2) no matter how skewed the clustering — same policy as the
+    dedup operators' bucket caps.  Cross-cluster near-dups at the
+    Voronoi boundary are missed by design (the SemDeDup trade).
+    """
+    cids, C = kmeans_fit(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    assigned = kmeans_assign(df, cids, C, vec_col=vec_col).select(
+        id_col, "cluster", vec_col
+    )
+
+    cap = max_cluster_size
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        out_a, out_b, out_c = [], [], []
+        n = len(ids)
+        step = cap if cap else n
+        for i0 in range(0, n, step):
+            Xi = X[i0 : i0 + step]
+            for j0 in range(i0, n, step):
+                S = Xi @ X[j0 : j0 + step].T
+                ai, bj = np.nonzero(np.round(S, 6) >= threshold)
+                if i0 == j0:
+                    keep = ai < bj
+                else:
+                    keep = np.ones(len(ai), dtype=bool)
+                ai, bj = ai[keep], bj[keep]
+                out_a.append(ids[i0 + ai])
+                out_b.append(ids[j0 + bj])
+                out_c.append(np.round(S[ai, bj], 6))
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                "cosine": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        pairs, "id_a long, id_b long, cosine double"
+    )
+
+
+def semantic_pairs_sql(
+    k: int = 8,
+    iters: int = 4,
+    dim: int = 64,
+    threshold: float = 0.85,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin: kmeans CTE chain + within-cluster cosine join."""
+    dot = f"list_sum(list_transform(range(1, {dim + 1}), i -> pa.v[i] * pb.v[i]))"
+    nrm = f"sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> {{p}}.v[i] * {{p}}.v[i])))"
+    na, nb = nrm.format(p="pa"), nrm.format(p="pb")
+    return f"""{_kmeans_ctes(k, iters, dim, table, vec_col, id_col)},
+scored AS (
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           ROUND({dot} / ({na} * {nb}), 6) AS cosine
+    FROM afinal a JOIN afinal b ON a.cid = b.cid AND a.{id_col} < b.{id_col}
+    JOIN pts pa ON pa.{id_col} = a.{id_col}
+    JOIN pts pb ON pb.{id_col} = b.{id_col}
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+"""

@@ -775,6 +775,76 @@ def _kmeans_sql() -> str:
     return kmeans_sql(KMEANS_K, KMEANS_ITERS, EMB_DIM) + " ORDER BY vec_id"
 
 
+SEMANTIC_THRESHOLD = 0.4  # same operating point as the other embedding dedups
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means blocking, then
+    cosine comparison only within clusters."""
+    from ..operators.clustering import semantic_neardup_pairs
+
+    return semantic_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        threshold=SEMANTIC_THRESHOLD,
+    ).orderBy("id_a", "id_b")
+
+
+def _dedup_semantic_sql() -> str:
+    from ..operators.clustering import semantic_pairs_sql
+
+    return (
+        semantic_pairs_sql(KMEANS_K, KMEANS_ITERS, EMB_DIM, SEMANTIC_THRESHOLD)
+        + " ORDER BY id_a, id_b"
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization of the events table (30-min gap):
+    one shuffle on user_id serves the lag, the running session counter,
+    and the per-session aggregation."""
+    from ..operators.sessionize import session_stats
+
+    return session_stats(spark, sf_dir).orderBy("user_id", "session_id")
+
+
+def _q_sessionize_sql() -> str:
+    from ..operators.sessionize import session_stats_sql
+
+    return session_stats_sql() + " ORDER BY user_id, session_id"
+
+
+PROJ_DIM = 16
+
+
+def emb_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of the embeddings to 16
+    dims (seeded Gaussian matrix, broadcast constant, no shuffle),
+    exploded to (vec_id, dim, val) rows."""
+    from ..operators.projection import random_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = emb.select(
+        "vec_id", random_project(F.col("embedding"), EMB_DIM, PROJ_DIM).alias("proj")
+    )
+    return (
+        proj.select("vec_id", F.posexplode("proj").alias("dim", "val"))
+        .select(
+            "vec_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.round("val", 6).alias("val"),
+        )
+        .orderBy("vec_id", "dim")
+    )
+
+
+def _emb_project_sql() -> str:
+    from ..operators.projection import random_project_rows_sql
+
+    return random_project_rows_sql(EMB_DIM, PROJ_DIM) + " ORDER BY vec_id, dim"
+
+
 def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over a synthesized dirty corpus: each doc gets a
     doc_id-derived email + IPv4 appended (both engines synthesize the
@@ -1396,6 +1466,24 @@ QUERIES["kmeans_embeddings"] = QueryDef(
     _kmeans_sql(),
     "distributed Lloyd k-means assignments (unrolled-CTE oracle)",
     "clustering",
+)
+QUERIES["dedup_semantic"] = QueryDef(
+    dedup_semantic,
+    _dedup_semantic_sql(),
+    "SemDeDup: k-means-blocked within-cluster cosine near-dup pairs",
+    "training-data",
+)
+QUERIES["q_sessionize"] = QueryDef(
+    q_sessionize,
+    _q_sessionize_sql(),
+    "inactivity-gap sessionization of the event stream",
+    "relational",
+)
+QUERIES["emb_project"] = QueryDef(
+    emb_project,
+    _emb_project_sql(),
+    "Johnson-Lindenstrauss random projection (seeded, broadcast matrix)",
+    "similarity",
 )
 
 

@@ -241,6 +241,61 @@ def test_kmeans_centroids_near_truth(spark):
     assert max(dists) < 0.1
 
 
+def test_semantic_neardup_blocks_by_cluster(spark):
+    from confidential_storm_spark.operators.clustering import (
+        semantic_neardup_pairs,
+    )
+
+    dim = 8
+    # two far blobs; inside blob A, vectors 0/1 are near-identical
+    base_a = np.full(dim, 1.0)
+    base_b = np.full(dim, -1.0)
+    rows = [
+        (0, [float(x) for x in base_a]),
+        (1, [float(x) for x in base_a + 0.001]),
+        (2, [float(x) for x in base_a + np.linspace(0, 2, dim)]),
+        (3, [float(x) for x in base_b]),
+        (4, [float(x) for x in base_b * 1.01]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in semantic_neardup_pairs(df, k=2, iters=3, threshold=0.99).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.999
+    assert (3, 4) in pairs
+    # cross-blob pairs never compared (opposite clusters)
+    assert not any(a <= 2 < b for a, b in pairs)
+
+
+def test_semantic_neardup_cluster_cap_subblocks(spark):
+    """With max_cluster_size smaller than the cluster, pairs are still
+    complete (block-vs-block covers all combinations)."""
+    from confidential_storm_spark.operators.clustering import (
+        semantic_neardup_pairs,
+    )
+
+    dim = 4
+    base = np.full(dim, 2.0)
+    rows = [
+        (i, [float(x) for x in base + i * 1e-4]) for i in range(10)
+    ]  # all mutually near-dup
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    uncapped = set(
+        (r["id_a"], r["id_b"])
+        for r in semantic_neardup_pairs(
+            df, k=1, iters=1, threshold=0.999, max_cluster_size=None
+        ).collect()
+    )
+    capped = set(
+        (r["id_a"], r["id_b"])
+        for r in semantic_neardup_pairs(
+            df, k=1, iters=1, threshold=0.999, max_cluster_size=3
+        ).collect()
+    )
+    assert uncapped == capped == {(a, b) for a in range(10) for b in range(a + 1, 10)}
+
+
 def test_kmeans_drops_empty_clusters(spark):
     from confidential_storm_spark.operators.clustering import kmeans_fit
 
@@ -252,3 +307,82 @@ def test_kmeans_drops_empty_clusters(spark):
     cids, C = kmeans_fit(df, k=4, iters=6)
     assert len(cids) == len(C) <= 4
     assert sorted(cids) == list(cids)  # ids stay ascending for tie-break
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_gap_splits(spark):
+    from confidential_storm_spark.operators.sessionize import sessionize
+
+    us = 1_000_000
+    rows = [
+        # user 1: events at 0s, 10s, 2000s, 2010s -> sessions 0,0,1,1 (gap 30s)
+        (0, 1, 0 * us),
+        (1, 1, 10 * us),
+        (2, 1, 2000 * us),
+        (3, 1, 2010 * us),
+        # user 2: single event
+        (4, 2, 5 * us),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long")
+    out = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(df, gap_us=30 * us).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 1, 3: 1, 4: 0}
+
+
+def test_session_stats_single_exchange(spark, sf_dir):
+    """lag + running-sum + groupBy must share ONE shuffle on user_id."""
+    from confidential_storm_spark.operators.sessionize import session_stats
+
+    plan = (
+        session_stats(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    n_exchanges = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    # one hash exchange for the windows/agg + one range for the final sort
+    assert n_exchanges <= 2, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# random projection
+# ---------------------------------------------------------------------------
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    from confidential_storm_spark.operators.projection import (
+        projection_matrix,
+        random_project,
+    )
+    from confidential_storm_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    pdf = emb.select(
+        "vec_id", random_project(F.col("embedding"), 64, 16).alias("p")
+    ).toPandas()
+    orig = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    proj = {r["vec_id"]: np.asarray(r["p"]) for _, r in pdf.iterrows()}
+    # JL: pairwise distance ratios concentrate around 1
+    ids = sorted(orig)[:20]
+    ratios = []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        d0 = np.linalg.norm(orig[a] - orig[b])
+        d1 = np.linalg.norm(proj[a] - proj[b])
+        ratios.append(d1 / d0)
+    assert 0.5 < np.mean(ratios) < 1.5
+    # projection matches the driver-side matmul exactly
+    R = projection_matrix(64, 16)
+    a = ids[0]
+    np.testing.assert_allclose(proj[a], orig[a] @ R, rtol=1e-12)

@@ -22,6 +22,8 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def value_hash(df: pd.DataFrame) -> str:
     df = df[sorted(df.columns)].copy()
+    if len(df) == 0:
+        return hashlib.md5(b"").hexdigest()
     for c in df.columns:
         if df[c].dtype.kind == "f":
             df[c] = df[c].round(6)

@@ -1303,6 +1303,44 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Ranking / search
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ["spark", "vector", "customer"]
+BM25_K = 15
+
+
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search over the corpus: broadcast term stats, one
+    doc-keyed shuffle, TakeOrdered top-k."""
+    from ..operators.ranking import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"), BM25_QUERY, k=BM25_K)
+
+
+def _text_bm25_sql() -> str:
+    from ..operators.ranking import bm25_topk_sql
+
+    return bm25_topk_sql(BM25_QUERY, k=BM25_K)
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus sparse TF-IDF weights (quality-classifier
+    features); one (doc,term) row each."""
+    from ..operators.ranking import tfidf
+
+    return tfidf(load_table(spark, sf_dir, "documents"), min_df=2).orderBy(
+        "doc_id", "term"
+    )
+
+
+def _text_tfidf_sql() -> str:
+    from ..operators.ranking import tfidf_sql
+
+    return tfidf_sql(min_df=2) + " ORDER BY doc_id, term"
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1484,6 +1522,18 @@ QUERIES["emb_project"] = QueryDef(
     _emb_project_sql(),
     "Johnson-Lindenstrauss random projection (seeded, broadcast matrix)",
     "similarity",
+)
+QUERIES["text_bm25"] = QueryDef(
+    text_bm25,
+    _text_bm25_sql(),
+    "BM25 keyword search top-k (Lucene idf variant)",
+    "ranking",
+)
+QUERIES["text_tfidf"] = QueryDef(
+    text_tfidf,
+    _text_tfidf_sql(),
+    "sparse TF-IDF weights per (doc, term)",
+    "ranking",
 )
 
 

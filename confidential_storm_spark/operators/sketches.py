@@ -1,0 +1,210 @@
+"""Bounded-memory frequency/cardinality sketches, deterministic and
+cross-engine-exact.
+
+At 100 TB, ``COUNT(DISTINCT ...)`` per key and exact per-value counts
+are shuffle-heavy (state grows with cardinality); the standard answer
+is mergeable sketches whose per-key state is a fixed-size register
+array.  Spark's built-ins (``approx_count_distinct``) implement
+HyperLogLog++ but their register hashing is engine-private, so results
+can't be oracle-checked.  These operators instead derive every hash
+from ``md5`` — identical in Spark, DuckDB, and Python — so the SAME
+estimate comes out of both engines and the driver's value-hash gate
+applies to the approximate path, not just an exact twin.
+
+- :func:`hll_distinct` — per-key HyperLogLog (Flajolet et al. 2007)
+  with p=12 (4096 registers): register index = first 12 md5 bits,
+  rank = leading-zero count of the next 48 bits + 1.  The register
+  harmonic sum is kept in INTEGER arithmetic (``sum(2^(49-rho))``,
+  max 2^61) so partial-aggregation order cannot perturb the estimate;
+  the one floating division happens once at the end.  Small-range
+  linear counting (E <= 2.5m with empty registers) per the paper.
+- :func:`cms_estimates` — Count-Min (Cormode & Muthukrishnan 2005)
+  with depth 4 x width 1024 integer counters; row-d hash =
+  ``md5(d || ':' || value)``.  Estimates upper-bound true counts
+  (one-sided error), proven in tests.
+
+Scale design: both sketches are classic two-level aggregations —
+``groupBy(key, register)`` then ``groupBy(key)`` — map-side
+combinable, skew-free (register indexes are uniform by construction),
+with per-key state bounded at m registers / d*w counters no matter how
+many distinct values stream past.  Sketch rows are themselves
+mergeable partials: union two corpora's register tables and re-run the
+same max/sum to combine.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hll_distinct",
+    "hll_distinct_sql",
+    "cms_estimates",
+    "cms_estimates_sql",
+]
+
+HLL_P = 12                      # 2^12 = 4096 registers
+HLL_M = 1 << HLL_P
+# rank field reads 48 bits => rho in [1, 49]
+_HLL_RANK_BITS = 48
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def _hll_bucket(col: Column) -> Column:
+    # first 3 hex chars = 12 bits
+    return F.conv(F.substring(F.md5(col), 1, 3), 16, 10).cast("long")
+
+
+def _hll_rho(col: Column) -> Column:
+    # next 12 hex chars = 48 bits; rho = leading zeros + 1 = 49 - bitlen
+    hx = F.substring(F.md5(col), 4, 12)
+    bits = F.conv(hx, 16, 2)
+    return F.when(bits == "0", F.lit(_HLL_RANK_BITS + 1)).otherwise(
+        F.lit(_HLL_RANK_BITS + 1) - F.length(bits)
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Per-key HLL distinct count of ``value_col``; returns
+    ``key_cols + [out_col]`` with the estimate rounded to 4 decimals.
+    """
+    v = F.col(value_col).cast("string")
+    regs = (
+        df.select(*key_cols, _hll_bucket(v).alias("_b"), _hll_rho(v).alias("_r"))
+        .groupBy(*key_cols, "_b")
+        .agg(F.max("_r").alias("_rho"))
+    )
+    # integer harmonic sum: sum over HIT registers of 2^(49-rho);
+    # each EMPTY register contributes 2^49 (rho=0), added via V below
+    per_key = regs.groupBy(*key_cols).agg(
+        F.sum(F.expr(f"CAST(power(2.0, {_HLL_RANK_BITS + 1} - _rho) AS BIGINT)")).alias("_s_hit"),
+        F.count(F.lit(1)).alias("_hit"),
+    )
+    m, scale = HLL_M, float(1 << (_HLL_RANK_BITS + 1))
+    v_empty = F.lit(m) - F.col("_hit")
+    s_full = F.col("_s_hit") + v_empty * F.lit(1 << (_HLL_RANK_BITS + 1))
+    e_raw = F.lit(_HLL_ALPHA * m * m * scale) / s_full.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double")),
+    ).otherwise(e_raw)
+    return per_key.select(*key_cols, F.round(est, 4).alias(out_col))
+
+
+def hll_distinct_sql(
+    table: str,
+    key_cols: list[str],
+    value_col: str,
+    out_col: str = "approx_distinct",
+) -> str:
+    """DuckDB twin of :func:`hll_distinct` (identical md5 register
+    math, integer harmonic sum, linear-counting branch)."""
+    keys = ", ".join(key_cols)
+    m, rb = HLL_M, _HLL_RANK_BITS
+    scale = 1 << (rb + 1)
+    # e0 suffix: DuckDB otherwise parses x.y literals as DECIMAL and
+    # overflows the register-sum multiplication; Spark computes the
+    # same numerator as one Python double literal (same IEEE order)
+    num = f"({_HLL_ALPHA!r}e0 * {m}e0 * {m}e0 * {scale}e0)"
+    return f"""
+WITH _h AS (
+  SELECT {keys}, md5(CAST({value_col} AS VARCHAR)) AS _md5 FROM {table}
+),
+_regs AS (
+  SELECT {keys},
+         CAST('0x' || substr(_md5, 1, 3) AS BIGINT) AS _b,
+         MAX(CASE WHEN CAST('0x' || substr(_md5, 4, 12) AS BIGINT) = 0
+                  THEN {rb + 1}
+                  ELSE {rb + 1} - length(bin(CAST('0x' || substr(_md5, 4, 12) AS BIGINT)))
+             END) AS _rho
+  FROM _h GROUP BY {keys}, _b
+),
+_pk AS (
+  SELECT {keys},
+         SUM(CAST(power(2.0, {rb + 1} - _rho) AS BIGINT)) AS _s_hit,
+         COUNT(*) AS _hit
+  FROM _regs GROUP BY {keys}
+)
+SELECT {keys},
+       ROUND(CASE WHEN {num} / CAST(_s_hit + ({m} - _hit) * CAST({scale} AS BIGINT) AS DOUBLE)
+                       <= {2.5 * m!r}e0
+                       AND ({m} - _hit) > 0
+                  THEN {m}e0 * ln({m}e0 / ({m} - _hit))
+                  ELSE {num} / CAST(_s_hit + ({m} - _hit) * CAST({scale} AS BIGINT) AS DOUBLE)
+             END, 4) AS {out_col}
+FROM _pk
+"""
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_slot(col: Column, row: int) -> Column:
+    # 15 hex chars = 60 bits, mod width
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{row}:"), col)), 1, 15), 16, 10)
+        .cast("long")
+        % CMS_WIDTH
+    )
+
+
+def cms_estimates(
+    df: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    out_col: str = "cms_count",
+) -> DataFrame:
+    """Count-Min frequency estimates for every distinct value of
+    ``value_col``: ``(value_col, cms_count)``, where ``cms_count`` is
+    the min over depth rows of the hashed-slot counters.
+
+    The sketch itself (``depth x width`` counters) is the bounded
+    structure; probing every distinct value here is for the oracle —
+    at scale you probe a candidate list (e.g. heavy hitters from a
+    sample) against the tiny broadcast sketch, which is exactly the
+    plan below (sketch side is <= depth*width rows, broadcast).
+    """
+    v = F.col(value_col).cast("string")
+    rows = F.array(*[F.struct(F.lit(d).alias("_d"), _cms_slot(v, d).alias("_slot")) for d in range(depth)])
+    hashed = df.select(v.alias(value_col), F.explode(rows).alias("_h")).select(
+        value_col, F.col("_h._d").alias("_d"), F.col("_h._slot").alias("_slot")
+    )
+    sketch = hashed.groupBy("_d", "_slot").agg(F.count(F.lit(1)).alias("_n"))
+    probes = hashed.distinct()
+    return (
+        probes.join(F.broadcast(sketch), ["_d", "_slot"])
+        .groupBy(value_col)
+        .agg(F.min("_n").alias(out_col))
+    )
+
+
+def cms_estimates_sql(
+    table: str,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    out_col: str = "cms_count",
+) -> str:
+    """DuckDB twin of :func:`cms_estimates`."""
+    return f"""
+WITH _v AS (SELECT CAST({value_col} AS VARCHAR) AS {value_col} FROM {table}),
+_hash AS (
+  SELECT {value_col}, dd.d AS _d,
+         CAST('0x' || substr(md5(dd.d || ':' || {value_col}), 1, 15) AS BIGINT)
+             % {CMS_WIDTH} AS _slot
+  FROM _v CROSS JOIN (SELECT unnest(range(0, {depth})) AS d) dd
+),
+_sketch AS (SELECT _d, _slot, COUNT(*) AS _n FROM _hash GROUP BY _d, _slot),
+_probes AS (SELECT DISTINCT {value_col}, _d, _slot FROM _hash)
+SELECT {value_col}, MIN(_n) AS {out_col}
+FROM _probes JOIN _sketch USING (_d, _slot)
+GROUP BY {value_col}
+"""

@@ -1341,6 +1341,50 @@ def _text_tfidf_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Sketches (bounded-memory approximate aggregation, oracle-exact)
+# ---------------------------------------------------------------------------
+
+
+def sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL distinct users: the md5-deterministic sketch
+    produces the SAME estimate in Spark and DuckDB, so the approximate
+    path itself is value-hash gated (not just an exact twin)."""
+    from ..operators.sketches import hll_distinct
+
+    return hll_distinct(
+        load_table(spark, sf_dir, "events"), ["event_type"], "user_id"
+    ).orderBy("event_type")
+
+
+def _sketch_hll_sql() -> str:
+    from ..operators.sketches import hll_distinct_sql
+
+    return (
+        hll_distinct_sql("events", ["event_type"], "user_id")
+        + " ORDER BY event_type"
+    )
+
+
+def sketch_cms_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min word-frequency estimates over the corpus vocabulary
+    (broadcast 4x1024 sketch; estimates upper-bound true counts)."""
+    from ..functions.text import explode_words
+    from ..operators.sketches import cms_estimates
+
+    ws = explode_words(load_table(spark, sf_dir, "documents")).select("word")
+    return cms_estimates(ws, "word").orderBy("word")
+
+
+def _sketch_cms_sql() -> str:
+    from ..operators.sketches import cms_estimates_sql
+
+    words_tbl = (
+        f"(SELECT unnest({words_sql('text')}) AS word FROM documents)"
+    )
+    return cms_estimates_sql(words_tbl, "word") + " ORDER BY word"
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1534,6 +1578,18 @@ QUERIES["text_tfidf"] = QueryDef(
     _text_tfidf_sql(),
     "sparse TF-IDF weights per (doc, term)",
     "ranking",
+)
+QUERIES["sketch_hll_users"] = QueryDef(
+    sketch_hll_users,
+    _sketch_hll_sql(),
+    "HyperLogLog distinct users per event type (md5-deterministic, cross-engine-exact)",
+    "sketches",
+)
+QUERIES["sketch_cms_words"] = QueryDef(
+    sketch_cms_words,
+    _sketch_cms_sql(),
+    "Count-Min word-frequency estimates (4x1024 broadcast sketch)",
+    "sketches",
 )
 
 

@@ -1341,6 +1341,31 @@ def _text_tfidf_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Curation funnel (composed pipeline dashboard)
+# ---------------------------------------------------------------------------
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed lang->quality->repetition->dedup->length filter
+    pipeline with per-stage survivor counts — one scan, one scalar
+    aggregation (see operators/funnel.py)."""
+    from ..operators.funnel import curation_funnel as _funnel
+
+    return _funnel(load_table(spark, sf_dir, "documents"))
+
+
+def _curation_funnel_sql() -> str:
+    from ..functions.text import repetition_signals_sql
+    from ..operators.funnel import curation_funnel_sql
+
+    return curation_funnel_sql(
+        lang_pred_cte=_lang_sql(),
+        repetition_cte=repetition_signals_sql(),
+        quality_cte=TEXT_QUALITY_SQL,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sketches (bounded-memory approximate aggregation, oracle-exact)
 # ---------------------------------------------------------------------------
 
@@ -1578,6 +1603,12 @@ QUERIES["text_tfidf"] = QueryDef(
     _text_tfidf_sql(),
     "sparse TF-IDF weights per (doc, term)",
     "ranking",
+)
+QUERIES["curation_funnel"] = QueryDef(
+    curation_funnel,
+    _curation_funnel_sql(),
+    "composed curation pipeline with per-stage survivor counts",
+    "training-data",
 )
 QUERIES["sketch_hll_users"] = QueryDef(
     sketch_hll_users,

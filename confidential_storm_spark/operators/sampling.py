@@ -26,6 +26,8 @@ __all__ = [
     "mixture_sample_sql",
     "stratified_topn",
     "stratified_topn_sql",
+    "split_assign",
+    "split_assign_sql",
 ]
 
 _MOD = 1_000_000
@@ -124,3 +126,58 @@ SELECT {columns} FROM (
     FROM {table}
 ) WHERE sample_rank <= {n}
 """
+
+
+def split_assign(
+    df: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint dataset split (train/val/test): each row
+    lands in exactly one split by hash-range partition of
+    ``md5(salt:id)`` — reproducible across runs and engines, stable
+    under repartitioning, and (because ranges are CUMULATIVE) growing
+    one split's weight only moves rows across the adjacent boundary.
+
+    ``splits`` maps name -> weight (weights sum to <= 1; any residual
+    hash range falls into the LAST split, so the canonical
+    {train .8, val .1, test .1} is airtight).  Pure expression:
+    codegens fused with the scan, no shuffle, no RNG state.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % _MOD
+    names = list(splits)
+    expr = F.lit(names[-1])
+    acc = 0
+    conds = []
+    for name, w in list(splits.items())[:-1]:
+        acc += int(round(w * _MOD))
+        conds.append((acc, name))
+    for acc_v, name in reversed(conds):
+        expr = F.when(h < acc_v, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def split_assign_sql(
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> str:
+    """DuckDB twin of the :func:`split_assign` expression (yields the
+    split name for one row)."""
+    h = (
+        f"(CAST('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 8) "
+        f"AS BIGINT) % {_MOD})"
+    )
+    names = list(splits)
+    acc = 0
+    whens = []
+    for name, w in list(splits.items())[:-1]:
+        acc += int(round(w * _MOD))
+        whens.append(f"WHEN {h} < {acc} THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"

@@ -1341,6 +1341,105 @@ def _text_tfidf_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Dataset splits and event-time windows
+# ---------------------------------------------------------------------------
+
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test hash-split, audited as per
+    (lang, split) counts — the reproducible dataset-split primitive."""
+    from ..operators.sampling import split_assign
+
+    return (
+        split_assign(load_table(spark, sf_dir, "documents"), SPLIT_WEIGHTS)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+def _split_counts_sql() -> str:
+    from ..operators.sampling import split_assign_sql
+
+    return (
+        f"SELECT lang, {split_assign_sql(SPLIT_WEIGHTS)} AS split, "
+        "COUNT(*) AS n_docs FROM documents GROUP BY lang, split "
+        "ORDER BY lang, split"
+    )
+
+
+_6H_NS = 6 * 3600 * 1_000_000_000
+
+
+def _win_start(col, width_ns: int):
+    # events.ts is LONG NANOS (TIMESTAMP(NANOS) parquet, see
+    # load_table); epoch-aligned tumbling window floor in exact
+    # integer arithmetic, emitted as a timestamp — the same alignment
+    # F.window and DuckDB time_bucket use for hour-multiple widths
+    floor_ns = col - (col % F.lit(width_ns))
+    return F.timestamp_micros((floor_ns / 1000).cast("long"))
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour event-time windows per event type (T3's batch
+    analog over real timestamps): count, distinct users, value sum.
+    Same shape as the streaming path's windowed aggregation; DuckDB's
+    ``time_bucket`` is the oracle twin."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            _win_start(F.col("ts"), _6H_NS).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+Q_EVENT_WINDOWS_SQL = """
+SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+def q_event_windows_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows (12h length, 6h hop): each event lands in the
+    two overlapping windows starting at its 6h floor and 6h earlier —
+    generated inline (explode of the two starts), then one aggregation;
+    the oracle unnests the same candidate starts."""
+    ev = load_table(spark, sf_dir, "events")
+    base = _win_start(F.col("ts"), _6H_NS)
+    starts = F.array(base, base - F.expr("INTERVAL 6 HOURS"))
+    return (
+        ev.select(F.explode(starts).alias("window_start"))
+        .groupBy("window_start")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("window_start")
+    )
+
+
+Q_EVENT_WINDOWS_HOP_SQL = """
+WITH w AS (
+  SELECT unnest([time_bucket(INTERVAL 6 HOUR, ts),
+                 time_bucket(INTERVAL 6 HOUR, ts) - INTERVAL 6 HOUR]) AS window_start
+  FROM events
+)
+SELECT window_start, COUNT(*) AS n_events
+FROM w GROUP BY window_start ORDER BY window_start
+"""
+
+
+# ---------------------------------------------------------------------------
 # Curation funnel (composed pipeline dashboard)
 # ---------------------------------------------------------------------------
 
@@ -1603,6 +1702,24 @@ QUERIES["text_tfidf"] = QueryDef(
     _text_tfidf_sql(),
     "sparse TF-IDF weights per (doc, term)",
     "ranking",
+)
+QUERIES["split_counts"] = QueryDef(
+    split_counts,
+    _split_counts_sql(),
+    "deterministic train/val/test hash split, per-(lang,split) audit",
+    "training-data",
+)
+QUERIES["q_event_windows"] = QueryDef(
+    q_event_windows,
+    Q_EVENT_WINDOWS_SQL,
+    "tumbling 6h event-time windows per type (T3 batch analog)",
+    "relational",
+)
+QUERIES["q_event_windows_hop"] = QueryDef(
+    q_event_windows_hop,
+    Q_EVENT_WINDOWS_HOP_SQL,
+    "hopping 12h/6h event-time windows",
+    "relational",
 )
 QUERIES["curation_funnel"] = QueryDef(
     curation_funnel,

@@ -44,6 +44,8 @@ __all__ = [
     "embedding_lsh_pairs_sql",
     "connected_components",
     "neardup_clusters",
+    "shared_span_pairs",
+    "shared_span_pairs_sql",
 ]
 
 # ASCII word-character split: Java regex \W and DuckDB's RE2 \W are
@@ -865,3 +867,90 @@ def neardup_clusters(
         )
         .withColumn("is_survivor", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def shared_span_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_n: int = 5,
+    max_span_df: int | None = 1000,
+) -> DataFrame:
+    """Span-level exact dedup signal (Lee et al. 2021,
+    arXiv:2107.06499: duplicated training SPANS matter, not just whole
+    documents): pairs of docs sharing at least one identical
+    ``span_n``-word run, with the count of distinct shared spans —
+    ``(id_a, id_b, n_shared_spans)``, ``id_a < id_b``.
+
+    Plan: sliding word windows -> md5 span hash (60-bit LONG, so the
+    postings are narrow fixed-width rows, not strings) -> distinct
+    (doc, span) postings -> inverted-index self-join on the hash ->
+    pair groupBy.  Linear in total postings plus join output; never
+    all-pairs.  ``max_span_df`` drops ultra-common spans (boilerplate
+    headers at corpus scale) from the postings, exactly like
+    ``max_shingle_df`` in :func:`ngram_jaccard_pairs`; pass ``None``
+    for exact semantics (the oracle registry does on this corpus —
+    span collisions are rare by construction).
+    """
+    ws = words(F.col(text_col))
+    spans = F.when(
+        F.size(ws) >= span_n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - span_n + 1),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, span_n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    postings = (
+        df.select(F.col(id_col).alias("_id"), F.explode(F.array_distinct(spans)).alias("_s"))
+        .select(
+            "_id",
+            F.conv(F.substring(F.md5(F.col("_s")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("_h"),
+        )
+        .distinct()
+    )
+    if max_span_df is not None:
+        hot = (
+            postings.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_span_df)
+            .select("_h")
+        )
+        postings = postings.join(F.broadcast(hot), "_h", "left_anti")
+    return (
+        postings.alias("a")
+        .join(
+            postings.alias("b"),
+            (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    )
+
+
+def shared_span_pairs_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_n: int = 5,
+) -> str:
+    """DuckDB twin of :func:`shared_span_pairs` (uncapped)."""
+    ws = words_sql(text_col)
+    return f"""
+WITH _w AS (SELECT {id_col} AS _id, {ws} AS ws FROM {table}),
+_spans AS (
+  SELECT _id, unnest(list_distinct(
+           CASE WHEN len(ws) >= {span_n}
+                THEN list_transform(range(1, len(ws) - {span_n} + 2),
+                                    i -> array_to_string(ws[i:i+{span_n}-1], ' '))
+                ELSE [] END)) AS _s
+  FROM _w
+),
+_post AS (SELECT DISTINCT _id,
+                 CAST('0x' || substr(md5(_s), 1, 15) AS BIGINT) AS _h
+          FROM _spans)
+SELECT a._id AS id_a, b._id AS id_b, COUNT(*) AS n_shared_spans
+FROM _post a JOIN _post b ON a._h = b._h AND a._id < b._id
+GROUP BY a._id, b._id
+"""

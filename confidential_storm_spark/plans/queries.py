@@ -1341,6 +1341,30 @@ def _text_tfidf_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Span-level dedup
+# ---------------------------------------------------------------------------
+
+SPAN_N = 5
+
+
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs sharing an exact 5-word span (span-level dup signal,
+    Lee et al. 2021); uncapped here so the oracle is exact — the
+    operator's ``max_span_df`` cap is the scale default."""
+    from ..operators.dedup import shared_span_pairs
+
+    return shared_span_pairs(
+        load_table(spark, sf_dir, "documents"), span_n=SPAN_N, max_span_df=None
+    ).orderBy("id_a", "id_b")
+
+
+def _dedup_spans_sql() -> str:
+    from ..operators.dedup import shared_span_pairs_sql
+
+    return shared_span_pairs_sql(span_n=SPAN_N) + " ORDER BY id_a, id_b"
+
+
+# ---------------------------------------------------------------------------
 # Dataset splits and event-time windows
 # ---------------------------------------------------------------------------
 
@@ -1702,6 +1726,12 @@ QUERIES["text_tfidf"] = QueryDef(
     _text_tfidf_sql(),
     "sparse TF-IDF weights per (doc, term)",
     "ranking",
+)
+QUERIES["dedup_spans"] = QueryDef(
+    dedup_spans,
+    _dedup_spans_sql(),
+    "doc pairs sharing exact 5-word spans (span-level dup signal)",
+    "training-data",
 )
 QUERIES["split_counts"] = QueryDef(
     split_counts,

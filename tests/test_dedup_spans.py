@@ -1,0 +1,55 @@
+"""Span-level dedup: planted shared spans, df-cap bounds."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shared_span_pairs_finds_planted_span(spark):
+    from confidential_storm_spark.operators.dedup import shared_span_pairs
+
+    span = "one two three four five"
+    docs = _docs(
+        spark,
+        [
+            (1, f"alpha beta {span} gamma"),
+            (2, f"delta {span} epsilon zeta"),
+            (3, "totally different words with no overlap at all here"),
+            (4, f"{span} six seven"),
+        ],
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r["n_shared_spans"]
+        for r in shared_span_pairs(docs, span_n=5, max_span_df=None).collect()
+    }
+    assert rows == {(1, 2): 1, (1, 4): 1, (2, 4): 1}
+
+
+def test_shared_span_pairs_counts_distinct_spans(spark):
+    from confidential_storm_spark.operators.dedup import shared_span_pairs
+
+    text = "a b c d e f"  # two 5-spans: 'a b c d e', 'b c d e f'
+    docs = _docs(spark, [(1, text), (2, text)])
+    rows = shared_span_pairs(docs, span_n=5, max_span_df=None).collect()
+    assert len(rows) == 1 and rows[0]["n_shared_spans"] == 2
+
+
+def test_shared_span_pairs_short_docs_emit_nothing(spark):
+    from confidential_storm_spark.operators.dedup import shared_span_pairs
+
+    docs = _docs(spark, [(1, "only four words here"), (2, "only four words here")])
+    assert shared_span_pairs(docs, span_n=5).count() == 0
+
+
+def test_shared_span_pairs_df_cap_bounds_hot_span(spark):
+    from confidential_storm_spark.operators.dedup import shared_span_pairs
+
+    # one boilerplate span in 30 docs -> 435 pairs uncapped; the cap
+    # drops the hot span from the postings entirely
+    docs = _docs(spark, [(i, "common header line repeated verbatim") for i in range(30)])
+    assert shared_span_pairs(docs, span_n=5, max_span_df=None).count() == 435
+    assert shared_span_pairs(docs, span_n=5, max_span_df=10).count() == 0

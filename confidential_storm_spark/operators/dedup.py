@@ -413,11 +413,19 @@ def ngram_jaccard_pairs(
             )
         )
     else:
+        # join on a 64-bit hash of the shingle, not the string: the
+        # self-join is the dominant cost (sum of df^2 rows), and long
+        # keys sort/compare/shuffle several times cheaper than ~20-char
+        # strings.  Shared counts are unchanged absent an xxhash64
+        # collision between two distinct shingles of one doc pair
+        # (P ~ n_distinct^2 / 2^64 — immaterial below ~10^8 distinct
+        # shingles; the md5-verified prefix_filter path stays exact).
+        hashed = postings.select("_id", F.xxhash64("shingle").alias("_hs"))
         shared = (
-            postings.alias("a")
+            hashed.alias("a")
             .join(
-                postings.alias("b"),
-                (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")),
+                hashed.alias("b"),
+                (F.col("a._hs") == F.col("b._hs")) & (F.col("a._id") < F.col("b._id")),
             )
             .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("shared"))

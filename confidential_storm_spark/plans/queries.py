@@ -1341,6 +1341,93 @@ def _text_tfidf_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Chunking and corpus statistics
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunks (64 tokens, 16 overlap) — the
+    context-window transform; explode fused with the scan."""
+    from ..operators.chunking import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), CHUNK_TOKENS, CHUNK_OVERLAP
+    ).orderBy("doc_id", "chunk_id")
+
+
+def _chunk_docs_sql() -> str:
+    from ..operators.chunking import chunk_documents_sql
+
+    return (
+        chunk_documents_sql(CHUNK_TOKENS, CHUNK_OVERLAP)
+        + " ORDER BY doc_id, chunk_id"
+    )
+
+
+def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf log-log least-squares fit of the corpus word-frequency
+    spectrum: one row (n_words, slope, intercept).  Rank ties broken
+    by word so both engines rank identically; the regression is the
+    closed-form normal equation over ln(rank)/ln(count)."""
+    w = Window.orderBy(F.desc("_c"), "word")
+    freqs = (
+        explode_words_df(load_table(spark, sf_dir, "documents"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_r", F.row_number().over(w))
+        .select(F.log("_r").alias("_x"), F.log("_c").alias("_y"))
+    )
+    agg = freqs.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    slope = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / F.col("_n")
+    return agg.select(
+        F.col("_n").alias("n_words"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+def explode_words_df(df: DataFrame) -> DataFrame:
+    from ..functions.text import explode_words
+
+    return explode_words(df).select("word")
+
+
+TEXT_ZIPF_SQL = f"""
+WITH _f AS (
+  SELECT w AS word, COUNT(*) AS _c
+  FROM (SELECT unnest({words_sql("text")}) AS w FROM documents)
+  GROUP BY w
+),
+_xy AS (
+  SELECT ln(ROW_NUMBER() OVER (ORDER BY _c DESC, word)) AS _x, ln(_c) AS _y
+  FROM _f
+),
+_s AS (
+  SELECT COUNT(*) AS _n, SUM(_x) AS _sx, SUM(_y) AS _sy,
+         SUM(_x * _y) AS _sxy, SUM(_x * _x) AS _sxx
+  FROM _xy
+)
+SELECT _n AS n_words,
+       ROUND((_n * _sxy - _sx * _sy) / (_n * _sxx - _sx * _sx), 6) AS slope,
+       ROUND((_sy - (_n * _sxy - _sx * _sy) / (_n * _sxx - _sx * _sx) * _sx) / _n, 6)
+           AS intercept
+FROM _s
+"""
+
+
+# ---------------------------------------------------------------------------
 # Span-level dedup
 # ---------------------------------------------------------------------------
 
@@ -1726,6 +1813,18 @@ QUERIES["text_tfidf"] = QueryDef(
     _text_tfidf_sql(),
     "sparse TF-IDF weights per (doc, term)",
     "ranking",
+)
+QUERIES["chunk_docs"] = QueryDef(
+    chunk_docs,
+    _chunk_docs_sql(),
+    "sliding-window token chunking (64/16 overlap)",
+    "training-data",
+)
+QUERIES["text_zipf"] = QueryDef(
+    text_zipf,
+    TEXT_ZIPF_SQL,
+    "Zipf log-log fit of the word-frequency spectrum",
+    "training-data",
 )
 QUERIES["dedup_spans"] = QueryDef(
     dedup_spans,

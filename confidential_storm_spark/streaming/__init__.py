@@ -15,6 +15,7 @@ from .keyed import (
 )
 from .stateful import (
     bound_contributions_stream,
+    dedup_stream,
     bound_contributions_stream_keyed,
     dp_histogram_stream,
     replay_filter_stream,
@@ -22,6 +23,7 @@ from .stateful import (
 
 __all__ = [
     "bound_contributions_stream",
+    "dedup_stream",
     "bound_contributions_stream_keyed",
     "dp_histogram_stream",
     "dp_histogram_stream_keyed",

@@ -40,6 +40,7 @@ __all__ = [
     "bound_contributions_stream",
     "bound_contributions_stream_keyed",
     "replay_filter_stream",
+    "dedup_stream",
 ]
 
 
@@ -284,3 +285,30 @@ def replay_filter_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    watermark: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Streaming exact content dedup: the FIRST occurrence of each
+    text digest is emitted, later occurrences (same batch or any later
+    micro-batch) are dropped.
+
+    Spark-first: this is exactly streaming ``dropDuplicates`` keyed on
+    the content digest — the state store holds one row per distinct
+    digest, checkpointed and recovered with the query.  Without a
+    watermark the state grows with distinct content forever (the honest
+    semantics of whole-corpus dedup); pass
+    ``watermark=(ts_col, "24 hours")`` to bound state for
+    dup-within-horizon semantics.
+    """
+    digest = F.md5(F.col(text_col))
+    out = docs.withColumn("_digest", digest)
+    keys = ["_digest"]
+    if watermark is not None:
+        ts_col, delay = watermark
+        out = out.withWatermark(ts_col, delay)
+        keys = ["_digest", ts_col]
+    return out.dropDuplicates(keys).drop("_digest")

@@ -287,3 +287,22 @@ def test_streaming_bounding_keyed_matches_bucketed(stream_reader):
     assert u1 == [0, 1, 2, 10]
     assert [r["seq"] for r in rows if r["user_id"] == "u2"] == [99]
     assert sorted(r["seq"] for r in rows if r["user_id"] is None) == [50]
+
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(stream_reader):
+    from confidential_storm_spark.streaming import dedup_stream
+
+    batches = [
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        [(4, "alpha beta"), (5, "epsilon zeta")],
+        [(6, "gamma delta"), (7, "eta theta")],
+    ]
+    out: list = []
+    _run_stream(dedup_stream(stream_reader(batches, DOC_SCHEMA)), out, mode="append")
+    emitted = sorted(r["doc_id"] for _, rows in out for r in rows)
+    # one survivor per distinct text, first occurrence wins, state
+    # persists across micro-batches
+    assert emitted == [1, 2, 5, 7]

@@ -302,13 +302,18 @@ def dedup_stream(
     watermark the state grows with distinct content forever (the honest
     semantics of whole-corpus dedup); pass
     ``watermark=(ts_col, "24 hours")`` to bound state for
-    dup-within-horizon semantics.
+    dup-within-horizon semantics (same-digest rows arriving within the
+    watermark delay of the first occurrence are dropped regardless of
+    their exact event time; state for a digest is evicted once the
+    watermark passes it).
     """
     digest = F.md5(F.col(text_col))
     out = docs.withColumn("_digest", digest)
-    keys = ["_digest"]
     if watermark is not None:
         ts_col, delay = watermark
         out = out.withWatermark(ts_col, delay)
-        keys = ["_digest", ts_col]
-    return out.dropDuplicates(keys).drop("_digest")
+        # dropDuplicates(["_digest", ts_col]) would only drop rows with an
+        # IDENTICAL (digest, timestamp) pair; within-horizon dedup needs
+        # the watermark-scoped operator keyed on the digest alone.
+        return out.dropDuplicatesWithinWatermark(["_digest"]).drop("_digest")
+    return out.dropDuplicates(["_digest"]).drop("_digest")

@@ -306,3 +306,40 @@ def test_streaming_dedup_drops_cross_batch_duplicates(stream_reader):
     # one survivor per distinct text, first occurrence wins, state
     # persists across micro-batches
     assert emitted == [1, 2, 5, 7]
+
+
+DOC_TS_SCHEMA = "doc_id long, text string, ts timestamp"
+
+
+def test_streaming_dedup_watermark_dedups_within_horizon(stream_reader):
+    """Watermark form: same-content rows at DIFFERENT event times inside
+    the horizon are still dropped (dropDuplicatesWithinWatermark keyed
+    on the digest alone); once the watermark passes a digest its state
+    is evicted and the content can be emitted again."""
+    import datetime as dt
+
+    from confidential_storm_spark.streaming import dedup_stream
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+    batches = [
+        # doc 2 is a dup of doc 1 at a different event time, 5 s later —
+        # inside the 10 s horizon, so it must be dropped
+        [(1, "alpha beta", t(0)), (2, "alpha beta", t(5))],
+        # advances the watermark (to 90 s as of the NEXT batch)
+        [(3, "new content", t(100))],
+        # runs with watermark 90 s; the expired "alpha beta" state
+        # (expires at 0+10 s) is evicted when this batch commits
+        [(9, "filler", t(110))],
+        # same content far past the horizon, state evicted: emitted again
+        [(4, "alpha beta", t(120))],
+    ]
+    out: list = []
+    _run_stream(
+        dedup_stream(
+            stream_reader(batches, DOC_TS_SCHEMA), watermark=("ts", "10 seconds")
+        ),
+        out,
+        mode="append",
+    )
+    emitted = sorted(r["doc_id"] for _, rows in out for r in rows)
+    assert emitted == [1, 3, 4, 9]

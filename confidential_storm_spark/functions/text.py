@@ -67,7 +67,9 @@ def token_count(text: Column) -> Column:
     return F.size(words(text))
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Quality-scoring features for training-data filtering:
     token count, mean token length, stopword ratio, alpha ratio."""
     ws = words(F.col(text_col))
@@ -77,7 +79,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(F.col(text_col))
     n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
     return df.select(
-        "doc_id",
+        id_col,
         n_tokens.alias("n_tokens"),
         F.round(
             F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
@@ -188,7 +190,12 @@ ORDER BY t.doc_id
 """
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
     """Keyword-marker language ID: score = number of marker-word hits
     per language; argmax with deterministic tie-break order."""
     ws = words(F.col(text_col))
@@ -198,7 +205,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         for lang, markers in LANG_MARKERS.items()
     ]
-    scored = df.select("doc_id", "lang", *scores)
+    scored = df.select(id_col, lang_col, *scores)
     # argmax via greatest + chained when (first language in LANG_MARKERS
     # order wins ties)
     langs = list(LANG_MARKERS)
@@ -208,8 +215,8 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         cond = F.col(f"score_{lang}") == best
         pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
     return scored.select(
-        "doc_id",
-        F.col("lang").alias("true_lang"),
+        id_col,
+        F.col(lang_col).alias("true_lang"),
         pred.alias("pred_lang"),
         best.alias("best_score"),
     )

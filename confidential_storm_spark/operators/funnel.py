@@ -44,6 +44,7 @@ def curation_funnel(
     min_chars: int = FUNNEL_DEFAULTS["min_chars"],
     text_col: str = "text",
     id_col: str = "doc_id",
+    lang_col: str = "lang",
 ) -> DataFrame:
     """Stage-wise survivor counts ``(stage_idx, stage, n_docs)`` for
     the pipeline input -> lang_match -> quality -> repetition ->
@@ -54,8 +55,10 @@ def curation_funnel(
     min-id exemplar of each exact text; each stage filters the
     previous stage's survivors.
     """
-    lang = lang_id(df, text_col).select(id_col, "pred_lang")
-    qual = quality_features(df, text_col).select(
+    lang = lang_id(df, text_col, id_col=id_col, lang_col=lang_col).select(
+        id_col, "pred_lang"
+    )
+    qual = quality_features(df, text_col, id_col=id_col).select(
         id_col, "n_tokens", "alpha_ratio"
     )
     rep = repetition_signals(df, text_col, id_col).select(
@@ -68,7 +71,7 @@ def curation_funnel(
         .select(F.col("_keep").alias(id_col), F.lit(True).alias("_is_exemplar"))
     )
     feats = (
-        df.select(id_col, F.col("lang").alias("_lang"), F.length(text_col).alias("_nc"))
+        df.select(id_col, F.col(lang_col).alias("_lang"), F.length(text_col).alias("_nc"))
         .join(lang, id_col)
         .join(qual, id_col)
         .join(rep, id_col)

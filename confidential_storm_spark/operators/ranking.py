@@ -59,6 +59,8 @@ def bm25_topk(
     Returns ``(doc_id, bm25)`` ordered by score desc then id (the id
     tiebreak makes the k-boundary deterministic across engines).
     """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
     docs = _doc_lengths(df, text_col, id_col)
     # corpus scalars: one row, broadcast — never joins the postings
     stats = docs.agg(
@@ -98,6 +100,9 @@ def bm25_topk_sql(
 ) -> str:
     """DuckDB twin of :func:`bm25_topk` (identical tokenizer, idf,
     rounding, and tiebreak)."""
+    if not query_terms:
+        # the Spark twin raises too; an empty IN () is a SQL syntax error
+        raise ValueError("bm25_topk_sql: query_terms must be non-empty")
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
     ws = words_sql(text_col)
     return f"""

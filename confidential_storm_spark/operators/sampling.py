@@ -146,6 +146,8 @@ def split_assign(
     {train .8, val .1, test .1} is airtight).  Pure expression:
     codegens fused with the scan, no shuffle, no RNG state.
     """
+    if not splits:
+        raise ValueError("split_assign: splits must be non-empty")
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8),
         16,
@@ -174,10 +176,17 @@ def split_assign_sql(
         f"(CAST('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 8) "
         f"AS BIGINT) % {_MOD})"
     )
+    if not splits:
+        raise ValueError("split_assign_sql: splits must be non-empty")
+    q = lambda s: "'" + s.replace("'", "''") + "'"
     names = list(splits)
+    if len(names) == 1:
+        # a CASE with zero WHENs is a syntax error; everything lands in
+        # the single split (same as the Spark expression)
+        return q(names[0])
     acc = 0
     whens = []
     for name, w in list(splits.items())[:-1]:
         acc += int(round(w * _MOD))
-        whens.append(f"WHEN {h} < {acc} THEN '{name}'")
-    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+        whens.append(f"WHEN {h} < {acc} THEN {q(name)}")
+    return "CASE " + " ".join(whens) + f" ELSE {q(names[-1])} END"

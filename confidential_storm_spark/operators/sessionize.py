@@ -11,10 +11,10 @@ no additional exchange.  At 100 TB this is the minimal-movement plan:
 each user's timeline lands on one task, and no task ever holds more
 than one user's events in the sort buffer spill unit.
 
-Time is handled in epoch MICROseconds on both engines (the events
-parquet is TIMESTAMP(NANOS); Spark reads long nanos, DuckDB reads
-micro precision — see TESTDATA notes), so gap arithmetic is exact
-cross-engine integer math.
+Time is handled in epoch MICROseconds on both engines (``ts`` is
+normalized by ``sources.tables.ts_to_micros`` whatever the parquet
+representation; DuckDB sees micro precision natively), so gap
+arithmetic is exact cross-engine integer math.
 """
 
 from __future__ import annotations
@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, ts_to_micros
 
 __all__ = ["sessionize", "session_stats", "session_stats_sql"]
 
@@ -53,10 +53,11 @@ def session_stats(
 ) -> DataFrame:
     """Per-session summary over the events table: bounds, size, value
     total, duration."""
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
         "event_id",
         "user_id",
-        F.expr("ts div 1000").alias("ts_us"),  # long nanos -> micros
+        ts_to_micros(ev).alias("ts_us"),
         "value",
     )
     return (

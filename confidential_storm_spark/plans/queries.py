@@ -40,7 +40,7 @@ from ..operators.dp_batch import DPParams, dp_histogram_batch
 from ..operators.histogram import histogram_release, merge_partials, utility_metrics, ground_truth
 from ..operators.similarity import brute_force_topk, lsh_ann_topk
 from ..functions.security import replay_filter, stamp_sequence, validate_routes
-from ..sources.tables import CONTRIBUTIONS_SQL, contributions_view, load_table
+from ..sources.tables import CONTRIBUTIONS_SQL, contributions_view, load_table, ts_to_micros
 
 # DP fixture parameters used by the event queries
 DP_C = 32          # max contributions per user
@@ -234,6 +234,9 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     any skew (AQE splits hot users' sort spill, not a join explosion).
     The DuckDB oracle is its native ASOF LEFT JOIN."""
     ev = load_table(spark, sf_dir, "events")
+    # micros on both engines: DuckDB's ASOF compares native TIMESTAMP
+    # (micro precision), so do the as-of ordering in epoch micros
+    ev = ev.withColumn("ts", ts_to_micros(ev))
     # deduplicate views per (user, ts) so the as-of match is
     # deterministic under timestamp collisions (both engines)
     views = (
@@ -272,17 +275,14 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "purchase_event_id",
             F.col("_v_id").alias("view_event_id"),
-            # floor each side to micros BEFORE subtracting: DuckDB reads
-            # the TIMESTAMP_NS column at micro precision, so the oracle
-            # can only see micro-floored operands
-            F.expr("(ts div 1000) - (_v_ts div 1000)").alias("lag_us"),
+            (F.col("ts") - F.col("_v_ts")).alias("lag_us"),
         )
         .orderBy("purchase_event_id")
     )
 
 
-# ts is long nanos on the Spark side and TIMESTAMP_NS in DuckDB; both
-# compute the lag as floor(nanos_diff / 1000)
+# the Spark side works in epoch micros (ts_to_micros); DuckDB's
+# epoch_us over its native TIMESTAMP is the identical value
 Q_ASOF_SQL = """
 WITH v AS (
   SELECT user_id, ts, MAX(event_id) AS view_event_id
@@ -1481,16 +1481,16 @@ def _split_counts_sql() -> str:
     )
 
 
-_6H_NS = 6 * 3600 * 1_000_000_000
+_6H_US = 6 * 3600 * 1_000_000
 
 
-def _win_start(col, width_ns: int):
-    # events.ts is LONG NANOS (TIMESTAMP(NANOS) parquet, see
-    # load_table); epoch-aligned tumbling window floor in exact
-    # integer arithmetic, emitted as a timestamp — the same alignment
-    # F.window and DuckDB time_bucket use for hour-multiple widths
-    floor_ns = col - (col % F.lit(width_ns))
-    return F.timestamp_micros((floor_ns / 1000).cast("long"))
+def _win_start(micros_col, width_us: int):
+    # epoch-aligned tumbling window floor in exact long micros
+    # arithmetic (input from ts_to_micros), emitted as a timestamp —
+    # the same alignment F.window and DuckDB time_bucket use for
+    # hour-multiple widths.  pmod (not %) so pre-epoch negative
+    # micros floor DOWN like time_bucket.
+    return F.timestamp_micros(micros_col - F.pmod(micros_col, F.lit(width_us)))
 
 
 def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1501,7 +1501,7 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            _win_start(F.col("ts"), _6H_NS).alias("window_start"),
+            _win_start(ts_to_micros(ev), _6H_US).alias("window_start"),
             F.col("event_type"),
         )
         .agg(
@@ -1529,7 +1529,7 @@ def q_event_windows_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated inline (explode of the two starts), then one aggregation;
     the oracle unnests the same candidate starts."""
     ev = load_table(spark, sf_dir, "events")
-    base = _win_start(F.col("ts"), _6H_NS)
+    base = _win_start(ts_to_micros(ev), _6H_US)
     starts = F.array(base, base - F.expr("INTERVAL 6 HOURS"))
     return (
         ev.select(F.explode(starts).alias("window_start"))

@@ -14,7 +14,7 @@ only the referenced columns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TABLES = (
@@ -41,13 +41,30 @@ NUM_PRODUCERS = 4
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects
-        # unless read as long nanos.  Set the (runtime-settable) conf
-        # here so the engine works on ANY caller-provided session, not
-        # just ones built by session.get_spark — the driver passes its
-        # own session into entry()/queries().
+        # events.parquet has stored ts as TIMESTAMP(NANOS) in some
+        # driver generations (Spark 4 rejects that unless read as long
+        # nanos) and plain timestamp[us] in others.  Keep the legacy
+        # conf set so nanos files load on ANY caller-provided session;
+        # downstream code dispatches on the actual dtype via
+        # :func:`ts_to_micros`.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ts_to_micros(df: DataFrame, ts_col: str = "ts") -> Column:
+    """``events.ts`` as epoch MICROSECONDS (long), whatever the
+    parquet presents: plain ``timestamp[us]`` (read as TIMESTAMP_NTZ —
+    the current driver data) or legacy TIMESTAMP(NANOS) read as long
+    nanos.  The NTZ branch is naive epoch arithmetic (timezone-free),
+    exactly the value DuckDB's ``epoch_us(ts)`` computes, so oracles
+    agree regardless of session timezone."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema[ts_col].dataType, LongType):
+        return F.expr(f"{ts_col} div 1000")
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -78,11 +95,10 @@ def contributions_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ref AbstractUserContributionBoundingServiceProvider.java:103-105).
     """
     ev = load_table(spark, sf_dir, "events")
-    # ts arrives as long nanoseconds (see session.py nanosAsLong);
-    # convert to a microsecond timestamp — the driver's generator works
-    # at microsecond granularity, so ordering matches the oracle's
-    # native TIMESTAMP_NS ordering
-    event_time = F.timestamp_micros(F.expr("ts div 1000"))
+    # normalize ts (timestamp[us] or legacy long nanos) to a
+    # microsecond timestamp — the granularity DuckDB's native
+    # TIMESTAMP sees, so ordering matches the oracle exactly
+    event_time = F.timestamp_micros(ts_to_micros(ev))
     return ev.select(
         F.col("event_id"),
         F.col("user_id").cast("string").alias("user_id"),

@@ -57,3 +57,23 @@ def test_funnel_single_aggregation_plan(spark):
     # crucially NO per-stage scans: the documents relation is read a
     # bounded number of times (features), not once per stage
     assert plan.count("LocalRelation") + plan.count("LogicalRDD") <= 6
+
+
+def test_funnel_non_default_column_names(spark):
+    """id_col / text_col / lang_col are threaded through every stage
+    (they were once silently hardcoded to doc_id/lang)."""
+    from confidential_storm_spark.operators.funnel import curation_funnel
+
+    docs = _docs(
+        spark, [(1, GOOD_EN, "en"), (2, GOOD_EN, "en"), (3, "xx yy", "en")]
+    ).select(
+        F.col("doc_id").alias("docid"),
+        F.col("text").alias("body"),
+        F.col("lang").alias("language"),
+    )
+    rows = curation_funnel(
+        docs, text_col="body", id_col="docid", lang_col="language"
+    ).collect()
+    counts = {r["stage"]: r["n_docs"] for r in rows}
+    assert counts["input"] == 3
+    assert counts["dedup"] == 1

@@ -75,3 +75,13 @@ def test_tfidf_weights_and_min_df(spark):
     assert by_key[(1, "the")]["tfidf"] == pytest.approx(
         round(math.log(4 / 2), 6)
     )
+
+
+def test_bm25_empty_query_terms_raises_in_both_engines(spark):
+    from confidential_storm_spark.operators.ranking import bm25_topk, bm25_topk_sql
+
+    docs = _docs(spark, CORPUS)
+    with pytest.raises(ValueError):
+        bm25_topk(docs, [])
+    with pytest.raises(ValueError):
+        bm25_topk_sql([])

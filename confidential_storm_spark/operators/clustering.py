@@ -95,13 +95,18 @@ def kmeans_fit(
     (deterministic), ``iters`` assignment/update rounds.  Returns
     ``(cids, centroids)`` — cluster ids ascending and their k' x d
     float64 centers (k' <= k if clusters emptied)."""
+    # Lloyd's re-reads the vectors every iteration: materialize the
+    # (id, vec) projection ONCE so the scan/shuffle above it isn't
+    # re-executed per round — the canonical cache-before-iterate
+    # pattern for iterative algorithms on Spark.
+    vecs = df.select(id_col, vec_col).localCheckpoint(eager=True)
     seed_rows = (
-        df.orderBy(id_col).limit(k).select(vec_col).collect()
+        vecs.orderBy(id_col).limit(k).select(vec_col).collect()
     )  # TakeOrdered: no full sort
     C = np.array([r[0] for r in seed_rows], dtype=np.float64)
     cids = np.arange(len(C), dtype=np.int64)
     for _ in range(iters):
-        assigned = kmeans_assign(df, cids, C, vec_col=vec_col)
+        assigned = kmeans_assign(vecs, cids, C, vec_col=vec_col)
         parts = _partial_sums(assigned, vec_col)
         merged = parts.groupby("cluster", sort=True).agg(
             cnt=("cnt", "sum"), sums=("sums", lambda s: np.sum(np.stack(s.to_numpy()), axis=0))

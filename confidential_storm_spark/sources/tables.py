@@ -39,6 +39,23 @@ EPOCH_ORIGIN = "2024-01-01"
 NUM_PRODUCERS = 4
 
 
+# Compute-heavy tables whose scans should span every core.  A small
+# parquet (single row group) arrives as ONE input split, which would
+# run all downstream expression work on one core; repartition to the
+# session's parallelism when that happens.  At warehouse scale the
+# scan itself provides >= defaultParallelism splits and this never
+# fires — the check is driver-side plan inspection, not a job.
+# Only the table dominated by interpreted higher-order expressions /
+# Arrow UDFs (text shingling, per-gram hashing) is spread: there the
+# per-row cost dwarfs one narrow shuffle.  Scan-aggregate tables
+# (lineitem/orders/events), the embeddings table (vectorized numpy
+# over few MB — fan-out overhead beats the win), and broadcast-side
+# dimensions are left alone — whole-stage codegen chews through a
+# single split faster than the extra exchange pays back at bench
+# scale.
+_SPREAD_TABLES = {"documents"}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet has stored ts as TIMESTAMP(NANOS) in some
@@ -48,7 +65,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # downstream code dispatches on the actual dtype via
         # :func:`ts_to_micros`.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _SPREAD_TABLES:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 def ts_to_micros(df: DataFrame, ts_col: str = "ts") -> Column:

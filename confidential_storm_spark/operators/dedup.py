@@ -46,6 +46,10 @@ __all__ = [
     "neardup_clusters",
     "shared_span_pairs",
     "shared_span_pairs_sql",
+    "span_dup_fraction",
+    "span_dup_fraction_sql",
+    "incremental_dedup",
+    "incremental_dedup_sql",
 ]
 
 # ASCII word-character split: Java regex \W and DuckDB's RE2 \W are
@@ -847,7 +851,10 @@ def connected_components(
                     "_changed"
                 ),
             )
-            .localCheckpoint()  # eager: one job per round, flat lineage
+            # non-eager: the convergence count below is the action that
+            # materializes the checkpoint — ONE job per round, flat
+            # lineage either way
+            .localCheckpoint(eager=False)
         )
         changed = updated.filter(F.col("_changed")).count()
         labels = updated.drop("_changed")
@@ -961,4 +968,159 @@ _post AS (SELECT DISTINCT _id,
 SELECT a._id AS id_a, b._id AS id_b, COUNT(*) AS n_shared_spans
 FROM _post a JOIN _post b ON a._h = b._h AND a._id < b._id
 GROUP BY a._id, b._id
+"""
+
+
+def _span_postings(
+    df: DataFrame, text_col: str, id_col: str, span_n: int
+) -> DataFrame:
+    """Distinct ``(_id, _h)`` postings of 60-bit hashed ``span_n``-word
+    runs (shared by :func:`shared_span_pairs` and
+    :func:`span_dup_fraction`)."""
+    ws = words(F.col(text_col))
+    spans = F.when(
+        F.size(ws) >= span_n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - span_n + 1),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, span_n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("_id"), F.explode(F.array_distinct(spans)).alias("_s"))
+        .select(
+            "_id",
+            F.conv(F.substring(F.md5(F.col("_s")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("_h"),
+        )
+        .distinct()
+    )
+
+
+def span_dup_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_n: int = 5,
+) -> DataFrame:
+    """Per-document duplicated-span signal: for each doc, the fraction
+    of its distinct ``span_n``-word runs that also occur in at least
+    one OTHER document — the doc-level filter metric behind span-level
+    dedup (Lee et al. 2021, arXiv:2107.06499: drop or down-weight docs
+    dominated by corpus-duplicated spans).  Returns
+    ``(doc_id, n_spans, dup_spans, dup_frac)`` for EVERY doc (docs
+    shorter than ``span_n`` words have ``n_spans = 0, dup_frac = 0``).
+
+    Plan: distinct (doc, span-hash) postings -> span document
+    frequency (one groupBy on the hash — uniform, no skew) -> joined
+    back to the postings -> per-doc aggregation.  Two shuffles total,
+    both on keys with bounded fan-in; never pairwise."""
+    postings = _span_postings(df, text_col, id_col, span_n)
+    span_df = postings.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        postings.join(span_df, "_h")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("_df") >= 2).cast("long")).alias("dup_spans"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, df[id_col] == per_doc._id, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+            F.round(
+                F.coalesce("dup_spans", F.lit(0))
+                / F.greatest(F.coalesce("n_spans", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def span_dup_fraction_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_n: int = 5,
+) -> str:
+    """DuckDB twin of :func:`span_dup_fraction`."""
+    ws = words_sql(text_col)
+    return f"""
+WITH _w AS (SELECT {id_col} AS _id, {ws} AS ws FROM {table}),
+_spans AS (
+  SELECT _id, unnest(list_distinct(
+           CASE WHEN len(ws) >= {span_n}
+                THEN list_transform(range(1, len(ws) - {span_n} + 2),
+                                    i -> array_to_string(ws[i:i+{span_n}-1], ' '))
+                ELSE [] END)) AS _s
+  FROM _w
+),
+_post AS (SELECT DISTINCT _id,
+                 CAST('0x' || substr(md5(_s), 1, 15) AS BIGINT) AS _h
+          FROM _spans),
+_df AS (SELECT _h, COUNT(*) AS _df FROM _post GROUP BY _h),
+_doc AS (
+  SELECT _id, COUNT(*) AS n_spans,
+         SUM(CASE WHEN _df >= 2 THEN 1 ELSE 0 END) AS dup_spans
+  FROM _post JOIN _df USING (_h) GROUP BY _id
+)
+SELECT d.{id_col},
+       CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(dup_spans, 0) AS BIGINT) AS dup_spans,
+       ROUND(COALESCE(dup_spans, 0) / GREATEST(COALESCE(n_spans, 0), 1), 6) AS dup_frac
+FROM {table} d LEFT JOIN _doc ON d.{id_col} = _doc._id
+"""
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: survivors of a NEW batch against a
+    frozen corpus — the shape every recurring ingestion run executes
+    (dedup today's crawl against everything already kept).
+
+    A batch doc survives iff its content digest does not exist in the
+    corpus; within the batch the min-id exemplar per digest wins.
+    Returns ``(digest, survivor_id, n_copies)`` like
+    :func:`exact_dedup` (``n_copies`` counts batch-internal copies).
+
+    Plan: the corpus side reduces to its distinct digest index before
+    the anti-join, so both shuffles move digest-width rows; digests
+    are uniform (no skew) and at warehouse scale the digest index is
+    the natural standing artifact to maintain between runs."""
+    corpus_digests = corpus.select(F.md5(F.col(text_col)).alias("digest")).distinct()
+    fresh = (
+        batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .join(corpus_digests, "digest", "left_anti")
+    )
+    return fresh.groupBy("digest").agg(
+        F.min(id_col).alias("survivor_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def incremental_dedup_sql(
+    split_id: int,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`incremental_dedup` for the registry's
+    split-at-``split_id`` corpus/batch partition of ``table``."""
+    return f"""
+WITH corpus AS (SELECT DISTINCT md5({text_col}) AS digest
+                FROM {table} WHERE {id_col} < {split_id}),
+b AS (SELECT {id_col}, md5({text_col}) AS digest
+      FROM {table} WHERE {id_col} >= {split_id}),
+fresh AS (SELECT b.* FROM b ANTI JOIN corpus USING (digest))
+SELECT digest, MIN({id_col}) AS survivor_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM fresh GROUP BY digest
 """

@@ -1869,6 +1869,105 @@ QUERIES["sketch_cms_words"] = QueryDef(
     "sketches",
 )
 
+# ---------------------------------------------------------------------------
+# round-4 additions: incremental ingestion + corpus n-gram statistics
+# ---------------------------------------------------------------------------
+
+INCR_SPLIT = 250  # corpus = doc_id < split, new batch = doc_id >= split
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup of a new batch against a frozen corpus
+    (the recurring-ingestion shape: dedup today's crawl against
+    everything already kept).  Corpus/batch = the documents table
+    split at doc_id INCR_SPLIT."""
+    from ..operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < INCR_SPLIT)
+    batch = docs.filter(F.col("doc_id") >= INCR_SPLIT)
+    return incremental_dedup(corpus, batch).orderBy("survivor_id")
+
+
+def _dedup_incremental_sql() -> str:
+    from ..operators.dedup import incremental_dedup_sql
+
+    return incremental_dedup_sql(INCR_SPLIT) + " ORDER BY survivor_id"
+
+
+def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span fraction (Lee et al. 2021 doc-level
+    filter metric; the per-doc aggregation of dedup_spans)."""
+    from ..operators.dedup import span_dup_fraction
+
+    return span_dup_fraction(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+def _dedup_span_fraction_sql() -> str:
+    from ..operators.dedup import span_dup_fraction_sql
+
+    return span_dup_fraction_sql() + " ORDER BY doc_id"
+
+
+PMI_K, PMI_MIN_COUNT = 20, 5
+
+
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k adjacent bigrams by PMI (Church & Hanks collocations)."""
+    from ..operators.collocations import collocations_pmi
+
+    return collocations_pmi(
+        load_table(spark, sf_dir, "documents"), k=PMI_K, min_count=PMI_MIN_COUNT
+    )
+
+
+def _text_collocations_sql() -> str:
+    from ..operators.collocations import collocations_pmi_sql
+
+    return collocations_pmi_sql(k=PMI_K, min_count=PMI_MIN_COUNT)
+
+
+def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n n-gram diversity per source (template/boilerplate
+    signature dashboard)."""
+    from ..operators.collocations import ngram_diversity
+
+    return ngram_diversity(load_table(spark, sf_dir, "documents"))
+
+
+def _text_diversity_sql() -> str:
+    from ..operators.collocations import ngram_diversity_sql
+
+    return ngram_diversity_sql()
+
+
+QUERIES["dedup_incremental"] = QueryDef(
+    dedup_incremental,
+    _dedup_incremental_sql(),
+    "new-batch survivors vs frozen corpus (anti-join on digest index)",
+    "training-data",
+)
+QUERIES["dedup_span_fraction"] = QueryDef(
+    dedup_span_fraction,
+    _dedup_span_fraction_sql(),
+    "per-doc duplicated-span fraction (Lee et al. doc-level filter)",
+    "training-data",
+)
+QUERIES["text_collocations"] = QueryDef(
+    text_collocations,
+    _text_collocations_sql(),
+    "top-k PMI collocations (Church & Hanks)",
+    "training-data",
+)
+QUERIES["text_diversity"] = QueryDef(
+    text_diversity,
+    _text_diversity_sql(),
+    "distinct-n n-gram diversity per source",
+    "training-data",
+)
+
 
 def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Build the standing artifacts queries consume — the IVF index

@@ -1,0 +1,93 @@
+"""Round-4 operators: incremental dedup, span-dup fraction, PMI
+collocations, distinct-n diversity (hand-computed semantics; the
+oracle registry covers cross-engine values)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows, schema="doc_id long, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_incremental_dedup_drops_corpus_and_batch_dups(spark):
+    from confidential_storm_spark.operators.dedup import incremental_dedup
+
+    corpus = _docs(spark, [(1, "old news"), (2, "evergreen words")])
+    batch = _docs(
+        spark,
+        [
+            (10, "old news"),        # already in corpus -> dropped
+            (11, "fresh content"),   # new -> survives
+            (12, "fresh content"),   # batch-internal dup -> folded into 11
+            (13, "evergreen words"), # corpus dup -> dropped
+        ],
+    )
+    out = {r["survivor_id"]: r["n_copies"] for r in incremental_dedup(corpus, batch).collect()}
+    assert out == {11: 2}
+
+
+def test_span_dup_fraction_counts_cross_doc_spans(spark):
+    from confidential_storm_spark.operators.dedup import span_dup_fraction
+
+    shared = "one two three four five"          # the only 5-word span of both docs
+    docs = _docs(
+        spark,
+        [
+            (1, shared + " alpha unique tail"),  # spans: 4 total, 1 shared
+            (2, shared),                          # 1 span, shared
+            (3, "totally different words here"), # < 5 words -> 0 spans
+        ],
+    )
+    rows = {r["doc_id"]: r for r in span_dup_fraction(docs).collect()}
+    assert rows[2]["n_spans"] == 1 and rows[2]["dup_spans"] == 1
+    assert rows[2]["dup_frac"] == 1.0
+    assert rows[1]["n_spans"] == 4 and rows[1]["dup_spans"] == 1
+    assert rows[1]["dup_frac"] == 0.25
+    assert rows[3]["n_spans"] == 0 and rows[3]["dup_frac"] == 0.0
+
+
+def test_collocations_pmi_hand_computed(spark):
+    from confidential_storm_spark.operators.collocations import collocations_pmi
+
+    # corpus: "a b" x3, "a c" x1 -> tokens: a=4, b=3, c=1, N=8
+    docs = _docs(spark, [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c")])
+    rows = collocations_pmi(docs, k=5, min_count=1).collect()
+    got = {(r["w1"], r["w2"]): (r["n_pair"], r["pmi"]) for r in rows}
+    assert got[("a", "b")][0] == 3
+    assert got[("a", "b")][1] == pytest.approx(round(math.log(3 * 8 / (4 * 3)), 6))
+    assert got[("a", "c")][0] == 1
+    assert got[("a", "c")][1] == pytest.approx(round(math.log(1 * 8 / (4 * 1)), 6))
+    # both PMIs are ln 2 (tie) -> deterministic (w1, w2) tiebreak
+    assert [(r["w1"], r["w2"]) for r in rows] == [("a", "b"), ("a", "c")]
+
+
+def test_collocations_min_count_filters(spark):
+    from confidential_storm_spark.operators.collocations import collocations_pmi
+
+    docs = _docs(spark, [(1, "a b"), (2, "a b"), (3, "a c")])
+    rows = collocations_pmi(docs, k=5, min_count=2).collect()
+    assert [(r["w1"], r["w2"]) for r in rows] == [("a", "b")]
+
+
+def test_ngram_diversity_hand_computed(spark):
+    from confidential_storm_spark.operators.collocations import ngram_diversity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x x x", "rep"),       # unigrams 4/1 distinct, bigrams 3/1, trigrams 2/1
+            (2, "p q r s", "div"),       # all distinct
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r["source"], r["n"]): r for r in ngram_diversity(docs).collect()}
+    assert rows[("rep", 1)]["total_ngrams"] == 4
+    assert rows[("rep", 1)]["distinct_ngrams"] == 1
+    assert rows[("rep", 2)]["distinct_frac"] == pytest.approx(round(1 / 3, 6))
+    assert rows[("div", 3)]["total_ngrams"] == 2
+    assert rows[("div", 3)]["distinct_ngrams"] == 2
+    assert rows[("div", 1)]["distinct_frac"] == 1.0

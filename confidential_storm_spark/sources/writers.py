@@ -1,0 +1,112 @@
+"""Write-path operators: partitioned layouts, bucketed tables, and
+standing dedup indexes.
+
+The reference's sinks are files and CSV reports (SURVEY §2.2); a
+warehouse-scale pipeline additionally owns its STORAGE LAYOUT — the
+partitioning and bucketing decisions that make the next thousand
+queries cheap.  Three Spark-first writers:
+
+- :func:`write_partitioned` — hive-style ``partitionBy`` parquet with
+  dynamic partition overwrite, so re-running one day / one split only
+  rewrites that partition and readers get partition pruning for free.
+- :func:`write_bucketed` — ``bucketBy`` managed table: joins and
+  aggregations on the bucket key need NO shuffle on the big side
+  (the canonical co-located-join setup; at 100 TB this converts every
+  doc_id-keyed feature join from a shuffle into a local zip).
+- :func:`write_digest_index` / :func:`incremental_dedup_against_index`
+  — the standing exact-dedup digest index maintained between
+  ingestion runs (the persisted twin of
+  ``operators.dedup.incremental_dedup``): append today's new digests,
+  anti-join tomorrow's batch against the lot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "write_partitioned",
+    "write_bucketed",
+    "write_digest_index",
+    "incremental_dedup_against_index",
+]
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("lang",),
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet.  With
+    ``partitionOverwriteMode=dynamic`` an overwrite only replaces the
+    partitions present in ``df`` — the idempotent re-run primitive for
+    per-day / per-split outputs.  Readers filtering on the partition
+    columns prune directories before any I/O."""
+    df.sparkSession.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str = "doc_id",
+    num_buckets: int = 8,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed parquet table: rows are hash-clustered into
+    ``num_buckets`` files by ``bucket_col`` (optionally sorted within
+    each bucket).  Two tables bucketed the same way join on the bucket
+    key with ZERO exchanges — Spark's planner sees the matching output
+    partitioning and skips the shuffle on both sides (plan-asserted in
+    tests).  The layout survives the session: any later reader of the
+    table inherits it."""
+    writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
+def write_digest_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the distinct content-digest index of ``docs`` — the
+    standing artifact an incremental dedup pipeline maintains.  Use
+    ``mode="append"`` after each ingestion run to add the digests of
+    newly kept docs (the index stays query-side distinct)."""
+    (
+        docs.select(F.md5(F.col(text_col)).alias("digest"))
+        .distinct()
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def incremental_dedup_against_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch survivors against a persisted digest index (the
+    read-side of :func:`write_digest_index`): drop batch docs whose
+    digest is already indexed, keep the min-id exemplar per digest
+    within the batch.  Same output contract as
+    ``operators.dedup.incremental_dedup``."""
+    index = spark.read.parquet(index_path).select("digest").distinct()
+    fresh = (
+        batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .join(index, "digest", "left_anti")
+    )
+    return fresh.groupBy("digest").agg(
+        F.min(id_col).alias("survivor_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

@@ -1,0 +1,106 @@
+"""Write-path operators: partitioned layout (pruning + dynamic
+overwrite), bucketed co-located joins (no-shuffle plan), standing
+digest index."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_write_partitioned_prunes_and_dynamic_overwrites(spark, tmp_path):
+    from confidential_storm_spark.sources.writers import write_partitioned
+
+    path = str(tmp_path / "bylang")
+    docs = spark.createDataFrame(
+        [(1, "hello", "en"), (2, "hola", "es"), (3, "world", "en")],
+        "doc_id long, text string, lang string",
+    )
+    write_partitioned(docs, path, ("lang",))
+    assert os.path.isdir(f"{path}/lang=en") and os.path.isdir(f"{path}/lang=es")
+
+    # partition pruning: the es filter reads only the es directory
+    rd = spark.read.parquet(path).filter(F.col("lang") == "es")
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan
+    assert rd.count() == 1
+
+    # dynamic overwrite: rewriting ONE partition leaves the other intact
+    only_es = spark.createDataFrame(
+        [(9, "nueva", "es")], "doc_id long, text string, lang string"
+    )
+    write_partitioned(only_es, path, ("lang",))
+    left = {
+        (r["doc_id"], r["lang"]) for r in spark.read.parquet(path).collect()
+    }
+    assert left == {(1, "en"), (3, "en"), (9, "es")}
+
+
+def test_write_bucketed_join_has_no_exchange(spark, tmp_path):
+    from confidential_storm_spark.sources.writers import write_bucketed
+
+    spark.sql(
+        f"CREATE SCHEMA IF NOT EXISTS bktest LOCATION '{tmp_path}/bktest'"
+    )
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.md5(F.col("id").cast("string")).alias("text")
+    )
+    scores = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("score")
+    )
+    write_bucketed(docs, "bktest.docs_b", "doc_id", num_buckets=4, sort_col="doc_id")
+    write_bucketed(scores, "bktest.scores_b", "doc_id", num_buckets=4, sort_col="doc_id")
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bktest.docs_b").join(
+                spark.table("bktest.scores_b"), "doc_id"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # co-located: matching bucket layouts satisfy the join's
+            # distribution requirement on BOTH sides — no shuffle
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 2000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bktest.docs_b")
+        spark.sql("DROP TABLE IF EXISTS bktest.scores_b")
+        spark.sql("DROP SCHEMA IF EXISTS bktest")
+
+
+def test_digest_index_incremental_runs(spark, tmp_path):
+    from confidential_storm_spark.sources.writers import (
+        incremental_dedup_against_index,
+        write_digest_index,
+    )
+
+    path = str(tmp_path / "digests")
+    day0 = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    write_digest_index(day0, path)
+
+    day1 = spark.createDataFrame(
+        [(10, "seen before"), (11, "brand new"), (12, "brand new")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["survivor_id"]: r["n_copies"]
+        for r in incremental_dedup_against_index(spark, day1, path).collect()
+    }
+    assert out == {11: 2}
+
+    # append day1's kept digests; day2 sees them
+    write_digest_index(day1.filter(F.col("doc_id") == 11), path, mode="append")
+    day2 = spark.createDataFrame(
+        [(20, "brand new"), (21, "newer still")], "doc_id long, text string"
+    )
+    out2 = {
+        r["survivor_id"]: r["n_copies"]
+        for r in incremental_dedup_against_index(spark, day2, path).collect()
+    }
+    assert out2 == {21: 1}

@@ -29,7 +29,17 @@ def main() -> None:
     from confidential_storm_spark.session import get_spark
 
     spark = get_spark(app_name="csspark-bench")
-    spark.range(1).count()  # JVM warm-up
+    # steady-state warm-up (untimed): first-query costs are session
+    # boot, not query cost — exercise codegen, a real parquet scan +
+    # shuffle, and the Arrow python-worker pool once before timing
+    spark.range(1).count()
+    from pyspark.sql.functions import col, pandas_udf
+
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
+        "l_returnflag"
+    ).count().collect()
+    _warm = pandas_udf(lambda s: s, "long")
+    spark.range(10_000).repartition(64).select(_warm(col("id"))).count()
     # standing artifacts (IVF index table, encrypted topology graph):
     # maintained outside the query path, built once if absent
     t0 = time.perf_counter()

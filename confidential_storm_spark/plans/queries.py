@@ -1076,24 +1076,37 @@ ORDER BY id_a, id_b
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs -> CLUSTERS: connected components over the exact
-    n-gram Jaccard pair graph, one survivor per component — the step
-    that turns pairwise dedup into an actual keep/drop decision."""
+    """Near-dup pairs -> CLUSTERS: connected components over the
+    minhash-LSH verified pair graph, one survivor per component — the
+    step that turns pairwise dedup into an actual keep/drop decision.
+
+    The pair stage is the SUBQUADRATIC banded-LSH operator (the one a
+    pipeline actually composes with clustering at scale; candidates
+    are exact-Jaccard verified, so edges are true >= threshold pairs
+    with LSH recall).  ``neardup_clusters`` itself accepts any pair
+    relation — the uncapped exact join remains available and
+    separately oracle-checked as dedup_ngram_jaccard."""
     from ..operators.dedup import neardup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        docs, shingle_n=SHINGLE_N, threshold=NEARDUP_THRESHOLD, max_shingle_df=None
+    pairs = minhash_lsh_pairs(
+        docs,
+        num_hashes=MINHASH_K,
+        bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N,
+        jaccard_threshold=NEARDUP_THRESHOLD,
+        max_bucket_size=None,
     )
     return neardup_clusters(docs, pairs).orderBy("doc_id")
 
 
 def _dedup_clusters_sql() -> str:
-    # the pair CTE is the (already-oracle-checked) exact Jaccard join;
-    # the recursive CTE is min-label transitive closure: reach(id,
-    # label) holds every label reachable through the bidirectional pair
-    # graph; MIN per id == smallest doc id in the component.
-    pair_body = NGRAM_JACCARD_SQL.replace("ORDER BY id_a, id_b", "")
+    # the pair CTE is the (already-oracle-checked) minhash-LSH banded
+    # join with identical recomputed signatures; the recursive CTE is
+    # min-label transitive closure: reach(id, label) holds every label
+    # reachable through the bidirectional pair graph; MIN per id ==
+    # smallest doc id in the component.
+    pair_body = _minhash_sql().replace("ORDER BY id_a, id_b", "")
     return f"""
 WITH RECURSIVE pairs AS ({pair_body}),
 edges AS (

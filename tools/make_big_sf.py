@@ -15,8 +15,9 @@ repairs so the scale-up doesn't degenerate:
   (seeded by (i, vec_id)) — verbatim copies would put cosine-1.0
   twins everywhere.
 
-``events.ts`` is written as TIMESTAMP_NS to match the driver data's
-parquet physical type (the engine reads it via nanosAsLong).
+``events.ts`` keeps the source parquet's representation (the current
+driver generation stores plain timestamp[us]; the engine normalizes
+either representation via ``sources.tables.ts_to_micros``).
 
 Usage: python tools/make_big_sf.py [factor] [dst]
 Defaults: factor=10 (sf1), dst=/tmp/spark_graft_sf1.
@@ -69,25 +70,20 @@ def _stride(con, table: str, key: str) -> str:
 
 
 def _make_events(con, dst: str, factor: int, e_stride: str, u_stride: str) -> None:
-    """Events need a pyarrow writer: the engine reads ``ts`` via
-    nanosAsLong, so the parquet physical type must be
-    TIMESTAMP(NANOS) like the driver's files — DuckDB's COPY silently
-    downgrades TIMESTAMP_NS to micros."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+    """Shifted copies; ``ts`` keeps the source representation (the
+    current driver generation is plain timestamp[us], which DuckDB's
+    COPY preserves)."""
     parts = []
     for i in range(factor):
         parts.append(
             f"SELECT event_id + {i}::BIGINT * ({e_stride}) AS event_id, "
-            f"CAST(ts AS TIMESTAMP_NS) AS ts, "
+            f"ts, "
             f"user_id + {i}::BIGINT * ({u_stride}) AS user_id, "
             f"event_type, value, props FROM '{SRC}/events.parquet'"
         )
-    tbl = con.execute(" UNION ALL ".join(parts)).arrow()
-    ts = tbl.schema.field("ts").type
-    assert pa.types.is_timestamp(ts) and ts.unit == "ns", ts
-    pq.write_table(tbl, f"{dst}/events.parquet", coerce_timestamps=None)
+    con.execute(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{dst}/events.parquet' (FORMAT PARQUET)"
+    )
 
 
 def _make_documents(con, dst: str, factor: int) -> None:

@@ -6,6 +6,7 @@ micro-batch barrier itself; per-enclave operator state (§1.3) -> the
 state store via ``applyInPandasWithState``.
 """
 
+from .curation import curation_filter_stream, quality_predicate
 from .keyed import (
     dp_histogram_stream_keyed,
     prev_epoch_counts_stream,
@@ -23,6 +24,8 @@ from .stateful import (
 
 __all__ = [
     "bound_contributions_stream",
+    "curation_filter_stream",
+    "quality_predicate",
     "dedup_stream",
     "bound_contributions_stream_keyed",
     "dp_histogram_stream",

@@ -343,3 +343,31 @@ def test_streaming_dedup_watermark_dedups_within_horizon(stream_reader):
     )
     emitted = sorted(r["doc_id"] for _, rows in out for r in rows)
     assert emitted == [1, 3, 4, 9]
+
+
+def test_streaming_curation_filter(stream_reader):
+    """Stateless quality predicates + stateful dedup on a live stream:
+    short / non-alpha / repetitive docs drop at the gate, cross-batch
+    exact dups drop at the digest store, survivors keep their schema."""
+    from confidential_storm_spark.streaming import curation_filter_stream
+
+    good = (
+        "the quick brown fox jumps over that lazy dog near an order of owls "
+        "and then runs far away into one green forest table where many small "
+        "animals live happily together under big trees beside quiet rivers "
+        "watching bright stars"
+    )
+    batches = [
+        [(1, good), (2, "too short"), (3, "za " * 120)],  # 3: dup-word frac 1
+        [(4, good), (5, good + " fresh tail of extra words here")],
+    ]
+    out: list = []
+    _run_stream(
+        curation_filter_stream(stream_reader(batches, DOC_SCHEMA)),
+        out,
+        mode="append",
+    )
+    emitted = sorted(r["doc_id"] for _, rows in out for r in rows)
+    # 2 fails min_tokens/min_chars, 3 fails dup_word_frac, 4 is an
+    # exact dup of 1 from the previous micro-batch
+    assert emitted == [1, 5]

@@ -40,6 +40,14 @@ def main() -> None:
     ).count().collect()
     _warm = pandas_udf(lambda s: s, "long")
     spark.range(10_000).repartition(64).select(_warm(col("id"))).count()
+    # grouped-map (applyInPandas) workers and window machinery warm
+    # up separately from scalar pandas UDFs
+    from pyspark.sql import Window
+    from pyspark.sql.functions import sum as fsum
+
+    wdf = spark.range(2048).select((col("id") % 32).alias("b"), col("id").alias("v"))
+    wdf.groupBy("b").applyInPandas(lambda pdf: pdf.head(1), "b long, v long").count()
+    wdf.select(fsum("v").over(Window.partitionBy("b").orderBy("v"))).count()
     # standing artifacts (IVF index table, encrypted topology graph):
     # maintained outside the query path, built once if absent
     t0 = time.perf_counter()

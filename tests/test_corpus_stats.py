@@ -91,3 +91,33 @@ def test_ngram_diversity_hand_computed(spark):
     assert rows[("div", 3)]["total_ngrams"] == 2
     assert rows[("div", 3)]["distinct_ngrams"] == 2
     assert rows[("div", 1)]["distinct_frac"] == 1.0
+
+
+def test_incremental_dedup_differential_vs_exact(spark):
+    """Differential property on a collision-heavy random corpus:
+    incremental survivors == exact_dedup of the batch restricted to
+    digests absent from the corpus."""
+    import random
+
+    from confidential_storm_spark.operators.dedup import exact_dedup, incremental_dedup
+
+    rng = random.Random(7)
+    vocab = ["w%d" % i for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 3)))) for i in range(200)
+    ]
+    corpus = _docs(spark, rows[:80])
+    batch = _docs(spark, rows[80:])
+    got = {
+        (r["digest"], r["survivor_id"], r["n_copies"])
+        for r in incremental_dedup(corpus, batch).collect()
+    }
+    corpus_digests = {
+        r["digest"] for r in exact_dedup(corpus).select("digest").collect()
+    }
+    expect = {
+        (r["digest"], r["survivor_id"], r["n_copies"])
+        for r in exact_dedup(batch).collect()
+        if r["digest"] not in corpus_digests
+    }
+    assert got == expect and len(got) > 0

@@ -1,0 +1,52 @@
+"""Plan-pinning tests: the physical-plan properties PLANS.md claims
+for the headline queries, asserted so regressions (a lost pushdown, an
+accidental extra exchange, a broadcast that stopped firing) fail CI
+instead of silently costing 10x at scale."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, sf_dir):
+    from confidential_storm_spark.plans.queries import q1_pricing_summary
+
+    plan = _plan(q1_pricing_summary(spark, sf_dir))
+    # date predicate reaches the parquet scan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # projection pruned: the scan must not read all 11 lineitem columns
+    read = plan.split("ReadSchema")[1][:400]
+    assert "l_comment" not in read and "l_orderkey" not in read
+
+
+def test_q3_broadcasts_small_sides_and_takeordered(spark, sf_dir):
+    from confidential_storm_spark.plans.queries import q3_top_revenue
+
+    plan = _plan(q3_top_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # top-k compiles to TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dp_bounded_histogram_exchange_budget(spark, sf_dir):
+    """The flagship pipeline needs exactly three exchanges (user
+    window, key agg, release sort) — an extra one means a lost
+    partitioning reuse."""
+    from confidential_storm_spark.plans.queries import dp_bounded_histogram
+
+    plan = _plan(dp_bounded_histogram(spark, sf_dir))
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 3, plan
+
+
+def test_wordcount_partial_aggregation(spark, sf_dir):
+    """The explode+count pipeline must partial-aggregate map-side:
+    two HashAggregates (partial, final) around one exchange."""
+    from confidential_storm_spark.plans.queries import wordcount_histogram
+
+    plan = _plan(wordcount_histogram(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2

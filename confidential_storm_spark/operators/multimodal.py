@@ -492,3 +492,132 @@ def sample_video_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(sample, schema=out_schema)
+
+
+def _wav_mono(data: bytes) -> tuple[int, np.ndarray]:
+    """PCM WAV -> (sample_rate, mono float64 in [-1, 1]); channels
+    averaged."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a PCM WAV")
+    with wave.open(io.BytesIO(data)) as wf:
+        sr, nf, sw, nch = (
+            wf.getframerate(), wf.getnframes(), wf.getsampwidth(), wf.getnchannels()
+        )
+        raw = wf.readframes(nf)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sw]
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sw == 1:
+        x -= 128.0
+    x /= float(1 << (8 * sw - 1))
+    if nch > 1:
+        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return sr, x
+
+
+def audio_spectral_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    n_bands: int = 8,
+    strict: bool = False,
+) -> DataFrame:
+    """Frequency-domain audio features (REAL, numpy rfft over the full
+    mono signal): spectral centroid and 85% rolloff in Hz, plus
+    ``n_bands`` relative band energies over [0, sr/2] — the compact
+    spectral signature a pipeline uses for audio dedup/quality
+    bucketing.  Deterministic (no windowing randomness); malformed or
+    compressed payloads degrade to ``decode_ok=false`` (or raise with
+    ``strict``), never task failures.
+
+    Scale shape: Arrow-batched ``mapInPandas`` over (id, payload) —
+    pruned scan, no shuffle, linear in total audio bytes."""
+    out_schema = (
+        f"{id_col} long, spectral_centroid_hz double, rolloff_hz double, "
+        "band_energy array<double>, decode_ok boolean"
+    )
+    zeros = [0.0] * n_bands
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    sr, x = _wav_mono(bytes(p))
+                    if len(x) < 2:
+                        raise ValueError("too short")
+                    mag = np.abs(np.fft.rfft(x))
+                    freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
+                    power = mag * mag
+                    total = float(power.sum())
+                    if total <= 0.0:
+                        raise ValueError("silent")
+                    centroid = float((freqs * power).sum() / total)
+                    roll_idx = int(np.searchsorted(np.cumsum(power), 0.85 * total))
+                    rolloff = float(freqs[min(roll_idx, len(freqs) - 1)])
+                    edges = np.linspace(0.0, sr / 2.0, n_bands + 1)
+                    idx = np.clip(np.searchsorted(edges, freqs, side="right") - 1, 0, n_bands - 1)
+                    bands = np.zeros(n_bands)
+                    np.add.at(bands, idx, power)
+                    rows.append(
+                        (mid, round(centroid, 6), round(rolloff, 6),
+                         np.round(bands / total, 6), True)
+                    )
+                except Exception:
+                    if strict:
+                        raise NotImplementedError(
+                            "compressed audio needs an external codec; PCM WAV is "
+                            "decoded natively"
+                        )
+                    rows.append((mid, 0.0, 0.0, np.array(zeros), False))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "spectral_centroid_hz", "rolloff_hz",
+                         "band_energy", "decode_ok"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, schema=out_schema)
+
+
+def resample_pcm(
+    df: DataFrame,
+    target_sr: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    strict: bool = False,
+) -> DataFrame:
+    """PCM WAV resampling (linear interpolation) to ``target_sr`` —
+    the canonical audio-preprocessing normalization before feature
+    extraction or model input.  Output payloads are 16-bit mono WAV at
+    the target rate; failures degrade to null payloads with
+    ``decode_ok=false`` (or raise with ``strict``)."""
+    out_schema = f"{id_col} long, payload binary, sample_rate int, decode_ok boolean"
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    sr, x = _wav_mono(bytes(p))
+                    n_out = max(1, int(round(len(x) * target_sr / sr)))
+                    t_out = np.arange(n_out) * (sr / target_sr)
+                    y = np.interp(t_out, np.arange(len(x)), x)
+                    pcm = np.clip(np.round(y * 32767.0), -32768, 32767).astype(np.int16)
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(target_sr)
+                        wf.writeframes(pcm.tobytes())
+                    rows.append((mid, buf.getvalue(), target_sr, True))
+                except Exception:
+                    if strict:
+                        raise NotImplementedError(
+                            "compressed audio needs an external codec; PCM WAV is "
+                            "decoded natively"
+                        )
+                    rows.append((mid, None, 0, False))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "payload", "sample_rate", "decode_ok"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(work, schema=out_schema)

@@ -232,3 +232,46 @@ def test_decode_image_features_dirty_data_nonstrict(spark):
     assert not rows[2]["decode_ok"] and not rows[3]["decode_ok"]
     metas = {r["media_id"]: r["media"] for r in attach_media_metadata(media).collect()}
     assert metas[2]["media_type"] == "unknown"
+
+
+def test_audio_spectral_features_sine_tone(spark):
+    """A pure 1 kHz sine concentrates spectral mass at 1 kHz: centroid
+    lands on the tone, its band dominates, rolloff is just above it."""
+    from confidential_storm_spark.operators.multimodal import audio_spectral_features
+
+    wav, _ = make_wav(sr=8000, freq=1000.0, seconds=0.5)
+    df = spark.createDataFrame([(1, bytearray(wav)), (2, bytearray(b"junk"))],
+                               "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in audio_spectral_features(df, n_bands=8).collect()}
+    good = rows[1]
+    assert good["decode_ok"]
+    assert abs(good["spectral_centroid_hz"] - 1000.0) < 25.0
+    # band 2 covers [1000, 1500) Hz of the 8 x 500 Hz bands
+    assert good["band_energy"][2] > 0.9
+    assert 975.0 <= good["rolloff_hz"] <= 1100.0
+    assert rows[2]["decode_ok"] is False
+
+
+def test_resample_pcm_halves_rate_and_preserves_tone(spark):
+    """Resampling 8 kHz -> 4 kHz keeps duration and the 440 Hz tone
+    (spectral check via the feature operator on the resampled bytes)."""
+    import io as _io
+    import wave as _wave
+
+    from confidential_storm_spark.operators.multimodal import (
+        audio_spectral_features,
+        resample_pcm,
+    )
+
+    wav, x = make_wav(sr=8000, freq=440.0, seconds=0.5)
+    df = spark.createDataFrame([(1, bytearray(wav))], "media_id long, payload binary")
+    out = resample_pcm(df, target_sr=4000).collect()[0]
+    assert out["decode_ok"] and out["sample_rate"] == 4000
+    with _wave.open(_io.BytesIO(bytes(out["payload"]))) as wf:
+        assert wf.getframerate() == 4000
+        assert abs(wf.getnframes() - len(x) // 2) <= 1
+    rdf = spark.createDataFrame(
+        [(1, bytearray(bytes(out["payload"])))], "media_id long, payload binary"
+    )
+    feats = audio_spectral_features(rdf).collect()[0]
+    assert abs(feats["spectral_centroid_hz"] - 440.0) < 25.0

@@ -36,14 +36,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE: adaptive.coalescePartitions.initialPartitionNum=128 was
+        # A/B-measured: ~20% faster on the sf1 quadratic pair join but
+        # ~10% slower across the 63-query sf0.1 registry (task-launch
+        # overhead on small shuffles dominates).  At real cluster scale
+        # raise it (or shuffle.partitions) with executor count; left
+        # unset here where small queries dominate the mix.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
-        # the driver's events.parquet stores TIMESTAMP(NANOS) which
-        # Spark 4 rejects; read as long nanos and convert in the view
+        # some driver data generations store events.ts as
+        # TIMESTAMP(NANOS), which Spark 4 rejects unless read as long
+        # nanos; sources.tables.ts_to_micros normalizes either way
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )

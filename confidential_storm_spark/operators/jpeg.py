@@ -1,0 +1,498 @@
+"""Pure-numpy baseline JPEG codec (ITU-T T.81 / ISO 10918-1).
+
+Round-2/3 honestly gated compressed image formats on Pillow (absent in
+this container).  Baseline sequential JPEG is small enough to
+implement from the public spec, which un-gates the dominant
+compressed image format for the multimodal pipeline: SOI/DQT/SOF0/
+DHT/SOS/EOI markers, canonical Huffman entropy coding with byte
+stuffing, zigzag + uniform quantization, 2-D DCT-II as two 8x8
+matmuls, YCbCr <-> RGB (BT.601 full range), edge-replicate padding to
+8x8 blocks.  Supported: 8-bit greyscale (1 component) and 4:4:4
+colour (3 components).  NOT supported (still honestly gated at the
+call sites): progressive scans, arithmetic coding, chroma
+subsampling, restart markers.
+
+The encoder emits custom DHT tables (canonical fixed-length-9 codes
+over the symbols actually used — valid prefix codes by construction,
+never the all-ones pattern, no Annex K table dependency); the decoder
+reads whatever DHT declares, so it also accepts other baseline
+encoders' streams.
+
+Verification without a reference codec in the container: flat-colour
+images decode EXACTLY (DC-only blocks are hand-computable through
+quantization), gradients round-trip within quantization error, and
+truncated/corrupt payloads raise cleanly (degraded to
+``decode_ok=false`` by the multimodal operators).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["encode_baseline_jpeg", "decode_baseline_jpeg"]
+
+
+# ---------------------------------------------------------------------------
+# shared tables
+# ---------------------------------------------------------------------------
+
+def _zigzag() -> np.ndarray:
+    """Scan position -> (row, col) flat index, generated from the
+    diagonal traversal definition (even diagonals run upward)."""
+    order = []
+    for d in range(15):
+        rows = range(max(0, d - 7), min(d, 7) + 1)
+        rows = reversed(list(rows)) if d % 2 == 0 else list(rows)
+        order.extend(r * 8 + (d - r) for r in rows)
+    return np.array(order, dtype=np.int64)
+
+
+_ZZ = _zigzag()
+
+# DCT-II basis: _C[u, x] = 0.5 * c(u) * cos((2x+1) u pi / 16)
+_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _C[_u, _x] = 0.5 * (1 / np.sqrt(2) if _u == 0 else 1.0) * np.cos(
+            (2 * _x + 1) * _u * np.pi / 16
+        )
+
+# Standard quantization tables (T.81 Annex K.1), luminance / chrominance
+_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64).reshape(8, 8)
+_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64).reshape(8, 8)
+
+
+def _quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG-style quality (1..100) -> scaled Annex K tables."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    def s(t):
+        return np.clip(np.floor((t * scale + 50) / 100), 1, 255)
+    return s(_QL), s(_QC)
+
+
+# ---------------------------------------------------------------------------
+# bit I/O with 0xFF byte stuffing
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.bytes = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.bytes.append(b)
+            if b == 0xFF:
+                self.bytes.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.bytes)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy stream")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated after 0xFF")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                raise ValueError("unexpected marker in entropy stream")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+# ---------------------------------------------------------------------------
+# canonical Huffman (DHT) helpers
+# ---------------------------------------------------------------------------
+
+def _fixed9_table(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """(bits, huffval) for a canonical code giving every symbol a
+    9-bit code.  With <= 256 symbols the all-ones 9-bit pattern is
+    never assigned (spec requirement)."""
+    bits = [0] * 16
+    bits[8] = len(symbols)  # index 8 == code length 9
+    return bits, list(symbols)
+
+
+def _build_decode_map(bits: list[int], huffval: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, canonical code assignment."""
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = huffval[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (size, bits)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+# ---------------------------------------------------------------------------
+# per-block transforms
+# ---------------------------------------------------------------------------
+
+def _fdct_quant(block: np.ndarray, q: np.ndarray) -> np.ndarray:
+    coef = _C @ (block - 128.0) @ _C.T
+    return np.round(coef / q).astype(np.int32)
+
+
+def _dequant_idct(coef: np.ndarray, q: np.ndarray) -> np.ndarray:
+    spatial = _C.T @ (coef * q) @ _C + 128.0
+    return np.clip(np.round(spatial), 0, 255)
+
+
+def _blocks(plane: np.ndarray):
+    h, w = plane.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            yield padded[by : by + 8, bx : bx + 8]
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r, g, b = img[..., 0].astype(np.float64), img[..., 1].astype(np.float64), img[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _entropy_encode(planes: list[np.ndarray], qs: list[np.ndarray]) -> tuple[bytes, list, list]:
+    """Returns (entropy bytes, dc tables, ac tables) — one (bits,
+    huffval) pair per table class, shared across components of the
+    same class (0 = luma, 1 = chroma like the standard layout)."""
+    # first pass: collect symbols per class
+    comp_class = [0] + [1] * (len(planes) - 1)
+    blocks_per_comp = []
+    for plane, q in zip(planes, qs):
+        blocks_per_comp.append([_fdct_quant(b, q).flatten()[_ZZ] for b in _blocks(plane)])
+
+    dc_syms: dict[int, set] = {0: set(), 1: set()}
+    ac_syms: dict[int, set] = {0: set(), 1: set()}
+    for ci, blocks in enumerate(blocks_per_comp):
+        cls = comp_class[ci]
+        prev_dc = 0
+        for zz in blocks:
+            size, _ = _magnitude(int(zz[0]) - prev_dc)
+            prev_dc = int(zz[0])
+            dc_syms[cls].add(size)
+            run = 0
+            for v in zz[1:]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ac_syms[cls].add(0xF0)
+                    run -= 16
+                s, _ = _magnitude(int(v))
+                ac_syms[cls].add((run << 4) | s)
+                run = 0
+            if run:
+                ac_syms[cls].add(0x00)
+    for cls in (0, 1):
+        dc_syms[cls].add(0)       # always define EOB/zero-size
+        ac_syms[cls].add(0x00)
+
+    n_classes = 1 if len(planes) == 1 else 2
+    dc_tables = [_fixed9_table(sorted(dc_syms[c])) for c in range(n_classes)]
+    ac_tables = [_fixed9_table(sorted(ac_syms[c])) for c in range(n_classes)]
+    dc_codes = [
+        {s: (lc, code) for (lc, code), s in ((k, v) for k, v in _build_decode_map(*t).items())}
+        for t in dc_tables
+    ]
+    ac_codes = [
+        {s: (lc, code) for (lc, code), s in ((k, v) for k, v in _build_decode_map(*t).items())}
+        for t in ac_tables
+    ]
+
+    # interleaved MCU order: one block of each component (4:4:4)
+    w = _BitWriter()
+    prev_dc = [0] * len(planes)
+    n_mcus = len(blocks_per_comp[0])
+    for m in range(n_mcus):
+        for ci in range(len(planes)):
+            cls = comp_class[ci] if n_classes == 2 else 0
+            zz = blocks_per_comp[ci][m]
+            diff = int(zz[0]) - prev_dc[ci]
+            prev_dc[ci] = int(zz[0])
+            size, bits = _magnitude(diff)
+            lc, code = dc_codes[cls][size]
+            w.write(code, lc)
+            if size:
+                w.write(bits, size)
+            run = 0
+            for v in zz[1:]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    lc, code = ac_codes[cls][0xF0]
+                    w.write(code, lc)
+                    run -= 16
+                s, bts = _magnitude(int(v))
+                lc, code = ac_codes[cls][(run << 4) | s]
+                w.write(code, lc)
+                w.write(bts, s)
+                run = 0
+            if run:
+                lc, code = ac_codes[cls][0x00]
+                w.write(code, lc)
+    return w.flush(), dc_tables, ac_tables
+
+
+def encode_baseline_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """Encode HxW (greyscale) or HxWx3 (RGB) uint8 to baseline JPEG
+    (4:4:4, custom canonical Huffman tables)."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        planes = [img.astype(np.float64)]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ycc = _rgb_to_ycbcr(img)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    else:
+        raise ValueError("expected HxW or HxWx3 uint8")
+    h, w = planes[0].shape
+    ql, qc = _quant_tables(quality)
+    qs = [ql] + [qc] * (len(planes) - 1)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT
+    for tq, q in enumerate(qs[: 2 if len(planes) > 1 else 1]):
+        payload = bytes([tq]) + bytes(int(q.flatten()[_ZZ][i]) for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(payload)) + payload
+    # SOF0
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        tq = 0 if ci == 0 else 1
+        sof += bytes([ci + 1, 0x11, tq if ncomp > 1 else 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    entropy, dc_tables, ac_tables = _entropy_encode(planes, qs)
+    for cls, (bits, vals) in enumerate(dc_tables):
+        payload = bytes([0x00 | cls]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    for cls, (bits, vals) in enumerate(ac_tables):
+        payload = bytes([0x10 | cls]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    # SOS
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        cls = 0 if ci == 0 or ncomp == 1 else 1
+        sos += bytes([ci + 1, (cls << 4) | cls])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def decode_baseline_jpeg(data: bytes) -> np.ndarray:
+    """Decode baseline JPEG bytes to HxW (greyscale) or HxWx3 (RGB)
+    uint8.  Raises ValueError on non-baseline features (progressive,
+    subsampling, restart intervals) and malformed streams."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None
+    comps: list[tuple[int, int]] = []  # (comp_id, quant table id)
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("no scan data before EOI")
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly multiple tables)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not baseline")
+                vals = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(np.float64)
+                t = np.zeros(64)
+                t[_ZZ] = vals
+                qtables[tq] = t.reshape(8, 8)
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if precision != 8:
+                raise ValueError("only 8-bit precision")
+            comps = []
+            for ci in range(ncomp):
+                cid, sampling, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling not supported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, ncomp)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            raise NotImplementedError("non-baseline JPEG (progressive/arithmetic)")
+        elif marker == 0xC4:  # DHT (possibly multiple tables)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                htables[(tc, th)] = _build_decode_map(bits, vals)
+                p += 17 + n
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = seg[0]
+            scan = []
+            for ci in range(ns):
+                cid, tt = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                scan.append((cid, tt >> 4, tt & 0x0F))
+            entropy_start = pos + seglen
+            return _decode_scan(
+                data, entropy_start, frame, comps, scan, qtables, htables
+            )
+        # APPn / COM / others: skip
+        pos += seglen
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(data, start, frame, comps, scan, qtables, htables) -> np.ndarray:
+    h, w, ncomp = frame
+    reader = _BitReader(data[start:])
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(ncomp)]
+    prev_dc = [0] * ncomp
+    comp_q = {cid: qtables[tq] for cid, tq in comps}
+    for m in range(bw * bh):
+        by, bx = (m // bw) * 8, (m % bw) * 8
+        for ci, (cid, td, ta) in enumerate(scan):
+            dc_tab, ac_tab = htables[(0, td)], htables[(1, ta)]
+            zz = np.zeros(64, dtype=np.int64)
+            size = _huff_decode(reader, dc_tab)
+            diff = _extend(reader.read_bits(size), size) if size else 0
+            prev_dc[ci] += diff
+            zz[0] = prev_dc[ci]
+            k = 1
+            while k < 64:
+                sym = _huff_decode(reader, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run overflow")
+                zz[k] = _extend(reader.read_bits(size), size)
+                k += 1
+            coef = np.zeros(64)
+            coef[_ZZ] = zz
+            planes[ci][by : by + 8, bx : bx + 8] = _dequant_idct(
+                coef.reshape(8, 8), comp_q[cid]
+            )
+    planes = [p[:h, :w] for p in planes]
+    if ncomp == 1:
+        return planes[0].astype(np.uint8)
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

@@ -10,11 +10,15 @@ Codec coverage is honest about the container:
   PPM (P6) / PGM (P5) and 24/32-bit BMP images, PCM WAV audio, and
   YUV4MPEG2 (y4m) video.  Dimensions, durations, pixel statistics,
   resizes and frame samples on these formats are exact.
-- COMPRESSED formats (JPEG/PNG/MP4/...) need Pillow / ffmpeg, which
-  are NOT in this container; those payloads either raise
-  ``NotImplementedError`` (``strict=True``) or flow through as a
-  clearly-marked deterministic fake (payload-digest-seeded) so the
-  Spark-side schema / partitioning / batch shape stay real.
+- Baseline JPEG is decoded FOR REAL too (pure-numpy T.81 codec,
+  ``operators/jpeg.py`` — Huffman + zigzag + dequant + IDCT +
+  YCbCr, 4:4:4 and greyscale).
+- Remaining COMPRESSED formats (PNG / progressive or subsampled
+  JPEG / MP4 / ...) need Pillow / ffmpeg, which are NOT in this
+  container; those payloads either raise ``NotImplementedError``
+  (``strict=True``) or flow through as a clearly-marked
+  deterministic fake (payload-digest-seeded) so the Spark-side
+  schema / partitioning / batch shape stay real.
 
 Scale: binary payloads ride the normal columnar path; feature columns
 are fixed-width arrays; mapInPandas streams record batches so a task
@@ -117,9 +121,11 @@ def _parse_bmp(data: bytes):
 
 
 def decode_image(data: bytes):
-    """Decode an uncompressed image payload to an (h, w, c) uint8 array,
-    or return None if the format needs an external codec or the payload
-    is malformed (truncated header, 16-bit PNM, ...)."""
+    """Decode an image payload to an (h, w[, c]) uint8 array, or
+    return None if the format needs an external codec or the payload
+    is malformed (truncated header, 16-bit PNM, progressive JPEG,
+    ...).  Baseline JPEG decodes natively (pure-numpy codec,
+    operators/jpeg.py); PNG/WebP/progressive-JPEG remain gated."""
     if data[:2] in (b"P6", b"P5"):
         try:
             return _parse_pnm(data)
@@ -130,6 +136,15 @@ def decode_image(data: bytes):
             return _parse_bmp(data)
         except (ValueError, struct.error):
             return None
+    if data[:3] == b"\xff\xd8\xff" or data[:2] == b"\xff\xd8":
+        from .jpeg import decode_baseline_jpeg
+
+        try:
+            img = decode_baseline_jpeg(data)
+        except Exception:
+            return None
+        # normalize greyscale to (h, w, 1) like the PNM path
+        return img[..., None] if img.ndim == 2 else img
     return None
 
 
@@ -167,6 +182,11 @@ def sniff_media(data: bytes) -> tuple[str, str, int | None, int | None, int | No
             img = decode_image(data)
             if img is not None:
                 return ("image", "image/bmp", img.shape[1], img.shape[0], None)
+        if data[:2] == b"\xff\xd8":
+            img = decode_image(data)
+            if img is not None:
+                return ("image", "image/jpeg", img.shape[1], img.shape[0], None)
+            return unknown
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             with wave.open(io.BytesIO(data)) as wf:
                 dur = int(wf.getnframes() * 1000 / wf.getframerate())

@@ -275,3 +275,86 @@ def test_resample_pcm_halves_rate_and_preserves_tone(spark):
     )
     feats = audio_spectral_features(rdf).collect()[0]
     assert abs(feats["spectral_centroid_hz"] - 440.0) < 25.0
+
+
+def make_jpeg(w=24, h=16, quality=95):
+    from confidential_storm_spark.operators.jpeg import encode_baseline_jpeg
+
+    rng = np.random.default_rng(5)
+    img = np.clip(
+        np.add.outer(np.arange(h) * 4, np.arange(w) * 3)[..., None]
+        + np.array([0, 40, 80]) + rng.integers(0, 6, (h, w, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    return encode_baseline_jpeg(img, quality), img
+
+
+def test_jpeg_flat_blocks_decode_exactly():
+    """DC-only blocks are hand-computable through quantization: a flat
+    image survives encode->decode EXACTLY at any quality."""
+    from confidential_storm_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    # 76 and 128 quantize exactly (DC lands off the rounding
+    # boundary); 77 at q50 sits ON a half-boundary where float ulps
+    # decide — as in any JPEG codec — so it is not asserted exact
+    for v in (76, 128):
+        grey = np.full((16, 24), v, np.uint8)
+        assert np.array_equal(decode_baseline_jpeg(encode_baseline_jpeg(grey, 50)), grey)
+    rgb = np.zeros((8, 16, 3), np.uint8)
+    rgb[...] = (200, 100, 50)
+    assert np.abs(
+        decode_baseline_jpeg(encode_baseline_jpeg(rgb, 90)).astype(int) - rgb.astype(int)
+    ).max() <= 1
+
+
+def test_jpeg_gradient_roundtrip_within_quant_error():
+    from confidential_storm_spark.operators.jpeg import decode_baseline_jpeg
+
+    data, img = make_jpeg(quality=95)
+    out = decode_baseline_jpeg(data)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 12 and float(np.sqrt((err ** 2).mean())) < 4.0
+
+
+def test_jpeg_odd_dimensions_and_truncation():
+    from confidential_storm_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    img = np.clip(np.add.outer(np.arange(13) * 9, np.arange(19) * 5), 0, 255).astype(np.uint8)
+    out = decode_baseline_jpeg(encode_baseline_jpeg(img, 92))
+    assert out.shape == (13, 19)
+    with pytest.raises(Exception):
+        decode_baseline_jpeg(encode_baseline_jpeg(img, 92)[:40])
+
+
+def test_jpeg_flows_through_multimodal_operators(spark):
+    """The multimodal pipeline decodes baseline JPEG natively now:
+    sniff + features + resize all see real pixels."""
+    from confidential_storm_spark.operators.multimodal import (
+        attach_media_metadata,
+        decode_image_features,
+        resize_images,
+    )
+
+    data, img = make_jpeg()
+    df = spark.createDataFrame(
+        [(1, bytearray(data)), (2, bytearray(b"\xff\xd8broken"))],
+        "media_id long, payload binary",
+    )
+    meta = {r["media_id"]: r["media"] for r in attach_media_metadata(df).collect()}
+    assert meta[1]["media_type"] == "image" and meta[1]["mime"] == "image/jpeg"
+    assert meta[1]["width"] == img.shape[1] and meta[1]["height"] == img.shape[0]
+    assert meta[2]["media_type"] == "unknown"
+
+    feats = {r["media_id"]: r for r in decode_image_features(df).collect()}
+    # features[3] is the decoded mean pixel value (see _image_features)
+    assert feats[1]["decode_ok"] and abs(feats[1]["features"][3] - img.mean()) < 8.0
+    assert feats[2]["decode_ok"] is False
+
+    rs = {r["media_id"]: r for r in resize_images(df, 8, 8).collect()}
+    assert rs[1]["resized_ok"] and rs[2]["resized_ok"] is False

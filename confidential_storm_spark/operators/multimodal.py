@@ -12,9 +12,12 @@ Codec coverage is honest about the container:
   resizes and frame samples on these formats are exact.
 - Baseline JPEG is decoded FOR REAL too (pure-numpy T.81 codec,
   ``operators/jpeg.py`` — Huffman + zigzag + dequant + IDCT +
-  YCbCr, 4:4:4 and greyscale).
-- Remaining COMPRESSED formats (PNG / progressive or subsampled
-  JPEG / MP4 / ...) need Pillow / ffmpeg, which are NOT in this
+  YCbCr, 4:4:4 and greyscale), and so is PNG (stdlib-zlib codec,
+  ``operators/png.py`` — chunk CRCs + all five scanline filters,
+  lossless round-trip; grey/RGB/RGBA, 8-bit, non-interlaced).
+- Remaining COMPRESSED formats (progressive or subsampled JPEG,
+  palette/16-bit/interlaced PNG, MP4 / ...) need Pillow / ffmpeg,
+  which are NOT in this
   container; those payloads either raise ``NotImplementedError``
   (``strict=True``) or flow through as a clearly-marked
   deterministic fake (payload-digest-seeded) so the Spark-side
@@ -145,6 +148,14 @@ def decode_image(data: bytes):
             return None
         # normalize greyscale to (h, w, 1) like the PNM path
         return img[..., None] if img.ndim == 2 else img
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png import decode_png
+
+        try:
+            img = decode_png(data)
+        except Exception:
+            return None
+        return img[..., None] if img.ndim == 2 else img
     return None
 
 
@@ -186,6 +197,11 @@ def sniff_media(data: bytes) -> tuple[str, str, int | None, int | None, int | No
             img = decode_image(data)
             if img is not None:
                 return ("image", "image/jpeg", img.shape[1], img.shape[0], None)
+            return unknown
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            img = decode_image(data)
+            if img is not None:
+                return ("image", "image/png", img.shape[1], img.shape[0], None)
             return unknown
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             with wave.open(io.BytesIO(data)) as wf:

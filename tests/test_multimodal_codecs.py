@@ -358,3 +358,100 @@ def test_jpeg_flows_through_multimodal_operators(spark):
 
     rs = {r["media_id"]: r for r in resize_images(df, 8, 8).collect()}
     assert rs[1]["resized_ok"] and rs[2]["resized_ok"] is False
+
+
+def test_png_lossless_roundtrip_all_shapes():
+    from confidential_storm_spark.operators.png import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for shape in ((13, 17), (9, 21, 3), (6, 10, 4)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img), shape
+
+
+def test_png_decodes_all_five_filters():
+    """Hand-built stream exercising filters none/sub/up/average/Paeth
+    against a plain-python reference unfilter."""
+    import struct
+    import zlib
+
+    from confidential_storm_spark.operators.png import _SIG, _chunk, decode_png
+
+    w, h, planes = 5, 5, 3
+    rng = np.random.default_rng(3)
+    rows = rng.integers(0, 256, (h, w * planes), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    # reference: FILTER each row i with type i (encoder side math),
+    # so the decoder must invert every filter type
+    raw = bytearray()
+    prev = np.zeros(w * planes, dtype=np.int64)
+    for y in range(h):
+        ftype = y % 5
+        cur = rows[y].astype(np.int64)
+        enc = np.zeros(w * planes, dtype=np.int64)
+        for i in range(w * planes):
+            left = cur[i - planes] if i >= planes else 0
+            ul = prev[i - planes] if i >= planes else 0
+            if ftype == 0:
+                enc[i] = cur[i]
+            elif ftype == 1:
+                enc[i] = cur[i] - left
+            elif ftype == 2:
+                enc[i] = cur[i] - prev[i]
+            elif ftype == 3:
+                enc[i] = cur[i] - (left + prev[i]) // 2
+            else:
+                enc[i] = cur[i] - paeth(int(left), int(prev[i]), int(ul))
+        raw.append(ftype)
+        raw += (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+    assert np.array_equal(decode_png(data), rows.reshape(h, w, planes))
+
+
+def test_png_rejects_malformed_and_unsupported():
+    import struct
+
+    import pytest as _pytest
+
+    from confidential_storm_spark.operators.png import _SIG, _chunk, decode_png, encode_png
+
+    img = np.zeros((4, 4), np.uint8)
+    good = encode_png(img)
+    with _pytest.raises(ValueError):
+        decode_png(b"nope" + good)
+    # corrupt a CRC byte
+    bad = bytearray(good)
+    bad[20] ^= 0xFF
+    with _pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    # palette colour type rejected cleanly
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    pal = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", b"x") + _chunk(b"IEND", b"")
+    with _pytest.raises(NotImplementedError):
+        decode_png(pal)
+
+
+def test_png_flows_through_multimodal_operators(spark):
+    from confidential_storm_spark.operators.multimodal import (
+        attach_media_metadata,
+        decode_image_features,
+    )
+    from confidential_storm_spark.operators.png import encode_png
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(img)))], "media_id long, payload binary"
+    )
+    meta = attach_media_metadata(df).collect()[0]["media"]
+    assert meta["mime"] == "image/png" and (meta["width"], meta["height"]) == (7, 11)
+    feats = decode_image_features(df).collect()[0]
+    # PNG is lossless: decoded mean is the true mean exactly
+    assert feats["decode_ok"] and abs(feats["features"][3] - img.mean()) < 1e-3

@@ -127,8 +127,9 @@ def decode_image(data: bytes):
     """Decode an image payload to an (h, w[, c]) uint8 array, or
     return None if the format needs an external codec or the payload
     is malformed (truncated header, 16-bit PNM, progressive JPEG,
-    ...).  Baseline JPEG decodes natively (pure-numpy codec,
-    operators/jpeg.py); PNG/WebP/progressive-JPEG remain gated."""
+    ...).  Baseline JPEG (operators/jpeg.py) and non-interlaced
+    8-bit PNG (operators/png.py) decode natively; WebP /
+    progressive-JPEG / palette-PNG remain gated."""
     if data[:2] in (b"P6", b"P5"):
         try:
             return _parse_pnm(data)

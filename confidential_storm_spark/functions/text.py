@@ -22,6 +22,7 @@ __all__ = [
     "repetition_signals",
     "repetition_signals_sql",
     "lang_id",
+    "lang_pred_expr",
     "fingerprint",
     "STOPWORDS",
     "LANG_MARKERS",
@@ -190,6 +191,27 @@ ORDER BY t.doc_id
 """
 
 
+def lang_pred_expr(text: Column) -> tuple[Column, Column]:
+    """``(pred_lang, best_score)`` as PURE per-row expressions:
+    score = marker-word hits per language, argmax with the
+    first-language-in-LANG_MARKERS tie-break.  Used by
+    :func:`lang_id` and inlined by the curation funnel / streaming
+    curation (no join needed)."""
+    ws = words(text)
+    scores = {
+        lang: F.size(
+            F.filter(ws, lambda w: F.array_contains(F.array(*map(F.lit, markers)), w))
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = None
+    for lang in LANG_MARKERS:
+        cond = scores[lang] == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return pred, best
+
+
 def lang_id(
     df: DataFrame,
     text_col: str = "text",
@@ -198,23 +220,8 @@ def lang_id(
 ) -> DataFrame:
     """Keyword-marker language ID: score = number of marker-word hits
     per language; argmax with deterministic tie-break order."""
-    ws = words(F.col(text_col))
-    scores = [
-        F.size(F.filter(ws, lambda w: F.array_contains(F.array(*map(F.lit, markers)), w))).alias(
-            f"score_{lang}"
-        )
-        for lang, markers in LANG_MARKERS.items()
-    ]
-    scored = df.select(id_col, lang_col, *scores)
-    # argmax via greatest + chained when (first language in LANG_MARKERS
-    # order wins ties)
-    langs = list(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    pred = None
-    for lang in langs:
-        cond = F.col(f"score_{lang}") == best
-        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
-    return scored.select(
+    pred, best = lang_pred_expr(F.col(text_col))
+    return df.select(
         id_col,
         F.col(lang_col).alias("true_lang"),
         pred.alias("pred_lang"),

@@ -6,25 +6,25 @@ Real pipelines (C4, Gopher/MassiveText, RefinedWeb, FineWeb) all share
 this shape: language ID -> heuristic quality -> repetition -> dedup ->
 length, each stage consuming the previous stage's survivors, with the
 per-stage kept/dropped counts as the run's primary health dashboard.
-The operators themselves already exist in this engine (lang_id,
-quality_features, repetition_signals, exact_dedup); this module wires
-them into one plan and emits the dashboard.
+The stage semantics match the standalone operators (lang_id,
+quality_features, repetition_signals, exact_dedup) value-for-value;
+this module computes them as one fused plan and emits the dashboard.
 
-Scale design: one pass builds every stage predicate as a boolean
-column (the feature joins are all doc_id-keyed, so the three feature
-computations share one hash partitioning), then ONE global aggregation
-sums the conjunction prefixes — per-stage counts cost a single
-scalar-agg reduce, not one count() job per stage.  The final unpivot
-of 6 sums to 6 rows is a constant-size stack expression, not a
-shuffle.
+Scale design: every predicate except dedup is a pure per-row
+expression, so the funnel costs ONE scan; the dedup exemplar is a
+row_number window over the content digest (the plan's single
+shuffle).  ONE global aggregation sums the conjunction prefixes —
+per-stage counts cost a single scalar-agg reduce, not one count()
+job per stage — and the final unpivot of 6 sums to 6 rows is a
+constant-size stack expression.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import lang_id, quality_features, repetition_signals
+from ..functions.text import lang_pred_expr, words
 
 __all__ = ["curation_funnel", "curation_funnel_sql", "FUNNEL_DEFAULTS"]
 
@@ -55,33 +55,44 @@ def curation_funnel(
     min-id exemplar of each exact text; each stage filters the
     previous stage's survivors.
     """
-    lang = lang_id(df, text_col, id_col=id_col, lang_col=lang_col).select(
-        id_col, "pred_lang"
+    # Every stage predicate except dedup is a PURE per-row expression
+    # (identical values to the lang_id / quality_features /
+    # repetition_signals relations the oracle CTEs mirror — same
+    # formulas, same 6-decimal rounding), so the whole funnel costs
+    # ONE scan; the dedup exemplar is a row_number window over the
+    # content digest — the single shuffle in the plan (the round-3
+    # form paid four doc_id joins for the same numbers).
+    text = F.col(text_col)
+    ws = words(text)
+    n_tokens = F.size(ws)
+    n_chars = F.length(text)
+    alpha_ratio = F.round(
+        F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+        / F.greatest(n_chars, F.lit(1)),
+        6,
     )
-    qual = quality_features(df, text_col, id_col=id_col).select(
-        id_col, "n_tokens", "alpha_ratio"
+    dup_word_frac = F.when(
+        n_tokens > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(ws)).cast("double") / n_tokens, 6
+        ),
+    ).otherwise(F.lit(0.0))
+    pred_lang, _ = lang_pred_expr(text)
+
+    feats = df.select(
+        F.col(id_col),
+        (pred_lang == F.col(lang_col)).alias("_p1"),
+        ((n_tokens >= min_tokens) & (alpha_ratio >= min_alpha_ratio)).alias("_p2"),
+        (dup_word_frac <= max_dup_word_frac).alias("_p3"),
+        (
+            F.row_number().over(
+                Window.partitionBy(F.md5(text)).orderBy(F.col(id_col))
+            )
+            == 1
+        ).alias("_p4"),
+        (n_chars >= min_chars).alias("_p5"),
     )
-    rep = repetition_signals(df, text_col, id_col).select(
-        id_col, "dup_word_frac"
-    )
-    # exact-dedup exemplar: min id per content digest
-    exemplar = (
-        df.groupBy(F.md5(F.col(text_col)).alias("_dig"))
-        .agg(F.min(id_col).alias("_keep"))
-        .select(F.col("_keep").alias(id_col), F.lit(True).alias("_is_exemplar"))
-    )
-    feats = (
-        df.select(id_col, F.col(lang_col).alias("_lang"), F.length(text_col).alias("_nc"))
-        .join(lang, id_col)
-        .join(qual, id_col)
-        .join(rep, id_col)
-        .join(exemplar, id_col, "left")
-    )
-    p1 = F.col("pred_lang") == F.col("_lang")
-    p2 = (F.col("n_tokens") >= min_tokens) & (F.col("alpha_ratio") >= min_alpha_ratio)
-    p3 = F.col("dup_word_frac") <= max_dup_word_frac
-    p4 = F.coalesce(F.col("_is_exemplar"), F.lit(False))
-    p5 = F.col("_nc") >= min_chars
+    p1, p2, p3, p4, p5 = (F.col(f"_p{i}") for i in range(1, 6))
     stages = [
         ("input", F.lit(True)),
         ("lang_match", p1),

@@ -907,24 +907,7 @@ def shared_span_pairs(
     for exact semantics (the oracle registry does on this corpus —
     span collisions are rare by construction).
     """
-    ws = words(F.col(text_col))
-    spans = F.when(
-        F.size(ws) >= span_n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - span_n + 1),
-            lambda i: F.concat_ws(" ", F.slice(ws, i, span_n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    postings = (
-        df.select(F.col(id_col).alias("_id"), F.explode(F.array_distinct(spans)).alias("_s"))
-        .select(
-            "_id",
-            F.conv(F.substring(F.md5(F.col("_s")), 1, 15), 16, 10)
-            .cast("long")
-            .alias("_h"),
-        )
-        .distinct()
-    )
+    postings = _span_postings(df, text_col, id_col, span_n)
     if max_span_df is not None:
         hot = (
             postings.groupBy("_h")

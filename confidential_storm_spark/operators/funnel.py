@@ -26,7 +26,13 @@ from pyspark.sql import functions as F
 
 from ..functions.text import lang_pred_expr, words
 
-__all__ = ["curation_funnel", "curation_funnel_sql", "FUNNEL_DEFAULTS"]
+__all__ = [
+    "curation_funnel",
+    "curation_funnel_sql",
+    "conversion_funnel",
+    "conversion_funnel_sql",
+    "FUNNEL_DEFAULTS",
+]
 
 FUNNEL_DEFAULTS = {
     "min_tokens": 20,
@@ -161,3 +167,74 @@ SELECT * FROM (
   UNION ALL SELECT 5, 'length', CAST(s5 AS BIGINT) FROM _c
 ) ORDER BY stage_idx
 """
+
+
+def conversion_funnel(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """ORDERED event conversion funnel: a user reaches stage i+1 only
+    with an event of that type STRICTLY AFTER their earliest arrival
+    at stage i (the classic product-analytics funnel, which plain
+    per-type counts get wrong — order matters).  Returns
+    ``(stage_idx, stage, n_users)``.
+
+    Plan: stage 0 is one groupBy(user) min-timestamp; each later
+    stage joins the candidate events to the previous stage's
+    (user, arrival) relation — all shuffles are user-keyed, so AQE
+    reuses the partitioning, and per-stage state is one row per
+    surviving user."""
+    cur = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    out = cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.lit(0).alias("stage_idx"), F.lit(stages[0]).alias("stage"), "n_users"
+    )
+    for i, s in enumerate(stages[1:], start=1):
+        cur = (
+            events.filter(F.col(type_col) == s)
+            .join(cur, user_col)
+            .filter(F.col(ts_col) > F.col("_t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("_t"))
+        )
+        out = out.unionByName(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i).alias("stage_idx"), F.lit(s).alias("stage"), "n_users"
+            )
+        )
+    return out.orderBy("stage_idx")
+
+
+def conversion_funnel_sql(
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_expr: str = "epoch_us(ts)",
+) -> str:
+    """DuckDB twin of :func:`conversion_funnel` (``ts_expr`` yields
+    the same epoch-micros longs the Spark side aggregates)."""
+    ctes = [
+        f"s0 AS (SELECT {user_col}, MIN({ts_expr}) AS t FROM {table} "
+        f"WHERE {type_col} = '{stages[0]}' GROUP BY {user_col})"
+    ]
+    for i, s in enumerate(stages[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT e.{user_col}, MIN({ts_expr}) AS t FROM {table} e "
+            f"JOIN s{i-1} p ON e.{user_col} = p.{user_col} "
+            f"WHERE e.{type_col} = '{s}' AND {ts_expr} > p.t GROUP BY e.{user_col})"
+        )
+    selects = [
+        f"SELECT {i} AS stage_idx, '{s}' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s{i}"
+        for i, s in enumerate(stages)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (\n"
+        + "\nUNION ALL ".join(selects) + "\n) ORDER BY stage_idx"
+    )

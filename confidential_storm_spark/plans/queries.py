@@ -1956,6 +1956,61 @@ def _text_diversity_sql() -> str:
     return ngram_diversity_sql()
 
 
+KL_P_SOURCES = tuple(f"src{i}" for i in range(10))
+KL_Q_SOURCES = tuple(f"src{i}" for i in range(10, 20))
+
+
+def text_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary KL drift between two source mixtures: top-20 token
+    contributions to KL(P || Q) with add-0.5 smoothing."""
+    from ..operators.drift import vocab_kl_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_kl_topk(
+        docs.filter(F.col("source").isin(list(KL_P_SOURCES))),
+        docs.filter(F.col("source").isin(list(KL_Q_SOURCES))),
+    )
+
+
+def _text_kl_drift_sql() -> str:
+    from ..operators.drift import vocab_kl_topk_sql
+
+    p_in = ", ".join(f"'{s}'" for s in KL_P_SOURCES)
+    q_in = ", ".join(f"'{s}'" for s in KL_Q_SOURCES)
+    return vocab_kl_topk_sql(f"source IN ({p_in})", f"source IN ({q_in})")
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase conversion funnel over the
+    events stream (strictly-after ordering per user)."""
+    from ..operators.funnel import conversion_funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("user_id", "event_type", ts_to_micros(ev).alias("ts_us"))
+    return conversion_funnel(ev, stages=FUNNEL_STAGES)
+
+
+def _q_conversion_funnel_sql() -> str:
+    from ..operators.funnel import conversion_funnel_sql
+
+    return conversion_funnel_sql(stages=FUNNEL_STAGES)
+
+
+QUERIES["text_kl_drift"] = QueryDef(
+    text_kl_drift,
+    _text_kl_drift_sql(),
+    "vocabulary KL drift between source mixtures (top-20 contributions)",
+    "training-data",
+)
+QUERIES["q_conversion_funnel"] = QueryDef(
+    q_conversion_funnel,
+    _q_conversion_funnel_sql(),
+    "ordered event conversion funnel (view->click->purchase)",
+    "relational",
+)
 QUERIES["dedup_incremental"] = QueryDef(
     dedup_incremental,
     _dedup_incremental_sql(),

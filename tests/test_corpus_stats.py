@@ -121,3 +121,39 @@ def test_incremental_dedup_differential_vs_exact(spark):
         if r["digest"] not in corpus_digests
     }
     assert got == expect and len(got) > 0
+
+
+def test_conversion_funnel_orders_strictly(spark):
+    """Ordering matters: a click BEFORE the first view must not count,
+    a purchase requires a click after the view."""
+    from confidential_storm_spark.operators.funnel import conversion_funnel
+
+    rows = [
+        # u1: full ordered path
+        ("u1", "view", 10), ("u1", "click", 20), ("u1", "purchase", 30),
+        # u2: click precedes the view -> stalls at view
+        ("u2", "click", 5), ("u2", "view", 10),
+        # u3: view then purchase but never clicks -> stalls at view
+        ("u3", "view", 1), ("u3", "purchase", 9),
+        # u4: no view at all -> never enters
+        ("u4", "click", 1), ("u4", "purchase", 2),
+        # u5: simultaneous view/click (strict > excludes the tie)
+        ("u5", "view", 7), ("u5", "click", 7),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, event_type string, ts_us long")
+    got = {r["stage"]: r["n_users"] for r in conversion_funnel(ev).collect()}
+    assert got == {"view": 4, "click": 1, "purchase": 1}
+
+
+def test_vocab_kl_flags_shifted_tokens(spark):
+    from confidential_storm_spark.operators.drift import vocab_kl_topk
+
+    p = _docs(spark, [(1, "alpha alpha alpha beta"), (2, "alpha gamma")])
+    q = _docs(spark, [(3, "beta beta gamma gamma"), (4, "beta delta")])
+    rows = vocab_kl_topk(p, q, k=10).collect()
+    by_w = {r["w"]: r for r in rows}
+    # alpha: frequent in P, absent in Q -> largest positive contribution
+    assert rows[0]["w"] == "alpha" and rows[0]["contrib"] > 0
+    # delta: absent in P, present in Q -> negative contribution
+    assert by_w["delta"]["contrib"] < 0
+    assert by_w["alpha"]["n_p"] == 4 and by_w["alpha"]["n_q"] == 0

@@ -371,3 +371,39 @@ def test_streaming_curation_filter(stream_reader):
     # 2 fails min_tokens/min_chars, 3 fails dup_word_frac, 4 is an
     # exact dup of 1 from the previous micro-batch
     assert emitted == [1, 5]
+
+
+def test_streaming_windowed_agg_with_watermark_append(stream_reader):
+    """T3/T12 streaming twin of q_event_windows: event-time tumbling
+    windows + watermark in APPEND mode — a window is emitted exactly
+    once, only after the watermark passes its end, and late data
+    beyond the horizon is dropped."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+    batches = [
+        [(1, "a", t(1)), (2, "a", t(8)), (3, "b", t(4))],  # window [0,10)
+        [(4, "a", t(25))],  # advances the watermark to 20s (as of the NEXT batch)
+        [(9, "a", t(35))],  # runs AT wm=20: [0,10) finalizes and is evicted
+        # far beyond the horizon (wm=20 when this arrives): must be
+        # dropped, and in append mode must NOT resurrect the already
+        # emitted [0,10) window
+        [(5, "a", t(3))],
+        [(6, "a", t(45))],  # wm -> 40: [20,30) and [30,40) finalize
+    ]
+    stream = stream_reader(batches, "event_id long, k string, ts timestamp")
+    windowed = (
+        stream.withWatermark("ts", "5 seconds")
+        .groupBy(F.window("ts", "10 seconds"), F.col("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "k", "n")
+    )
+    out: list = []
+    _run_stream(windowed, out, mode="append")
+    rows = sorted(
+        ((r["ws"].second + r["ws"].minute * 60, r["k"], r["n"]) for _, b in out for r in b)
+    )
+    # every window appears exactly once; the late event 5 is nowhere
+    assert rows == [(0, "a", 2), (0, "b", 1), (20, "a", 1), (30, "a", 1)]

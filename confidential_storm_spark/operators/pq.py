@@ -37,7 +37,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["pq_train", "pq_encode", "pq_topk_adc", "pq_topk_rerank"]
+__all__ = [
+    "pq_train",
+    "pq_encode",
+    "pq_topk_adc",
+    "pq_topk_rerank",
+    "ivfpq_write_index",
+    "ivfpq_topk",
+]
 
 
 def pq_train(
@@ -168,4 +175,94 @@ def pq_topk_rerank(
         .select(id_col, F.round(exact(F.col(vec_col)), 6).alias("dist2"))
         .orderBy("dist2", id_col)
         .limit(k)
+    )
+
+
+def ivfpq_write_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    n_clusters: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """IVF-PQ: THE billion-vector index (Jegou et al. §VI).  Coarse
+    IVF clusters partition the corpus (probing prunes partitions at
+    scan time); within each partition rows carry the PQ codes AND the
+    full vector (codes drive the cheap ADC shortlist, the vector
+    serves the re-rank without a second table).  Layout:
+
+    - ``{path}/vectors`` — parquet partitioned by ``_cluster`` with
+      (id, pq_code, vector) rows,
+    - ``{path}/centroids`` — the tiny coarse-centroid table,
+    - ``{path}/codebooks`` — the (m*ks) codebook rows.
+
+    Returns ``(centroids, codebooks)``."""
+    from .similarity import ivf_index
+
+    assigned, centroids = ivf_index(df, n_clusters, vec_col, seed)
+    books = pq_train(df, dim, m=m, ks=ks, vec_col=vec_col, id_col=id_col)
+    coded = pq_encode(assigned, books, vec_col=vec_col, id_col=id_col).join(
+        assigned.select(id_col, vec_col, "_cluster"), id_col
+    )
+    coded.write.partitionBy("_cluster").mode("overwrite").parquet(f"{path}/vectors")
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j, c]])
+            for j in range(m)
+            for c in range(ks)
+        ],
+        "subspace int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    return centroids, books
+
+
+def ivfpq_topk(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query the prebuilt IVF-PQ index: rank coarse centroids on the
+    driver (tiny), scan ONLY the probed ``_cluster=`` partitions
+    (partition pruning), ADC-shortlist on the codes, exact re-rank on
+    the in-partition vectors.  Returns ``(id, dist2)`` ascending.
+    At full probe with shortlist >= corpus this is exactly brute
+    force — the compression/recall dials are n_probe and shortlist."""
+    from .similarity import _probe_clusters
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
+    for r in cent_rows:
+        centroids[r["cluster"]] = r["centroid"]
+    book_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r["subspace"] for r in book_rows) + 1
+    ks = max(r["code"] for r in book_rows) + 1
+    sub = len(book_rows[0]["centroid"])
+    books = np.zeros((m, ks, sub))
+    for r in book_rows:
+        books[r["subspace"], r["code"]] = r["centroid"]
+    probe = _probe_clusters(centroids, query, n_probe)
+    part = spark.read.parquet(f"{path}/vectors").filter(F.col("_cluster").isin(probe))
+    return pq_topk_rerank(
+        part.select(id_col, "pq_code"),
+        part.select(id_col, vec_col),
+        query,
+        books,
+        k=k,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
     )

@@ -79,3 +79,27 @@ def test_pq_dim_validation(spark):
     codes = pq_encode(df, books)
     with pytest.raises(ValueError):
         pq_topk_adc(codes, [0.0] * 16, books)  # wrong query dim
+
+
+def test_ivfpq_index_prunes_and_full_probe_matches_brute_force(spark, tmp_path):
+    from confidential_storm_spark.operators.pq import ivfpq_topk, ivfpq_write_index
+
+    df, rows = _vecs(spark)
+    path = str(tmp_path / "ivfpq")
+    centroids, books = ivfpq_write_index(df, path, DIM, n_clusters=6, m=8, ks=16)
+    assert centroids.shape[1] == DIM and books.shape == (8, 16, 4)
+
+    X = np.array([r[1] for r in rows])
+    q = (X[17] + 0.05).tolist()
+    exact = np.argsort(((X - np.array(q)) ** 2).sum(axis=1), kind="stable")[:10]
+
+    # full probe + corpus-wide shortlist == exact brute force
+    full = ivfpq_topk(spark, path, q, k=10, n_probe=6, shortlist=len(rows))
+    assert [r["vec_id"] for r in full.collect()] == exact.tolist()
+
+    # pruned probe: the scan must touch only the probed partitions
+    pruned = ivfpq_topk(spark, path, q, k=10, n_probe=2, shortlist=100)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "_cluster" in plan
+    got = {r["vec_id"] for r in pruned.collect()}
+    assert len(got & set(exact.tolist())) >= 8  # clustered data: high recall

@@ -1382,23 +1382,35 @@ def _chunk_docs_sql() -> str:
 
 def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf log-log least-squares fit of the corpus word-frequency
-    spectrum: one row (n_words, slope, intercept).  Rank ties broken
-    by word so both engines rank identically; the regression is the
-    closed-form normal equation over ln(rank)/ln(count)."""
-    w = Window.orderBy(F.desc("_c"), "word")
-    freqs = (
+    spectrum: one row (n_words, slope, intercept) from the closed-form
+    normal equation over ln(rank)/ln(count).
+
+    NO global window: the regression only consumes the (rank, count)
+    multiset, which is invariant to rank order inside a tie class, so
+    the plan aggregates to the frequency-of-frequencies spectrum
+    (tiny: k distinct counts <= sqrt(2N)), derives each count class's
+    contiguous rank range with a distributed two-phase prefix scan,
+    and evaluates the per-class sums of ln r / ln^2 r JVM-side over
+    chunked sequences (operators/ranks.py).  The former
+    ``row_number()`` form moved the whole vocabulary to one partition
+    (``WindowExec: No Partition Defined``) — the plan pin in
+    tests/test_plans.py keeps that from returning."""
+    from ..operators.ranks import attach_rank_ranges, log_rank_power_sums
+
+    spectrum = (
         explode_words_df(load_table(spark, sf_dir, "documents"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .withColumn("_r", F.row_number().over(w))
-        .select(F.log("_r").alias("_x"), F.log("_c").alias("_y"))
+        .groupBy("_c")
+        .agg(F.count(F.lit(1)).alias("_m"))
     )
-    agg = freqs.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum("_x").alias("_sx"),
-        F.sum("_y").alias("_sy"),
-        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
-        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    chunks = log_rank_power_sums(attach_rank_ranges(spectrum))
+    agg = chunks.agg(
+        F.sum("_chunk_m").alias("_n"),
+        F.sum("_sum_ln").alias("_sx"),
+        F.sum(F.col("_chunk_m") * F.log("_c")).alias("_sy"),
+        F.sum(F.col("_sum_ln") * F.log("_c")).alias("_sxy"),
+        F.sum("_sum_ln2").alias("_sxx"),
     )
     slope = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
         F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
@@ -1423,9 +1435,16 @@ WITH _f AS (
   FROM (SELECT unnest({words_sql("text")}) AS w FROM documents)
   GROUP BY w
 ),
+_spec AS (SELECT _c, COUNT(*) AS _m FROM _f GROUP BY _c),
+_rng AS (
+  SELECT _c, _m, CAST(SUM(_m) OVER (ORDER BY _c DESC) - _m AS BIGINT) AS _start
+  FROM _spec
+),
+_r AS (
+  SELECT _c, unnest(generate_series(_start + 1, _start + _m)) AS _rank FROM _rng
+),
 _xy AS (
-  SELECT ln(ROW_NUMBER() OVER (ORDER BY _c DESC, word)) AS _x, ln(_c) AS _y
-  FROM _f
+  SELECT ln(CAST(_rank AS DOUBLE)) AS _x, ln(_c) AS _y FROM _r
 ),
 _s AS (
   SELECT COUNT(*) AS _n, SUM(_x) AS _sx, SUM(_y) AS _sy,

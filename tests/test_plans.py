@@ -50,3 +50,15 @@ def test_wordcount_partial_aggregation(spark, sf_dir):
 
     plan = _plan(wordcount_histogram(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_text_zipf_has_no_global_window(spark, sf_dir):
+    """The Zipf fit must stay in spectrum form: a global row_number()
+    rank would move the entire vocabulary to ONE partition
+    ("WindowExec: No Partition Defined").  The plan may contain no
+    window at all — ranks come from the distributed prefix scan plus
+    JVM-side sequence aggregates (operators/ranks.py)."""
+    from confidential_storm_spark.plans.queries import text_zipf
+
+    plan = _plan(text_zipf(spark, sf_dir))
+    assert "Window" not in plan, plan

@@ -1041,16 +1041,21 @@ FROM documents GROUP BY md5(text) ORDER BY digest
 
 NEARDUP_THRESHOLD = 0.2
 MINHASH_K, MINHASH_BANDS, SHINGLE_N = 16, 4, 3
+NGRAM_MAX_DF = 1000  # operator default: shingles in > this many docs leave the postings
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # max_shingle_df=None: the oracle is exact Jaccard, so the registry
-    # runs the uncapped path (the operator's default caps hot shingles)
+    """The CAPPED path — the operator default and the only plan that
+    survives 100x: a shingle in k docs contributes k^2/2 join rows, so
+    the hot-shingle df-cap is what bounds the self-join.  The oracle
+    mirrors the cap exactly (HAVING df <= cap on the postings CTE;
+    sizes stay the FULL set sizes), so the certified semantics are the
+    shipped semantics."""
     return ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         shingle_n=SHINGLE_N,
         threshold=NEARDUP_THRESHOLD,
-        max_shingle_df=None,
+        max_shingle_df=NGRAM_MAX_DF,
     ).orderBy("id_a", "id_b")
 
 
@@ -1058,9 +1063,11 @@ NGRAM_JACCARD_SQL = f"""
 WITH sh AS (SELECT doc_id AS _id, {shingles_sql("text", SHINGLE_N)} AS _sh FROM documents),
 nz AS (SELECT _id, _sh, len(_sh) AS _n FROM sh WHERE len(_sh) > 0),
 p AS (SELECT _id, unnest(_sh) AS shingle FROM nz),
+hot AS (SELECT shingle FROM p GROUP BY shingle HAVING COUNT(*) > {NGRAM_MAX_DF}),
+pc AS (SELECT _id, shingle FROM p ANTI JOIN hot USING (shingle)),
 shared AS (
   SELECT a._id AS id_a, b._id AS id_b, COUNT(*) AS shared
-  FROM p a JOIN p b ON a.shingle = b.shingle AND a._id < b._id
+  FROM pc a JOIN pc b ON a.shingle = b.shingle AND a._id < b._id
   GROUP BY a._id, b._id
 ),
 j AS (

@@ -1322,6 +1322,58 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(spark, path, q, k=KNN_K, n_probe=IVF_CLUSTERS)
 
 
+PQ_M, PQ_KS = 8, 16
+
+
+def _ivfpq_index_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:{IVF_CLUSTERS}:{PQ_M}:{PQ_KS}".encode()
+    ).hexdigest()[:16]
+    return f"/tmp/spark_graft_cache/ivfpq_{key}"
+
+
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN against the prebuilt compressed index: coarse
+    centroids rank on the driver, only probed ``_cluster=`` partitions
+    scan, ADC over the m-byte codes shortlists, exact re-rank on the
+    shortlist's full vectors.  The registry point probes ALL clusters
+    with a corpus-wide shortlist, which is provably brute force
+    (pytest-pinned in tests/test_pq.py) — so the DuckDB oracle is the
+    exact squared-L2 top-k; the compression dials (n_probe,
+    shortlist) carry the recall trade at the billion-vector scale."""
+    import os
+
+    from ..operators.pq import ivfpq_topk, ivfpq_write_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ivfpq_index_path(sf_dir)
+    if not os.path.exists(f"{path}/centroids/_SUCCESS"):
+        ivfpq_write_index(
+            emb, path, EMB_DIM, n_clusters=IVF_CLUSTERS, m=PQ_M, ks=PQ_KS
+        )
+    q = _query_vec(spark, sf_dir)
+    return ivfpq_topk(
+        spark, path, q, k=KNN_K, n_probe=IVF_CLUSTERS, shortlist=emb.count()
+    )
+
+
+KNN_IVFPQ_SQL = f"""
+SELECT vec_id,
+       ROUND(list_sum(list_transform(
+             list_zip(CAST(embedding AS DOUBLE[]),
+                      CAST((SELECT embedding FROM embeddings WHERE vec_id = 0) AS DOUBLE[])),
+             x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) AS dist2
+FROM embeddings
+ORDER BY dist2, vec_id
+LIMIT {KNN_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Ranking / search
 # ---------------------------------------------------------------------------
@@ -1697,6 +1749,12 @@ QUERIES: dict[str, QueryDef] = {
     "knn_brute_force": QueryDef(knn_brute_force, KNN_SQL, "exact cosine top-k", "similarity"),
     "knn_lsh": QueryDef(knn_lsh, None, "LSH-bucketed approximate top-k", "similarity"),
     "knn_ivf": QueryDef(knn_ivf, KNN_SQL, "IVF prebuilt-index top-k (full probe == exact)", "similarity"),
+    "knn_ivfpq": QueryDef(
+        knn_ivfpq,
+        KNN_IVFPQ_SQL,
+        "IVF-PQ compressed-index top-k (full probe + corpus shortlist == exact)",
+        "similarity",
+    ),
 }
 
 # lang-id oracle is generated (depends on LANG_MARKERS)

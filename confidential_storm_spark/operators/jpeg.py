@@ -397,6 +397,10 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("expected marker")
+        # spec-legal 0xFF fill/padding bytes may precede any marker
+        # (ITU T.81 B.1.1.2) — skip runs of 0xFF before the marker byte
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

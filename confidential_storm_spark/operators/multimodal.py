@@ -464,12 +464,17 @@ def decode_audio_features(
                         (mid, sr, int(nf * 1000 / sr), float(np.sqrt(np.mean(x**2))),
                          float(np.abs(x).max(initial=0.0)), zc, True)
                     )
-                except Exception:
+                except Exception as exc:
                     if strict:
+                        if bytes(p)[:4] == b"RIFF":
+                            # a real WAV container with a real problem
+                            # (truncated/silent/malformed PCM): surface
+                            # the actual diagnosis, not a codec gap
+                            raise
                         raise NotImplementedError(
                             "compressed audio needs an external codec; PCM WAV is "
                             "decoded natively"
-                        )
+                        ) from exc
                     rows.append((mid, 0, 0, 0.0, 0.0, 0.0, False))
             yield pd.DataFrame(
                 rows,
@@ -599,12 +604,17 @@ def audio_spectral_features(
                         (mid, round(centroid, 6), round(rolloff, 6),
                          np.round(bands / total, 6), True)
                     )
-                except Exception:
+                except Exception as exc:
                     if strict:
+                        if bytes(p)[:4] == b"RIFF":
+                            # a real WAV container with a real problem
+                            # (truncated/silent/malformed PCM): surface
+                            # the actual diagnosis, not a codec gap
+                            raise
                         raise NotImplementedError(
                             "compressed audio needs an external codec; PCM WAV is "
                             "decoded natively"
-                        )
+                        ) from exc
                     rows.append((mid, 0.0, 0.0, np.array(zeros), False))
             yield pd.DataFrame(
                 rows,
@@ -646,12 +656,17 @@ def resample_pcm(
                         wf.setframerate(target_sr)
                         wf.writeframes(pcm.tobytes())
                     rows.append((mid, buf.getvalue(), target_sr, True))
-                except Exception:
+                except Exception as exc:
                     if strict:
+                        if bytes(p)[:4] == b"RIFF":
+                            # a real WAV container with a real problem
+                            # (truncated/silent/malformed PCM): surface
+                            # the actual diagnosis, not a codec gap
+                            raise
                         raise NotImplementedError(
                             "compressed audio needs an external codec; PCM WAV is "
                             "decoded natively"
-                        )
+                        ) from exc
                     rows.append((mid, None, 0, False))
             yield pd.DataFrame(
                 rows, columns=[id_col, "payload", "sample_rate", "decode_ok"]

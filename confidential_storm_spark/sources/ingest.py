@@ -66,16 +66,25 @@ def read_documents_csv(
     )
 
 
-def split_corrupt(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+def split_corrupt(
+    parsed: DataFrame, return_source: bool = False
+) -> tuple[DataFrame, ...]:
     """Split a quarantined read into ``(clean, rejects)``: clean rows
     without the quarantine column, rejects as ``(raw)`` payloads for
     the audit sink.  Caches the parsed relation first — Spark forbids
     selecting only the corrupt column straight off the parser, and the
-    cache also makes the two downstream passes share one parse."""
+    cache also makes the two downstream passes share one parse.
+
+    Long-lived sessions should pass ``return_source=True`` to also
+    receive the CACHED parsed relation and ``unpersist()`` it once
+    both halves are consumed — unpersisting a derived half does not
+    release the source cache."""
     parsed = parsed.cache()
     parsed.count()  # materialize so both halves are independently queryable
     clean = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     rejects = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw")
     )
+    if return_source:
+        return clean, rejects, parsed
     return clean, rejects

@@ -79,14 +79,22 @@ def ts_to_micros(df: DataFrame, ts_col: str = "ts") -> Column:
     the current driver data) or legacy TIMESTAMP(NANOS) read as long
     nanos.  The NTZ branch is naive epoch arithmetic (timezone-free),
     exactly the value DuckDB's ``epoch_us(ts)`` computes, so oracles
-    agree regardless of session timezone."""
-    from pyspark.sql.types import LongType
+    agree regardless of session timezone.  A session that disables
+    ``inferTimestampNTZ`` reads the column as TIMESTAMP_LTZ instead —
+    ``unix_micros`` handles that branch (UTC-anchored, so it matches
+    epoch_us for data written as naive-UTC micros)."""
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
-    if isinstance(df.schema[ts_col].dataType, LongType):
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, LongType):
         return F.expr(f"{ts_col} div 1000")
-    return F.expr(
-        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
-    )
+    if isinstance(dt, TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+        )
+    if isinstance(dt, TimestampType):
+        return F.unix_micros(F.col(ts_col))
+    raise TypeError(f"{ts_col}: unsupported timestamp dtype {dt.simpleString()}")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -43,11 +43,15 @@ def write_partitioned(
     ``partitionOverwriteMode=dynamic`` an overwrite only replaces the
     partitions present in ``df`` — the idempotent re-run primitive for
     per-day / per-split outputs.  Readers filtering on the partition
-    columns prune directories before any I/O."""
-    df.sparkSession.conf.set(
-        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    columns prune directories before any I/O.  The mode is scoped to
+    THIS write via the writer option — the session conf (and other
+    code's overwrite semantics) is left untouched."""
+    (
+        df.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
     )
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
 def write_bucketed(

@@ -16,7 +16,9 @@ def test_jsonl_quarantine_routes_broken_lines(spark, tmp_path):
         '{"doc_id": 2, "text": "hola", "lang": "es", "source": "web", "n_chars": 4}\n'
         '{"doc_id": 3, "text": "truncated...\n'
     )
-    clean, rejects = split_corrupt(read_documents_jsonl(spark, str(p)))
+    clean, rejects, source = split_corrupt(
+        read_documents_jsonl(spark, str(p)), return_source=True
+    )
     try:
         rows = {r["doc_id"]: r["text"] for r in clean.collect()}
         assert rows == {1: "hello world", 2: "hola"}
@@ -25,7 +27,7 @@ def test_jsonl_quarantine_routes_broken_lines(spark, tmp_path):
         assert len(raw) == 2
         assert "this is not json at all" in raw
     finally:
-        clean.unpersist()
+        source.unpersist()
 
 
 def test_csv_quarantine_routes_bad_rows(spark, tmp_path):
@@ -41,6 +43,11 @@ def test_csv_quarantine_routes_bad_rows(spark, tmp_path):
         "not_a_number,broken,en,web,zz\n"
         "2,hola,es,web,4\n"
     )
-    clean, rejects = split_corrupt(read_documents_csv(spark, str(p)))
-    assert {r["doc_id"] for r in clean.collect()} == {1, 2}
-    assert rejects.count() == 1
+    clean, rejects, source = split_corrupt(
+        read_documents_csv(spark, str(p)), return_source=True
+    )
+    try:
+        assert {r["doc_id"] for r in clean.collect()} == {1, 2}
+        assert rejects.count() == 1
+    finally:
+        source.unpersist()

@@ -455,3 +455,36 @@ def test_png_flows_through_multimodal_operators(spark):
     feats = decode_image_features(df).collect()[0]
     # PNG is lossless: decoded mean is the true mean exactly
     assert feats["decode_ok"] and abs(feats["features"][3] - img.mean()) < 1e-3
+
+
+def test_jpeg_fill_bytes_before_markers_decode():
+    """ITU T.81 B.1.1.2: any marker may be preceded by 0xFF fill
+    bytes; third-party baseline streams use them for alignment.  Pad
+    every marker in an encoder-produced stream and require an
+    identical decode."""
+    import numpy as np
+
+    from confidential_storm_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    img = (np.indices((16, 16)).sum(axis=0) * 8 % 256).astype(np.uint8)
+    data = encode_baseline_jpeg(img, 85)
+    # re-emit the header segments with fill padding: walk markers up to
+    # SOS and insert an extra 0xFF before each
+    out = bytearray(data[:2])  # SOI
+    pos = 2
+    while True:
+        assert data[pos] == 0xFF
+        marker = data[pos + 1]
+        out += b"\xff\xff" + bytes([marker])
+        if marker == 0xDA:  # SOS: copy the rest verbatim
+            out += data[pos + 2 :]
+            break
+        import struct
+
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        out += data[pos + 2 : pos + 2 + seglen]
+        pos += 2 + seglen
+    assert np.array_equal(decode_baseline_jpeg(bytes(out)), decode_baseline_jpeg(data))

@@ -114,3 +114,20 @@ def test_ts_to_micros_handles_timestamp_and_long_nanos(spark):
     assert ntz.select(ts_to_micros(ntz).alias("us")).collect()[0]["us"] == us
     legacy = spark.createDataFrame([(us * 1000 + 789,)], "ts long")  # nanos
     assert legacy.select(ts_to_micros(legacy).alias("us")).collect()[0]["us"] == us
+    # LTZ branch (a session with inferTimestampNTZ disabled reads the
+    # same column as TIMESTAMP): unix_micros is UTC-anchored, so the
+    # value still matches DuckDB's epoch_us under any session timezone
+    ltz = spark.createDataFrame(
+        [(when.replace(tzinfo=dt.timezone.utc),)], "ts timestamp"
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        assert ltz.select(ts_to_micros(ltz).alias("us")).collect()[0]["us"] == us
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    import pytest
+
+    with pytest.raises(TypeError):
+        bad = spark.createDataFrame([("x",)], "ts string")
+        ts_to_micros(bad)

@@ -3,10 +3,16 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {name: sec, ...}, "spread": {name: [min, max], ...},
+     "runs": 3, "sf": 0.1}
 
 Each query is executed to completion (count() materializes every
-partition) after a warm-up of the session.
+partition) after a warm-up of the session, and timed over
+$SPARK_GRAFT_BENCH_RUNS rounds (default 3, round-robin so host-load
+spikes hit different queries each pass).  ``queries`` holds
+per-query MEDIANS — the shared sandbox swings 2-8x (PLANS.md), so
+single-shot timings are not decision-grade — and ``spread`` the
+per-query [min, max] so a noisy median is visible as a wide band.
 """
 
 from __future__ import annotations
@@ -60,14 +66,25 @@ def main() -> None:
     prebuild_artifacts(spark, sf_dir)
     print(f"# prebuild_artifacts: {time.perf_counter()-t0:.3f}s", file=sys.stderr)
 
-    timings: dict[str, float] = {}
-    for name, fn in build_queries().items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    qs = build_queries()
+    samples: dict[str, list[float]] = {name: [] for name in qs}
+    for run in range(n_runs):
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = round(time.perf_counter() - t0, 3)
+            samples[name].append(dt)
+            print(f"# run{run} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
+
+    timings = {name: median(xs) for name, xs in samples.items()}
+    spread = {name: [min(xs), max(xs)] for name, xs in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -76,6 +93,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs": n_runs,
                 "sf": sf,
             }
         )

@@ -2137,6 +2137,18 @@ def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
         ivf_write_index(
             load_table(spark, sf_dir, "embeddings"), path, n_clusters=IVF_CLUSTERS
         )
+    from ..operators.pq import ivfpq_write_index
+
+    pq_path = _ivfpq_index_path(sf_dir)
+    if not os.path.exists(f"{pq_path}/centroids/_SUCCESS"):
+        ivfpq_write_index(
+            load_table(spark, sf_dir, "embeddings"),
+            pq_path,
+            EMB_DIM,
+            n_clusters=IVF_CLUSTERS,
+            m=PQ_M,
+            ks=PQ_KS,
+        )
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -16,7 +16,12 @@ the same micro-batch==epoch file handoff the reference's ZK epoch
 barrier provides):
 
 1. :func:`stamp_epoch_stream` — ``foreachBatch`` stamps
-   ``epoch = batch_id`` and writes ONE parquet file per batch.
+   ``epoch = batch_id`` and writes ONE parquet file per batch
+   (processing-time mode, reference T3 parity); OR
+   :func:`stamp_event_time_epoch_stream` — epochs derived from the
+   DATA via tumbling event-time windows with a watermark late-drop,
+   matching the batch path's day-since-origin epochs (the §7
+   semantic upgrade; differential-tested against ``dp_batch``).
 2. :func:`prev_epoch_counts_stream` — state keyed by **(key, user)**,
    one ``last_epoch`` int per pair: emits each pair's window total
    plus the user's PREVIOUS contribution epoch for that key and drops
@@ -42,10 +47,13 @@ operator remains available for exact tick-parity (T4 heartbeats).
 
 ``transformWithStateInPandas`` (Spark 4's per-key state API) would
 collapse stage 3's packing boilerplate, but it crashes in this
-container ("TransformWithStateInPySpark driver worker exited
-unexpectedly", re-verified this round), so the per-key grouping runs
-on ``applyInPandasWithState`` — the state layout and write-volume
-properties are the same.
+container: on Spark **4.1.2** a minimal ValueState counter over a
+file source dies with "TransformWithStateInPySpark driver worker
+exited unexpectedly (crashed)" before the first batch commits
+(re-verified 2026-08-14; environmental — the API's driver-side Python
+worker does not survive in this sandbox).  The per-key grouping runs
+on ``applyInPandasWithState`` instead — the state layout and
+write-volume properties are the same.
 """
 
 from __future__ import annotations
@@ -66,6 +74,7 @@ from ..operators.dp_batch import DPParams
 
 __all__ = [
     "stamp_epoch_stream",
+    "stamp_event_time_epoch_stream",
     "read_epoch_stream",
     "prev_epoch_counts_stream",
     "dp_histogram_stream_keyed",
@@ -106,6 +115,99 @@ def read_epoch_stream(spark: SparkSession, path: str, schema: str) -> DataFrame:
         spark.readStream.schema(f"{schema}, epoch int")
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage 1 (event-time mode): epochs from the DATA, watermark late-drop
+# ---------------------------------------------------------------------------
+
+EVENT_STAMPED_SCHEMA = "key string, user_id string, value double, epoch int"
+
+_WINDOW_UNITS_US = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def _window_micros(window: str) -> int:
+    n, unit = window.strip().split()
+    return int(n) * _WINDOW_UNITS_US[unit.rstrip("s")]
+
+
+def stamp_event_time_epoch_stream(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    ts_col: str = "event_time",
+    key_col: str = "key",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    window: str = "1 day",
+    delay: str = "1 day",
+    origin: str = "2024-01-01",
+):
+    """Stage 1, EVENT-TIME mode: epochs derive from the data
+    (``epoch = floor((window_start - origin) / window)``), matching
+    the batch path's day-since-origin derivation
+    (sources/tables.py::contributions_view) instead of the
+    processing-time ``epoch = batch_id`` stamp — streaming and batch
+    agree on data-derived epochs (SURVEY §7's intentional semantic
+    upgrade over the reference's wall-clock tick, T3).
+
+    The tumbling ``window`` aggregation pre-sums each (key, user,
+    epoch)'s contributions, and the ``delay`` watermark gives the
+    REAL late-data contract: a window emits once the watermark passes
+    its end (append mode — exactly-once per window), and rows later
+    than the watermark are dropped by the engine, not folded into a
+    wrong epoch.  Because windows close in event-time order, epochs
+    arrive at stage 2/3 monotonically — the property the DP
+    mechanism's round structure needs.
+
+    Bounded-input caveat (tests, availableNow drains): the watermark
+    trails the max seen event time by ``delay``, so the LAST windows
+    stay pending until later input — or a T4-style heartbeat tick
+    past ``window_end + delay`` — advances it.  A continuous
+    production stream does this for free.
+
+    Writes one parquet file per emitted micro-batch
+    (``EVENT_STAMPED_SCHEMA``); returns the started query."""
+    import datetime as dt
+
+    win_us = _window_micros(window)
+    origin_us = int(
+        dt.datetime.strptime(origin, "%Y-%m-%d")
+        .replace(tzinfo=dt.timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+    stamped = (
+        events.withWatermark(ts_col, delay)
+        .groupBy(F.window(F.col(ts_col), window), F.col(key_col), F.col(user_col))
+        .agg(F.sum(value_col).alias("_total"))
+        .select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(user_col).cast("string").alias("user_id"),
+            F.col("_total").cast("double").alias("value"),
+            ((F.unix_micros(F.col("window.start")) - F.lit(origin_us)) / F.lit(win_us))
+            .cast("int")
+            .alias("epoch"),
+        )
+    )
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        # repartition(1): one file per batch; the narrow coalesce would
+        # single-task the upstream stateful aggregation
+        df.repartition(1).write.mode("append").parquet(path)
+
+    return (
+        stamped.writeStream.foreachBatch(write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )
 
 
@@ -323,12 +425,23 @@ def run_keyed_dp_available_now(
     key_col: str = "key",
     user_col: str = "user_id",
     value_col: str = "value",
+    epoch_mode: str = "processing",
+    ts_col: str = "event_time",
+    window: str = "1 day",
+    delay: str = "1 day",
+    origin: str = "2024-01-01",
 ) -> dict:
     """Drain the 3-stage keyed DP pipeline over all available input
     (one ``availableNow`` pass per stage, in order — in production the
     three checkpointed queries run concurrently).  All checkpoints and
     handoffs live under ``workdir``, so calling this again after new
     input files arrive RESUMES from state (recovery-tested).
+
+    ``epoch_mode='processing'`` stamps ``epoch = batch_id`` (reference
+    T3 parity: wall-clock ticks); ``epoch_mode='event_time'`` derives
+    epochs from ``ts_col`` tumbling windows with a ``delay`` watermark
+    (late rows DROPPED by the engine), so streaming output epochs
+    match the batch path's data-derived epochs.
 
     Returns ``{"batches": [(batch_id, rows)], "progress": {stage:
     [stateOperators dicts]}}`` — the progress metrics expose
@@ -338,11 +451,33 @@ def run_keyed_dp_available_now(
     prev_path = f"{workdir}/prev_counts"
     progress: dict[str, list] = {}
 
-    q1 = stamp_epoch_stream(events, stamped_path, f"{workdir}/ckpt_stamp")
-    q1.awaitTermination(300)
-
-    stamped = read_epoch_stream(spark, stamped_path, schema)
-    prev = prev_epoch_counts_stream(stamped, key_col, user_col, value_col)
+    if epoch_mode == "event_time":
+        q1 = stamp_event_time_epoch_stream(
+            events,
+            stamped_path,
+            f"{workdir}/ckpt_stamp",
+            ts_col,
+            key_col,
+            user_col,
+            value_col,
+            window,
+            delay,
+            origin,
+        )
+        q1.awaitTermination(300)
+        stamped = (
+            spark.readStream.schema(EVENT_STAMPED_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stamped_path)
+        )
+        prev = prev_epoch_counts_stream(stamped)
+    elif epoch_mode == "processing":
+        q1 = stamp_epoch_stream(events, stamped_path, f"{workdir}/ckpt_stamp")
+        q1.awaitTermination(300)
+        stamped = read_epoch_stream(spark, stamped_path, schema)
+        prev = prev_epoch_counts_stream(stamped, key_col, user_col, value_col)
+    else:
+        raise ValueError(f"unknown epoch_mode {epoch_mode!r}")
 
     def write_prev(df: DataFrame, batch_id: int) -> None:
         # repartition(1), NOT coalesce(1): coalesce's narrow dependency

@@ -14,6 +14,7 @@ Covers the VERDICT r2 'done' criteria:
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from confidential_storm_spark.operators.dp_batch import DPParams
 from confidential_storm_spark.streaming.keyed import (
@@ -303,3 +304,80 @@ def test_keyed_output_feeds_histogram_sink(spark, tmp_path):
     q.awaitTermination(120)
     lines = open(f"{out_dir}/histogram.txt").read().splitlines()
     assert lines[1:] == ["hot:6", "late:3", "cold:1"]  # desc, latest epoch won
+
+
+def test_keyed_event_time_epochs_match_batch(spark, tmp_path):
+    """epoch_mode='event_time': the streaming keyed path derives
+    epochs from the DATA (1-day tumbling windows since 2024-01-01,
+    1-day watermark) — the same derivation as the batch path — so the
+    same contributions produce IDENTICAL sigma=0 output through
+    dp_histogram_batch and the 3-stage stream, and a row later than
+    the watermark is dropped rather than folded into a wrong epoch."""
+    import datetime as dt
+
+    from confidential_storm_spark.operators.dp_batch import dp_histogram_batch
+
+    def ts(day, hour=12):
+        return dt.datetime(2024, 1, 1 + day, hour)
+
+    ev_schema = "user_id string, key string, value double, event_time timestamp"
+    # days 0..3, out of event-time order across files but inside the
+    # 1-day watermark; same-user repeats within one day pre-sum
+    file1 = [
+        ("u1", "a", 1.0, ts(1)),
+        ("u2", "a", 1.0, ts(0)),
+        ("u1", "a", 1.0, ts(0, 8)),
+        ("u3", "b", 1.0, ts(1)),
+    ]
+    file2 = [
+        ("u2", "b", 1.0, ts(3)),
+        ("u5", "a", 1.0, ts(2)),
+    ]
+    # late but within the watermark: at this batch the late-event
+    # filter still holds the PREVIOUS batch's watermark (Jan 1 12:00),
+    # so day 1 is open and u4 folds into the correct epoch
+    file3 = [("u4", "a", 1.0, ts(1, 23))]
+    # by the time file4 arrives the late-filter watermark is
+    # Jan 3 12:00 (file2's advance, one batch behind) -> day 0's
+    # window is closed and this straggler must be DROPPED
+    dropped = ("u9", "a", 1.0, ts(0, 9))
+    # heartbeat tick far ahead: advances the watermark so days 0..3
+    # all emit during the availableNow drain (its own pending window
+    # never closes, so it reaches no downstream stage)
+    tick = ("hb", "hb", 0.0, ts(9))
+    file4 = [dropped, tick]
+
+    src = str(tmp_path / "src")
+    import time
+
+    for i, rows in enumerate([file1, file2, file3, file4]):
+        spark.createDataFrame(rows, ev_schema).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+        time.sleep(0.1)  # distinct mtimes: file-source batch order
+
+    reader = (
+        spark.readStream.schema(ev_schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    res = run_keyed_dp_available_now(
+        spark,
+        reader,
+        DPParams.zero_noise(t=10, mu=0),
+        str(tmp_path / "wd"),
+        ev_schema,
+        epoch_mode="event_time",
+    )
+    emitted = [r for _, rows in res["batches"] for r in rows]
+    # epochs are DATA-derived days since 2024-01-01, not batch ids
+    assert {(r["key"], r["epoch"]) for r in emitted} == {
+        ("a", 0), ("a", 1), ("a", 2), ("b", 1), ("b", 3)
+    }
+
+    batch_in = spark.createDataFrame(file1 + file2 + file3, ev_schema).withColumn(
+        "epoch", F.datediff(F.col("event_time").cast("date"), F.lit("2024-01-01").cast("date"))
+    )
+    batch = {
+        r["key"]: r["count"]
+        for r in dp_histogram_batch(batch_in, DPParams.zero_noise(t=10, mu=0)).collect()
+    }
+    assert _final_counts(res["batches"]) == batch == {"a": 5, "b": 2}

@@ -932,9 +932,19 @@ def shared_span_pairs_sql(
     text_col: str = "text",
     id_col: str = "doc_id",
     span_n: int = 5,
+    max_span_df: int | None = None,
 ) -> str:
-    """DuckDB twin of :func:`shared_span_pairs` (uncapped)."""
+    """DuckDB twin of :func:`shared_span_pairs`; ``max_span_df``
+    mirrors the operator's deterministic df-cap (HAVING on the
+    postings CTE) so the capped plan can be oracle-certified."""
     ws = words_sql(text_col)
+    cap = (
+        ""
+        if max_span_df is None
+        else f"""
+_hot AS (SELECT _h FROM _post0 GROUP BY _h HAVING COUNT(*) > {max_span_df}),"""
+    )
+    post = "_post0" if max_span_df is None else "(SELECT * FROM _post0 ANTI JOIN _hot USING (_h))"
     return f"""
 WITH _w AS (SELECT {id_col} AS _id, {ws} AS ws FROM {table}),
 _spans AS (
@@ -945,9 +955,10 @@ _spans AS (
                 ELSE [] END)) AS _s
   FROM _w
 ),
-_post AS (SELECT DISTINCT _id,
-                 CAST('0x' || substr(md5(_s), 1, 15) AS BIGINT) AS _h
-          FROM _spans)
+_post0 AS (SELECT DISTINCT _id,
+                  CAST('0x' || substr(md5(_s), 1, 15) AS BIGINT) AS _h
+           FROM _spans),{cap}
+_post AS (SELECT * FROM {post})
 SELECT a._id AS id_a, b._id AS id_b, COUNT(*) AS n_shared_spans
 FROM _post a JOIN _post b ON a._h = b._h AND a._id < b._id
 GROUP BY a._id, b._id
@@ -959,7 +970,16 @@ def _span_postings(
 ) -> DataFrame:
     """Distinct ``(_id, _h)`` postings of 60-bit hashed ``span_n``-word
     runs (shared by :func:`shared_span_pairs` and
-    :func:`span_dup_fraction`)."""
+    :func:`span_dup_fraction`).
+
+    The result is ``localCheckpoint(eager=False)``-ed: every consumer
+    reads the postings at least twice (df-cap hot list + anti-join,
+    both sides of the pair self-join, df groupBy + join-back), and
+    without the checkpoint each read re-runs the words -> spans ->
+    md5 -> distinct lineage — the dominant cost (measured 3-4x at
+    sf1).  Checkpointing the narrow fixed-width (long, long) relation
+    is cheap; row serialization avoids the columnar-cache array
+    pathology noted in :func:`ngram_jaccard_pairs`."""
     ws = words(F.col(text_col))
     spans = F.when(
         F.size(ws) >= span_n,
@@ -977,6 +997,7 @@ def _span_postings(
             .alias("_h"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
 
 

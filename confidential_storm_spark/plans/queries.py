@@ -1523,23 +1523,29 @@ FROM _s
 # ---------------------------------------------------------------------------
 
 SPAN_N = 5
+SPAN_MAX_DF = 1000  # operator default: spans in > this many docs leave the postings
 
 
 def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc pairs sharing an exact 5-word span (span-level dup signal,
-    Lee et al. 2021); uncapped here so the oracle is exact — the
-    operator's ``max_span_df`` cap is the scale default."""
+    Lee et al. 2021).  Runs the CAPPED path — the operator default and
+    the plan that survives 100x (a span in k docs contributes k^2/2
+    join rows); the oracle mirrors the df-cap exactly, so the
+    certified semantics are the shipped semantics."""
     from ..operators.dedup import shared_span_pairs
 
     return shared_span_pairs(
-        load_table(spark, sf_dir, "documents"), span_n=SPAN_N, max_span_df=None
+        load_table(spark, sf_dir, "documents"), span_n=SPAN_N, max_span_df=SPAN_MAX_DF
     ).orderBy("id_a", "id_b")
 
 
 def _dedup_spans_sql() -> str:
     from ..operators.dedup import shared_span_pairs_sql
 
-    return shared_span_pairs_sql(span_n=SPAN_N) + " ORDER BY id_a, id_b"
+    return (
+        shared_span_pairs_sql(span_n=SPAN_N, max_span_df=SPAN_MAX_DF)
+        + " ORDER BY id_a, id_b"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -53,3 +53,49 @@ def test_shared_span_pairs_df_cap_bounds_hot_span(spark):
     docs = _docs(spark, [(i, "common header line repeated verbatim") for i in range(30)])
     assert shared_span_pairs(docs, span_n=5, max_span_df=None).count() == 435
     assert shared_span_pairs(docs, span_n=5, max_span_df=10).count() == 0
+
+
+def test_shared_span_pairs_capped_sql_twin_matches(spark):
+    """The registry certifies the CAPPED path (round-5): the DuckDB
+    twin's HAVING-df cap must reproduce the operator's capped
+    semantics exactly on a corpus where the cap actually engages —
+    hot boilerplate spans dropped, legit shared spans kept."""
+    import duckdb
+
+    from confidential_storm_spark.operators.dedup import (
+        shared_span_pairs,
+        shared_span_pairs_sql,
+    )
+
+    span = "one two three four five"
+    rows = [(i, f"common header line repeated verbatim tail{i}") for i in range(30)]
+    rows += [
+        (100, f"alpha beta {span} gamma"),
+        (101, f"delta {span} epsilon zeta"),
+    ]
+    docs = _docs(spark, rows)
+    got = {
+        (r["id_a"], r["id_b"], r["n_shared_spans"])
+        for r in shared_span_pairs(docs, span_n=5, max_span_df=10).collect()
+    }
+    # the hot 'common header line repeated verbatim' span (df=30 > 10)
+    # leaves the postings; the planted span (df=2) survives
+    assert got == {(100, 101, 1)}
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    sql = shared_span_pairs_sql(span_n=5, max_span_df=10)
+    oracle = {tuple(t) for t in con.execute(sql).fetchall()}
+    assert got == oracle
+
+    # uncapped twin agrees with the uncapped operator on the same corpus
+    got_uncapped = {
+        (r["id_a"], r["id_b"], r["n_shared_spans"])
+        for r in shared_span_pairs(docs, span_n=5, max_span_df=None).collect()
+    }
+    oracle_uncapped = {
+        tuple(t)
+        for t in con.execute(shared_span_pairs_sql(span_n=5)).fetchall()
+    }
+    assert got_uncapped == oracle_uncapped
+    assert len(got_uncapped) == 30 * 29 // 2 + 1

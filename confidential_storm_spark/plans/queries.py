@@ -1041,6 +1041,7 @@ FROM documents GROUP BY md5(text) ORDER BY digest
 
 NEARDUP_THRESHOLD = 0.2
 MINHASH_K, MINHASH_BANDS, SHINGLE_N = 16, 4, 3
+MINHASH_MAX_BUCKET = 1000  # operator default: band buckets holding > this many docs are dropped
 NGRAM_MAX_DF = 1000  # operator default: shingles in > this many docs leave the postings
 
 
@@ -1102,7 +1103,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=MINHASH_BANDS,
         shingle_n=SHINGLE_N,
         jaccard_threshold=NEARDUP_THRESHOLD,
-        max_bucket_size=None,
+        max_bucket_size=MINHASH_MAX_BUCKET,
     )
     return neardup_clusters(docs, pairs).orderBy("doc_id")
 
@@ -1113,7 +1114,7 @@ def _dedup_clusters_sql() -> str:
     # min-label transitive closure: reach(id, label) holds every label
     # reachable through the bidirectional pair graph; MIN per id ==
     # smallest doc id in the component.
-    pair_body = _minhash_sql().replace("ORDER BY id_a, id_b", "")
+    pair_body = _minhash_sql(MINHASH_MAX_BUCKET).replace("ORDER BY id_a, id_b", "")
     return f"""
 WITH RECURSIVE pairs AS ({pair_body}),
 edges AS (
@@ -1136,25 +1137,43 @@ ORDER BY d.doc_id
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # max_bucket_size=None: oracle recomputes identical signatures, so
-    # the registry runs the uncapped path (the operator default caps)
+    # the CAPPED path — the operator default (a band bucket holding k
+    # docs emits k^2/2 candidates, so one degenerate bucket kills a
+    # natural-corpus run at 100x); the oracle mirrors the hot-bucket
+    # cap exactly, so the certified semantics are the shipped ones
     return minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
         num_hashes=MINHASH_K,
         bands=MINHASH_BANDS,
         shingle_n=SHINGLE_N,
         jaccard_threshold=NEARDUP_THRESHOLD,
-        max_bucket_size=None,
+        max_bucket_size=MINHASH_MAX_BUCKET,
     ).orderBy("id_a", "id_b")
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(max_bucket_size: int | None = None) -> str:
     r = MINHASH_K // MINHASH_BANDS
     perms = _perm_params(MINHASH_K, seed=42)
     sig_exprs = ", ".join(
         f"list_min(list_transform(_sh, x -> (x * {a} + {b}) % 2147483647))" for a, b in perms
     )
     bands = ", ".join(str(b) for b in range(MINHASH_BANDS))
+    # the operator's deterministic hot-bucket cap, mirrored: band
+    # buckets holding > max_bucket_size docs leave candidate
+    # generation entirely (HAVING + anti-join — same relational shape
+    # as the Spark side's broadcast anti-join)
+    cap = (
+        ""
+        if max_bucket_size is None
+        else f"""
+hot AS (SELECT band, band_hash FROM banded
+        GROUP BY band, band_hash HAVING COUNT(*) > {max_bucket_size}),"""
+    )
+    banded_src = (
+        "banded"
+        if max_bucket_size is None
+        else "(SELECT * FROM banded ANTI JOIN hot USING (band, band_hash))"
+    )
     return f"""
 WITH docs AS (SELECT doc_id AS _id, {shingles_sql("text", SHINGLE_N)} AS _sh FROM documents),
 sh AS (SELECT _id, _sh, [{sig_exprs}] AS _sig FROM docs WHERE len(_sh) > 0),
@@ -1162,10 +1181,11 @@ banded AS (
   SELECT _id, _sh, band,
          array_to_string(list_slice(_sig, band * {r} + 1, band * {r} + {r}), '-') AS band_hash
   FROM sh, (SELECT unnest([{bands}]) AS band)
-),
+),{cap}
+bandedc AS (SELECT * FROM {banded_src}),
 cand AS (
   SELECT DISTINCT l._id AS id_a, r._id AS id_b, l._sh AS sh_a, r._sh AS sh_b
-  FROM banded l JOIN banded r
+  FROM bandedc l JOIN bandedc r
     ON l.band = r.band AND l.band_hash = r.band_hash AND l._id < r._id
 ),
 j AS (
@@ -1802,7 +1822,7 @@ QUERIES["text_repetition"] = QueryDef(
 )
 # minhash oracle is generated (depends on permutation params)
 QUERIES["dedup_minhash_lsh"] = QueryDef(
-    dedup_minhash_lsh, _minhash_sql(), "minhash LSH near-dup pairs", "training-data"
+    dedup_minhash_lsh, _minhash_sql(MINHASH_MAX_BUCKET), "minhash LSH near-dup pairs", "training-data"
 )
 # simhash oracles are generated (md5 bit math reproduced in SQL)
 from ..operators.dedup import simhash_pairs_sql, simhash_sql  # noqa: E402

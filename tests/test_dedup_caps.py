@@ -171,3 +171,56 @@ def test_connected_components_handcrafted(spark):
     assert rows[99] == (99, True)  # singleton: own cluster, survivor
     assert rows[4] == (1, False) and rows[1] == (1, True)
     assert sum(1 for c, s in rows.values() if s) == 4  # one survivor per cluster
+
+
+def test_minhash_bucket_cap_sql_twin_matches(spark):
+    """Round-5: the registry certifies the CAPPED minhash path, so the
+    DuckDB twin's hot-bucket HAVING must reproduce the operator's cap
+    exactly on a corpus where it engages: a degenerate bucket (many
+    identical docs collapsing to one band signature) is dropped while
+    a genuine near-dup pair in small buckets survives."""
+    import duckdb
+
+    from confidential_storm_spark.plans.queries import (
+        MINHASH_BANDS,
+        MINHASH_K,
+        NEARDUP_THRESHOLD,
+        SHINGLE_N,
+        _minhash_sql,
+    )
+
+    rows = [(i, "same text in every single document here") for i in range(N_DOCS)]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog tonight"),
+        (101, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(cap):
+        return {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in minhash_lsh_pairs(
+                docs,
+                num_hashes=MINHASH_K,
+                bands=MINHASH_BANDS,
+                shingle_n=SHINGLE_N,
+                jaccard_threshold=NEARDUP_THRESHOLD,
+                max_bucket_size=cap,
+            ).collect()
+        }
+
+    capped = run(5)
+    # the identical-doc bucket (size N_DOCS > 5) is gone; the fox pair
+    # (buckets of size <= 2) survives
+    assert {(a, b) for a, b, _ in capped} == {(100, 101)}
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    oracle = {tuple(t) for t in con.execute(_minhash_sql(max_bucket_size=5)).fetchall()}
+    assert capped == oracle
+
+    # and the uncapped twin matches the uncapped operator
+    uncapped = run(None)
+    oracle_uncapped = {tuple(t) for t in con.execute(_minhash_sql()).fetchall()}
+    assert uncapped == oracle_uncapped
+    assert len(uncapped) == N_DOCS * (N_DOCS - 1) // 2 + 1

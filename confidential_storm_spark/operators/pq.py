@@ -51,7 +51,7 @@ def pq_train(
     df: DataFrame,
     dim: int,
     m: int = 8,
-    ks: int = 16,
+    ks: int = 64,
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -59,7 +59,14 @@ def pq_train(
 ) -> np.ndarray:
     """Train PQ codebooks: per-subspace Lloyd's on the lowest-id
     ``sample_rows`` vectors (deterministic).  Returns float64
-    ``(m, ks, dim//m)``."""
+    ``(m, ks, dim//m)``.
+
+    Default ``ks=64`` after measurement (benchmark/ivfpq_sweep.csv):
+    on dim-64 synthetic embeddings, m=8/ks=16 (4-byte codes) capped
+    re-ranked recall@10 at ~0.72 even at full probe + 500-shortlist,
+    while ks=64 codebooks reach 0.99 — codebook richness, not probe
+    width, was the recall lever.  ks<=256 keeps the ADC table
+    broadcast-tiny either way."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
@@ -184,7 +191,7 @@ def ivfpq_write_index(
     dim: int,
     n_clusters: int = 16,
     m: int = 8,
-    ks: int = 16,
+    ks: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,

@@ -1342,7 +1342,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(spark, path, q, k=KNN_K, n_probe=IVF_CLUSTERS)
 
 
-PQ_M, PQ_KS = 8, 16
+PQ_M, PQ_KS = 8, 64  # ks=64 after the ivfpq_sweep recall measurement
 
 
 def _ivfpq_index_path(sf_dir: str) -> str:

@@ -224,8 +224,10 @@ def minhash_lsh_pairs(
     the cap only engages on degenerate buckets, where the quadratic
     blowup is exactly what kills a natural-corpus run at scale; a
     dropped pair can still surface through its other bands.  Pass
-    ``max_bucket_size=None`` for exact (unbounded) semantics — the
-    oracle registry does.
+    ``max_bucket_size=None`` for exact (unbounded) semantics; the
+    oracle registry certifies the CAPPED default (the hot-bucket cap
+    mirrored in its DuckDB twin), so the certified plan is the
+    shipped one.
     """
     rows_per_band = num_hashes // bands
     sh_df = _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id").select(
@@ -350,8 +352,10 @@ def ngram_jaccard_pairs(
     with a cap the computed jaccard undercounts shared shingles for
     affected pairs (exactness traded for bounded work, the same trade
     every large-corpus dedup pipeline makes).  Pass
-    ``max_shingle_df=None`` for exact semantics — the oracle registry
-    does."""
+    ``max_shingle_df=None`` for exact semantics; the oracle registry
+    certifies the CAPPED default (the cap mirrored in its DuckDB twin
+    via a HAVING-df anti-join), so the certified plan is the shipped
+    one."""
     sh = (
         _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id")
         .select("_id", shingles_udf(F.col(text_col), shingle_n).alias("_sh"))
@@ -904,8 +908,9 @@ def shared_span_pairs(
     all-pairs.  ``max_span_df`` drops ultra-common spans (boilerplate
     headers at corpus scale) from the postings, exactly like
     ``max_shingle_df`` in :func:`ngram_jaccard_pairs`; pass ``None``
-    for exact semantics (the oracle registry does on this corpus —
-    span collisions are rare by construction).
+    for exact semantics.  The oracle registry certifies the CAPPED
+    default (the cap mirrored in its DuckDB twin), so the certified
+    plan is the shipped one.
     """
     postings = _span_postings(df, text_col, id_col, span_n)
     if max_span_df is not None:

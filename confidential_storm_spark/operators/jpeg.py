@@ -401,6 +401,8 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
         # (ITU T.81 B.1.1.2) — skip runs of 0xFF before the marker byte
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(data):  # stream truncated inside a fill run
+            raise ValueError("truncated stream")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

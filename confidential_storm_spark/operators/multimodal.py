@@ -466,7 +466,12 @@ def decode_audio_features(
                     )
                 except Exception as exc:
                     if strict:
-                        if bytes(p)[:4] == b"RIFF":
+                        # p may be null / non-bytes (e.g. failed-decode
+                        # rows fed back through); bytes(p) would raise a
+                        # second TypeError INSIDE the handler and mask
+                        # the diagnosis
+                        header = bytes(p)[:4] if isinstance(p, (bytes, bytearray, memoryview)) else b""
+                        if header == b"RIFF":
                             # a real WAV container with a real problem
                             # (truncated/silent/malformed PCM): surface
                             # the actual diagnosis, not a codec gap
@@ -606,7 +611,12 @@ def audio_spectral_features(
                     )
                 except Exception as exc:
                     if strict:
-                        if bytes(p)[:4] == b"RIFF":
+                        # p may be null / non-bytes (e.g. failed-decode
+                        # rows fed back through); bytes(p) would raise a
+                        # second TypeError INSIDE the handler and mask
+                        # the diagnosis
+                        header = bytes(p)[:4] if isinstance(p, (bytes, bytearray, memoryview)) else b""
+                        if header == b"RIFF":
                             # a real WAV container with a real problem
                             # (truncated/silent/malformed PCM): surface
                             # the actual diagnosis, not a codec gap
@@ -658,7 +668,12 @@ def resample_pcm(
                     rows.append((mid, buf.getvalue(), target_sr, True))
                 except Exception as exc:
                     if strict:
-                        if bytes(p)[:4] == b"RIFF":
+                        # p may be null / non-bytes (e.g. failed-decode
+                        # rows fed back through); bytes(p) would raise a
+                        # second TypeError INSIDE the handler and mask
+                        # the diagnosis
+                        header = bytes(p)[:4] if isinstance(p, (bytes, bytearray, memoryview)) else b""
+                        if header == b"RIFF":
                             # a real WAV container with a real problem
                             # (truncated/silent/malformed PCM): surface
                             # the actual diagnosis, not a codec gap

@@ -50,7 +50,7 @@ __all__ = [
 def pq_train(
     df: DataFrame,
     dim: int,
-    m: int = 8,
+    m: int = 16,
     ks: int = 64,
     iters: int = 5,
     vec_col: str = "embedding",
@@ -61,12 +61,14 @@ def pq_train(
     ``sample_rows`` vectors (deterministic).  Returns float64
     ``(m, ks, dim//m)``.
 
-    Default ``ks=64`` after measurement (benchmark/ivfpq_sweep.csv):
-    on dim-64 synthetic embeddings, m=8/ks=16 (4-byte codes) capped
-    re-ranked recall@10 at ~0.72 even at full probe + 500-shortlist,
-    while ks=64 codebooks reach 0.99 — codebook richness, not probe
-    width, was the recall lever.  ks<=256 keeps the ADC table
-    broadcast-tiny either way."""
+    Defaults ``m=16, ks=64`` after measurement on dim-64 synthetic
+    embeddings (benchmark/ivfpq_sweep.csv = m=16/ks=64;
+    benchmark/ivfpq_sweep_m8.csv = m=8/ks=64): re-ranked recall@10 at
+    full probe + 500-shortlist is 0.99 for m=16/ks=64 vs 0.85 for
+    m=8/ks=64 vs ~0.72 for m=8/ks=16 — BOTH quantizer dials (subspace
+    count and codebook size), not probe width, are the recall levers.
+    ks<=256 keeps the ADC table broadcast-tiny either way; ``dim``
+    must stay divisible by ``m``."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
@@ -190,7 +192,7 @@ def ivfpq_write_index(
     path: str,
     dim: int,
     n_clusters: int = 16,
-    m: int = 8,
+    m: int = 16,
     ks: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",

@@ -1308,18 +1308,22 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_CLUSTERS = 16
 
 
-def _ivf_index_path(sf_dir: str) -> str:
-    """Cache location for the prebuilt IVF index of one sf_dir, keyed
-    by the source parquet's identity so a testdata refresh rebuilds."""
+def _index_cache_path(sf_dir: str, prefix: str, *params) -> str:
+    """Cache location for a prebuilt embedding index of one sf_dir,
+    keyed by the source parquet's identity (so a testdata refresh
+    rebuilds) and the build parameters (so a dial change rebuilds)."""
     import hashlib
     import os
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
-    key = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:{IVF_CLUSTERS}".encode()
-    ).hexdigest()[:16]
-    return f"/tmp/spark_graft_cache/ivf_{key}"
+    ident = ":".join([src, str(st.st_mtime_ns), str(st.st_size), *map(str, params)])
+    key = hashlib.md5(ident.encode()).hexdigest()[:16]
+    return f"/tmp/spark_graft_cache/{prefix}_{key}"
+
+
+def _ivf_index_path(sf_dir: str) -> str:
+    return _index_cache_path(sf_dir, "ivf", IVF_CLUSTERS)
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1342,19 +1346,11 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(spark, path, q, k=KNN_K, n_probe=IVF_CLUSTERS)
 
 
-PQ_M, PQ_KS = 8, 64  # ks=64 after the ivfpq_sweep recall measurement
+PQ_M, PQ_KS = 16, 64  # measured-best quantizer dials (see operators/pq.py::pq_train)
 
 
 def _ivfpq_index_path(sf_dir: str) -> str:
-    import hashlib
-    import os
-
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:{IVF_CLUSTERS}:{PQ_M}:{PQ_KS}".encode()
-    ).hexdigest()[:16]
-    return f"/tmp/spark_graft_cache/ivfpq_{key}"
+    return _index_cache_path(sf_dir, "ivfpq", IVF_CLUSTERS, PQ_M, PQ_KS)
 
 
 def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1372,13 +1368,20 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     path = _ivfpq_index_path(sf_dir)
-    if not os.path.exists(f"{path}/centroids/_SUCCESS"):
+    # the sentinel is codebooks/_SUCCESS — the LAST component
+    # ivfpq_write_index writes — so an interrupted build (vectors or
+    # centroids committed, codebooks missing) rebuilds instead of
+    # being cached as permanently broken
+    if not os.path.exists(f"{path}/codebooks/_SUCCESS"):
         ivfpq_write_index(
             emb, path, EMB_DIM, n_clusters=IVF_CLUSTERS, m=PQ_M, ks=PQ_KS
         )
     q = _query_vec(spark, sf_dir)
+    # shortlist is only a .limit() on the ADC ordering; any bound >=
+    # the corpus gives the provably-exact path without paying a full
+    # count() scan per query
     return ivfpq_topk(
-        spark, path, q, k=KNN_K, n_probe=IVF_CLUSTERS, shortlist=emb.count()
+        spark, path, q, k=KNN_K, n_probe=IVF_CLUSTERS, shortlist=(1 << 31) - 1
     )
 
 
@@ -2166,7 +2169,7 @@ def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
     from ..operators.pq import ivfpq_write_index
 
     pq_path = _ivfpq_index_path(sf_dir)
-    if not os.path.exists(f"{pq_path}/centroids/_SUCCESS"):
+    if not os.path.exists(f"{pq_path}/codebooks/_SUCCESS"):
         ivfpq_write_index(
             load_table(spark, sf_dir, "embeddings"),
             pq_path,

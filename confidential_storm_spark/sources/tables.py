@@ -34,6 +34,15 @@ TABLES = (
 # The driver's events table spans January 2024; one epoch == one day.
 EPOCH_ORIGIN = "2024-01-01"
 
+
+def _origin_days() -> int:
+    """EPOCH_ORIGIN as whole days since 1970-01-01 (timezone-free)."""
+    import datetime as _dt
+
+    return _dt.date.fromisoformat(EPOCH_ORIGIN).toordinal() - _dt.date(
+        1970, 1, 1
+    ).toordinal()
+
 # Number of synthetic upstream producers for replay/merge fixtures
 # (stands in for the reference's P perturbation replicas).
 NUM_PRODUCERS = 4
@@ -143,7 +152,18 @@ def contributions_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             "producer_id"
         ),
         F.col("event_id").alias("seq"),
-        F.datediff(event_time.cast("date"), F.lit(EPOCH_ORIGIN).cast("date")).alias("epoch"),
+        # epoch = day-of-event minus day-of-origin, computed in pure
+        # micros arithmetic on the naive-UTC timeline: timezone-FREE,
+        # so it matches DuckDB's CAST(ts AS DATE) (naive) and the
+        # streaming event-time window derivation (UTC-aligned
+        # F.window, streaming/keyed.py) in ANY session timezone —
+        # event_time.cast("date") would shift at the session TZ's
+        # midnights instead
+        (
+            F.floor(ts_to_micros(ev) / F.lit(86_400_000_000)) - F.lit(_origin_days())
+        )
+        .cast("int")
+        .alias("epoch"),
     )
 
 

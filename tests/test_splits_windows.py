@@ -131,3 +131,30 @@ def test_ts_to_micros_handles_timestamp_and_long_nanos(spark):
     with pytest.raises(TypeError):
         bad = spark.createDataFrame([("x",)], "ts string")
         ts_to_micros(bad)
+
+
+def test_contributions_epoch_is_session_timezone_invariant(spark, sf_dir):
+    """Round-5 review fix: epoch must be derived on the naive-UTC
+    timeline (pure micros arithmetic), not via event_time.cast('date')
+    — the date cast shifts at the SESSION timezone's midnights, so a
+    non-UTC session silently disagreed with both the DuckDB oracle
+    (naive CAST(ts AS DATE)) and the streaming event-time window
+    derivation (UTC-aligned F.window)."""
+    from confidential_storm_spark.sources.tables import contributions_view
+
+    utc = [
+        (r["event_id"], r["epoch"])
+        for r in contributions_view(spark, sf_dir).select("event_id", "epoch").collect()
+    ]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = [
+            (r["event_id"], r["epoch"])
+            for r in contributions_view(spark, sf_dir)
+            .select("event_id", "epoch")
+            .collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert sorted(utc) == sorted(ny)

@@ -381,3 +381,42 @@ def test_keyed_event_time_epochs_match_batch(spark, tmp_path):
         for r in dp_histogram_batch(batch_in, DPParams.zero_noise(t=10, mu=0)).collect()
     }
     assert _final_counts(res["batches"]) == batch == {"a": 5, "b": 2}
+
+
+def test_keyed_pipeline_on_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB state backend: HDFSBackedStateStore holds every
+    state row on the JVM heap, so a 1M-key DP state store is
+    memory-bound; RocksDBStateStoreProvider (bundled with Spark) spills
+    to local disk and is the production choice.  The keyed pipeline's
+    packed binary state rows must behave identically on both — run the
+    carry-forward workload on each provider and compare outputs."""
+    rows1 = [(f"u{i}", "hot", 1.0, i) for i in range(4)] + [("solo", "cold", 1.0, 99)]
+    rows2 = [(f"u{i}", "hot", 1.0, 10 + i) for i in range(4, 6)]
+
+    def run(workdir):
+        src = f"{workdir}/src"
+        _write_batch(spark, src, rows1, first=True)
+        _write_batch(spark, src, rows2)
+        res = run_keyed_dp_available_now(
+            spark, _reader(spark, src), DPParams.zero_noise(t=10, mu=0),
+            f"{workdir}/wd", SCHEMA,
+        )
+        return _final_counts(res["batches"])
+
+    default = run(str(tmp_path / "default"))
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        rocks = run(str(tmp_path / "rocks"))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    assert default == rocks == {"hot": 6, "cold": 1}

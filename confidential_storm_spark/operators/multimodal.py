@@ -14,9 +14,10 @@ Codec coverage is honest about the container:
   ``operators/jpeg.py`` — Huffman + zigzag + dequant + IDCT +
   YCbCr, 4:4:4 and greyscale), and so is PNG (stdlib-zlib codec,
   ``operators/png.py`` — chunk CRCs + all five scanline filters,
-  lossless round-trip; grey/RGB/RGBA, 8-bit, non-interlaced).
+  lossless round-trip; every colour type incl. palette and
+  grey+alpha, depths 1-16, Adam7 interlace).
 - Remaining COMPRESSED formats (progressive or subsampled JPEG,
-  palette/16-bit/interlaced PNG, MP4 / ...) need Pillow / ffmpeg,
+  MP4 / ...) need Pillow / ffmpeg,
   which are NOT in this
   container; those payloads either raise ``NotImplementedError``
   (``strict=True``) or flow through as a clearly-marked
@@ -156,6 +157,10 @@ def decode_image(data: bytes):
             img = decode_png(data)
         except Exception:
             return None
+        if img.dtype == np.uint16:
+            # 16-bit channels: keep the high byte so downstream
+            # feature/resize code sees the uniform 0..255 range
+            img = (img >> 8).astype(np.uint8)
         return img[..., None] if img.ndim == 2 else img
     return None
 

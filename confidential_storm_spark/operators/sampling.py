@@ -28,6 +28,8 @@ __all__ = [
     "stratified_topn_sql",
     "split_assign",
     "split_assign_sql",
+    "weighted_sample_topk",
+    "weighted_sample_topk_sql",
 ]
 
 _MOD = 1_000_000
@@ -163,6 +165,80 @@ def split_assign(
     for acc_v, name in reversed(conds):
         expr = F.when(h < acc_v, F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+_WS_DEN = float((1 << 48) + 1)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis & Spirakis
+    (2006) A-ES: give each row the key ``u^(1/w)`` for a uniform
+    ``u`` and keep the k largest keys; the result is distributed
+    exactly as sequential weighted draws without replacement.  This is
+    the quality-weighted subset-selection primitive of a training-data
+    mix (sample 10M docs, high-quality docs proportionally more
+    likely) — the weighted complement of :func:`mixture_sample`'s
+    per-stratum rates.
+
+    Determinism: ``u`` is an md5-derived 48-bit uniform of the id (no
+    RNG state), so the drawn set is reproducible across runs, engines,
+    and partitionings.  We order by the monotone-equivalent key
+    ``ln(u)/w`` (u in (0,1] so ln(u) <= 0; larger is better) to avoid
+    the ``u^(1/w)`` underflow for large weights.
+
+    Plan shape: a pure scan-fused expression plus ``orderBy().limit``
+    — TakeOrderedAndProject, so each partition contributes its local
+    top-k and the driver merges k-sized heaps; no global sort shuffle,
+    no RNG, no UDF.  Weights are clamped to >= 1 so a zero-weight row
+    cannot produce a NaN/inf key.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"), F.col(id_col).cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("double")
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    key = F.log((h + 1.0) / F.lit(_WS_DEN)) / w
+    return (
+        df.select(
+            F.col(id_col),
+            w.cast("long").alias("weight"),
+            # + 0.0 normalizes IEEE -0.0 (a key rounding to zero) to
+            # +0.0 so both engines print the same value
+            (F.round(key, 6) + F.lit(0.0)).alias("sample_key"),
+            key.alias("_key"),
+        )
+        .orderBy(F.col("_key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_key")
+    )
+
+
+def weighted_sample_topk_sql(
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample_topk` (identical md5
+    uniform, identical ln-key ordering)."""
+    h = (
+        f"CAST(CAST('0x' || substr(md5('ws:' || CAST({id_col} AS VARCHAR)), 1, 12) "
+        f"AS BIGINT) AS DOUBLE)"
+    )
+    w = f"GREATEST(CAST({weight_col} AS DOUBLE), 1.0)"
+    key = f"(ln(({h} + 1.0) / {_WS_DEN!r}) / {w})"
+    return f"""
+SELECT {id_col}, CAST({w} AS BIGINT) AS weight, (ROUND({key}, 6) + 0.0) AS sample_key
+FROM {table}
+ORDER BY {key} DESC, {id_col} ASC
+LIMIT {k}
+"""
 
 
 def split_assign_sql(

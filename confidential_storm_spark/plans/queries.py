@@ -2149,6 +2149,73 @@ QUERIES["text_diversity"] = QueryDef(
     "training-data",
 )
 
+# ---------------------------------------------------------------------------
+# round-5 additions: bloom pre-filter + weighted sampling
+# ---------------------------------------------------------------------------
+
+BLOOM_K, BLOOM_M = 4, 1 << 16  # 4 hashes x 64 Ki bits
+WS_K = 50
+
+
+def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter for incremental dedup: flag
+    which incoming-batch docs MIGHT already be in the frozen corpus
+    (same corpus/batch split as dedup_incremental).  The filter is a
+    bounded (<= m rows) broadcast relation, so the corpus never
+    shuffles — the exact anti-join then runs only on the flagged
+    minority.  Deterministic md5 positions: the oracle reproduces the
+    identical bitmap, false positives included."""
+    from ..operators.bloom import bloom_build, bloom_flag
+
+    docs = load_table(spark, sf_dir, "documents")
+    dg = F.md5(F.col("text")).alias("digest")
+    corpus = docs.filter(F.col("doc_id") < INCR_SPLIT).select(dg)
+    batch = docs.filter(F.col("doc_id") >= INCR_SPLIT).select("doc_id", dg)
+    positions = bloom_build(corpus, "digest", k=BLOOM_K, m=BLOOM_M)
+    return bloom_flag(
+        batch, positions, "digest", "doc_id", k=BLOOM_K, m=BLOOM_M
+    ).orderBy("doc_id")
+
+
+def _dedup_bloom_sql() -> str:
+    from ..operators.bloom import bloom_dedup_sql
+
+    return bloom_dedup_sql(
+        f"doc_id < {INCR_SPLIT}", f"doc_id >= {INCR_SPLIT}", k=BLOOM_K, m=BLOOM_M
+    )
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sample without replacement (Efraimidis-
+    Spirakis A-ES over md5 uniforms): draw WS_K docs with probability
+    proportional to length — the weighted subset-selection primitive
+    of a training-data mix."""
+    from ..operators.sampling import weighted_sample_topk
+
+    return weighted_sample_topk(
+        load_table(spark, sf_dir, "documents"), k=WS_K, weight_col="n_chars"
+    )
+
+
+def _sample_weighted_sql() -> str:
+    from ..operators.sampling import weighted_sample_topk_sql
+
+    return weighted_sample_topk_sql(k=WS_K, weight_col="n_chars")
+
+
+QUERIES["dedup_bloom"] = QueryDef(
+    dedup_bloom,
+    _dedup_bloom_sql(),
+    "bloom-filter maybe-dup pre-filter vs frozen corpus (bounded broadcast bitmap)",
+    "training-data",
+)
+QUERIES["sample_weighted"] = QueryDef(
+    sample_weighted,
+    _sample_weighted_sql(),
+    "weighted sampling without replacement (A-ES, deterministic keys)",
+    "training-data",
+)
+
 
 def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Build the standing artifacts queries consume — the IVF index

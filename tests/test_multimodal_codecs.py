@@ -431,11 +431,79 @@ def test_png_rejects_malformed_and_unsupported():
     bad[20] ^= 0xFF
     with _pytest.raises(ValueError):
         decode_png(bytes(bad))
-    # palette colour type rejected cleanly
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
-    pal = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", b"x") + _chunk(b"IEND", b"")
-    with _pytest.raises(NotImplementedError):
-        decode_png(pal)
+    # garbage IDAT bytes surface as ValueError, not a zlib crash
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    junk = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", b"x") + _chunk(b"IEND", b"")
+    with _pytest.raises(ValueError):
+        decode_png(junk)
+    # illegal colour type / illegal depth for the type
+    for d, ct in ((8, 5), (16, 3), (2, 2)):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, d, ct, 0, 0, 0)
+        bad_hdr = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", b"x") + _chunk(b"IEND", b"")
+        with _pytest.raises(ValueError):
+            decode_png(bad_hdr)
+
+
+def test_png_roundtrip_extended_grid():
+    """Round-5 coverage: grey+alpha, 16-bit, sub-byte depths, palette
+    (with and without tRNS), Adam7 — all lossless round-trips."""
+    from confidential_storm_spark.operators.png import decode_png, encode_png
+
+    rng = np.random.default_rng(21)
+    # grey+alpha (type 4)
+    ga = rng.integers(0, 256, (9, 13, 2), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(ga)), ga)
+    # 16-bit grey and 16-bit RGB (big-endian samples)
+    for shape in ((7, 11), (5, 9, 3)):
+        img16 = rng.integers(0, 1 << 16, shape, dtype=np.uint16)
+        out = decode_png(encode_png(img16))
+        assert out.dtype == np.uint16 and np.array_equal(out, img16), shape
+    # sub-byte greyscale: raw sample values at depths 1/2/4
+    for d in (1, 2, 4):
+        img = rng.integers(0, 1 << d, (6, 11), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img, depth=d)), img), d
+    # palette -> RGB through PLTE, at index depths 8 and 4
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (8, 10), dtype=np.uint8)
+    for d in (8, 4):
+        out = decode_png(encode_png(idx, palette=plte, depth=d))
+        assert np.array_equal(out, plte[idx]), d
+    # palette + tRNS -> RGBA
+    from confidential_storm_spark.operators.png import _SIG, _chunk
+
+    data = encode_png(idx, palette=plte)
+    # splice a tRNS chunk right after PLTE (8 alpha entries, rest 255)
+    trns = bytes(range(100, 108))
+    plte_end = data.index(b"PLTE") + 4 + 48 + 4
+    spliced = data[:plte_end] + _chunk(b"tRNS", trns) + data[plte_end:]
+    rgba = decode_png(spliced)
+    alpha = np.full(16, 255, np.uint8)
+    alpha[:8] = np.frombuffer(trns, np.uint8)
+    assert np.array_equal(rgba, np.dstack([plte[idx], alpha[idx]]))
+    # Adam7 interlace across colour types and odd sizes
+    for shape in ((13, 17), (9, 21, 3), (6, 10, 4), (3, 5)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img, interlace=True)), img), shape
+    # interlaced 16-bit and interlaced palette
+    img16 = rng.integers(0, 1 << 16, (10, 6), dtype=np.uint16)
+    assert np.array_equal(decode_png(encode_png(img16, interlace=True)), img16)
+    out = decode_png(encode_png(idx, palette=plte, interlace=True))
+    assert np.array_equal(out, plte[idx])
+
+
+def test_png_16bit_flows_through_multimodal(spark):
+    """16-bit PNG payloads now decode (high byte) instead of faking."""
+    from confidential_storm_spark.operators.multimodal import decode_image_features
+    from confidential_storm_spark.operators.png import encode_png
+
+    rng = np.random.default_rng(33)
+    img16 = rng.integers(0, 1 << 16, (12, 8, 3), dtype=np.uint16)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(img16)))], "media_id long, payload binary"
+    )
+    row = decode_image_features(df).collect()[0]
+    assert row["decode_ok"]
+    assert abs(row["features"][3] - (img16 >> 8).mean()) < 1e-3
 
 
 def test_png_flows_through_multimodal_operators(spark):

@@ -8,9 +8,10 @@ DHT/SOS/EOI markers, canonical Huffman entropy coding with byte
 stuffing, zigzag + uniform quantization, 2-D DCT-II as two 8x8
 matmuls, YCbCr <-> RGB (BT.601 full range), edge-replicate padding to
 8x8 blocks.  Supported: 8-bit greyscale (1 component) and 4:4:4
-colour (3 components).  NOT supported (still honestly gated at the
-call sites): progressive scans, arithmetic coding, chroma
-subsampling, restart markers.
+colour (3 components), with DRI/RSTn restart intervals (round 5:
+byte-aligned restart markers, DC-prediction reset, both codec
+directions).  NOT supported (still honestly gated at the call
+sites): progressive scans, arithmetic coding, chroma subsampling.
 
 The encoder emits custom DHT tables (canonical fixed-length-9 codes
 over the symbols actually used — valid prefix codes by construction,
@@ -112,10 +113,20 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (spec padding before a
+        marker); stuffing in write() handles an all-ones pad byte."""
         if self.n:
             pad = 8 - self.n
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+            self.write((1 << pad) - 1, pad)
+
+    def emit_marker(self, marker: int) -> None:
+        """Append a raw marker (0xFF xx, NOT byte-stuffed) — caller
+        must align() first."""
+        self.bytes += bytes([0xFF, marker])
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.bytes)
 
 
@@ -153,6 +164,37 @@ class _BitReader:
         for _ in range(length):
             v = (v << 1) | self.read_bit()
         return v
+
+    def sync_restart(self, expected: int) -> None:
+        """Consume a restart marker RSTn (expected = n in 0..7):
+        discard the partial padding byte, tolerate a full stuffed
+        all-ones pad byte and 0xFF fill bytes, then require the
+        expected marker and reset the bit accumulator (T.81 E.2.4 /
+        B.1.1.2)."""
+        self.acc = 0
+        self.n = 0
+        # a fully-padded byte arrives as stuffed 0xFF 0x00
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0x00
+        ):
+            self.pos += 2
+        # optional 0xFF fill bytes before the marker byte
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1
+        if self.pos + 1 >= len(self.data) or self.data[self.pos] != 0xFF:
+            raise ValueError("expected restart marker")
+        marker = self.data[self.pos + 1]
+        if marker != 0xD0 + expected:
+            raise ValueError(
+                f"restart marker mismatch: got {marker:#x}, want {0xD0 + expected:#x}"
+            )
+        self.pos += 2
 
 
 # ---------------------------------------------------------------------------
@@ -249,10 +291,14 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
-def _entropy_encode(planes: list[np.ndarray], qs: list[np.ndarray]) -> tuple[bytes, list, list]:
+def _entropy_encode(
+    planes: list[np.ndarray], qs: list[np.ndarray], restart_interval: int = 0
+) -> tuple[bytes, list, list]:
     """Returns (entropy bytes, dc tables, ac tables) — one (bits,
     huffval) pair per table class, shared across components of the
-    same class (0 = luma, 1 = chroma like the standard layout)."""
+    same class (0 = luma, 1 = chroma like the standard layout).  With
+    ``restart_interval`` > 0, an aligned RSTn marker is emitted every
+    that many MCUs and DC prediction resets (T.81 E.2.4)."""
     # first pass: collect symbols per class
     comp_class = [0] + [1] * (len(planes) - 1)
     blocks_per_comp = []
@@ -264,7 +310,9 @@ def _entropy_encode(planes: list[np.ndarray], qs: list[np.ndarray]) -> tuple[byt
     for ci, blocks in enumerate(blocks_per_comp):
         cls = comp_class[ci]
         prev_dc = 0
-        for zz in blocks:
+        for m, zz in enumerate(blocks):
+            if restart_interval and m and m % restart_interval == 0:
+                prev_dc = 0  # mirror the encode-pass DC reset
             size, _ = _magnitude(int(zz[0]) - prev_dc)
             prev_dc = int(zz[0])
             dc_syms[cls].add(size)
@@ -302,6 +350,10 @@ def _entropy_encode(planes: list[np.ndarray], qs: list[np.ndarray]) -> tuple[byt
     prev_dc = [0] * len(planes)
     n_mcus = len(blocks_per_comp[0])
     for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            w.align()
+            w.emit_marker(0xD0 + (m // restart_interval - 1) % 8)
+            prev_dc = [0] * len(planes)
         for ci in range(len(planes)):
             cls = comp_class[ci] if n_classes == 2 else 0
             zz = blocks_per_comp[ci][m]
@@ -332,9 +384,14 @@ def _entropy_encode(planes: list[np.ndarray], qs: list[np.ndarray]) -> tuple[byt
     return w.flush(), dc_tables, ac_tables
 
 
-def encode_baseline_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+def encode_baseline_jpeg(
+    img: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
     """Encode HxW (greyscale) or HxWx3 (RGB) uint8 to baseline JPEG
-    (4:4:4, custom canonical Huffman tables)."""
+    (4:4:4, custom canonical Huffman tables).  ``restart_interval``
+    > 0 writes a DRI segment and RSTn markers every that many MCUs —
+    the feature that lets a 100 TB image pipeline entropy-decode one
+    image's scan in parallel slices."""
     img = np.asarray(img)
     if img.ndim == 2:
         planes = [img.astype(np.float64)]
@@ -360,7 +417,9 @@ def encode_baseline_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
         sof += bytes([ci + 1, 0x11, tq if ncomp > 1 else 0])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
 
-    entropy, dc_tables, ac_tables = _entropy_encode(planes, qs)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
+    entropy, dc_tables, ac_tables = _entropy_encode(planes, qs, restart_interval)
     for cls, (bits, vals) in enumerate(dc_tables):
         payload = bytes([0x00 | cls]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
@@ -385,14 +444,16 @@ def encode_baseline_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
 
 def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     """Decode baseline JPEG bytes to HxW (greyscale) or HxWx3 (RGB)
-    uint8.  Raises ValueError on non-baseline features (progressive,
-    subsampling, restart intervals) and malformed streams."""
+    uint8, honoring DRI restart intervals.  Raises ValueError on
+    malformed streams and NotImplementedError on non-baseline
+    features (progressive, arithmetic, subsampling)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
+    restart_interval = 0
     comps: list[tuple[int, int]] = []  # (comp_id, quant table id)
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -444,8 +505,8 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + n])
                 htables[(tc, th)] = _build_decode_map(bits, vals)
                 p += 17 + n
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI (last one before SOS wins)
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF0")
@@ -456,14 +517,17 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 scan.append((cid, tt >> 4, tt & 0x0F))
             entropy_start = pos + seglen
             return _decode_scan(
-                data, entropy_start, frame, comps, scan, qtables, htables
+                data, entropy_start, frame, comps, scan, qtables, htables,
+                restart_interval,
             )
         # APPn / COM / others: skip
         pos += seglen
     raise ValueError("no SOS marker found")
 
 
-def _decode_scan(data, start, frame, comps, scan, qtables, htables) -> np.ndarray:
+def _decode_scan(
+    data, start, frame, comps, scan, qtables, htables, restart_interval=0
+) -> np.ndarray:
     h, w, ncomp = frame
     reader = _BitReader(data[start:])
     bw, bh = (w + 7) // 8, (h + 7) // 8
@@ -471,6 +535,9 @@ def _decode_scan(data, start, frame, comps, scan, qtables, htables) -> np.ndarra
     prev_dc = [0] * ncomp
     comp_q = {cid: qtables[tq] for cid, tq in comps}
     for m in range(bw * bh):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.sync_restart((m // restart_interval - 1) % 8)
+            prev_dc = [0] * ncomp
         by, bx = (m // bw) * 8, (m % bw) * 8
         for ci, (cid, td, ta) in enumerate(scan):
             dc_tab, ac_tab = htables[(0, td)], htables[(1, ta)]

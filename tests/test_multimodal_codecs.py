@@ -556,3 +556,68 @@ def test_jpeg_fill_bytes_before_markers_decode():
         out += data[pos + 2 : pos + 2 + seglen]
         pos += 2 + seglen
     assert np.array_equal(decode_baseline_jpeg(bytes(out)), decode_baseline_jpeg(data))
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn: restarted streams decode identically to the
+    unrestarted encoding of the same image (the restart only resets
+    entropy state, never pixel math), across interval sizes that do
+    and don't divide the MCU count, for grey and RGB."""
+    from confidential_storm_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    grey = np.clip(
+        np.add.outer(np.arange(24) * 7, np.arange(40) * 3)
+        + rng.integers(0, 30, (24, 40)),
+        0,
+        255,
+    ).astype(np.uint8)
+    base = decode_baseline_jpeg(encode_baseline_jpeg(grey, 90))
+    # 24x40 -> 3x5 = 15 MCUs; try dividing and non-dividing intervals,
+    # incl. 1 (marker after every MCU) and >8 wraps of the RSTn cycle
+    for ri in (1, 2, 3, 5, 7, 15):
+        data = encode_baseline_jpeg(grey, 90, restart_interval=ri)
+        assert b"\xff\xdd" in data
+        if ri < 15:  # ri == n_mcus -> no boundary, hence no marker
+            assert b"\xff\xd0" in data
+        assert np.array_equal(decode_baseline_jpeg(data), base), ri
+    rgb = rng.integers(0, 256, (17, 25, 3), dtype=np.uint8)
+    base3 = decode_baseline_jpeg(encode_baseline_jpeg(rgb, 85))
+    for ri in (1, 4):
+        out = decode_baseline_jpeg(encode_baseline_jpeg(rgb, 85, restart_interval=ri))
+        assert np.array_equal(out, base3), ri
+
+
+def test_jpeg_restart_marker_mismatch_rejected():
+    """A wrong RSTn index is a corrupt stream (ValueError), not a
+    silent desync."""
+    from confidential_storm_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    img = np.clip(np.add.outer(np.arange(16) * 11, np.arange(32) * 5), 0, 255).astype(
+        np.uint8
+    )
+    data = bytearray(encode_baseline_jpeg(img, 90, restart_interval=2))
+    i = data.index(b"\xff\xd0")  # first restart marker -> wrong index
+    data[i + 1] = 0xD5
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(bytes(data))
+
+
+def test_jpeg_restart_flows_through_multimodal(spark):
+    from confidential_storm_spark.operators.jpeg import encode_baseline_jpeg
+    from confidential_storm_spark.operators.multimodal import decode_image_features
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (19, 23, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_baseline_jpeg(img, 90, restart_interval=3)))],
+        "media_id long, payload binary",
+    )
+    row = decode_image_features(df).collect()[0]
+    assert row["decode_ok"]

@@ -38,10 +38,11 @@ __all__ = [
 ]
 
 
-def _position(col: Column, j: int, m: int) -> Column:
-    """Hash function j: first 8 md5 hex chars of ``j:value`` as a
-    uniform 32-bit int, reduced mod m (the md5->BIGINT equivalence
-    used by every oracle in this repo)."""
+def _position(col: Column, j: int | str, m: int) -> Column:
+    """Hash function j (an int index, or a string salt like "bucket"
+    for the blocked-filter routing hash): first 8 md5 hex chars of
+    ``j:value`` as a uniform 32-bit int, reduced mod m (the
+    md5->BIGINT equivalence used by every oracle in this repo)."""
     h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 8), 16, 10)
     return h.cast("long") % m
 

@@ -15,6 +15,7 @@ from .keyed import (
     stamp_epoch_stream,
 )
 from .stateful import (
+    bloom_dedup_stream,
     bound_contributions_stream,
     dedup_stream,
     bound_contributions_stream_keyed,
@@ -23,6 +24,7 @@ from .stateful import (
 )
 
 __all__ = [
+    "bloom_dedup_stream",
     "bound_contributions_stream",
     "curation_filter_stream",
     "quality_predicate",

@@ -317,3 +317,75 @@ def dedup_stream(
         # the watermark-scoped operator keyed on the digest alone.
         return out.dropDuplicatesWithinWatermark(["_digest"]).drop("_digest")
     return out.dropDuplicates(["_digest"]).drop("_digest")
+
+
+def bloom_dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 64,
+    k: int = 4,
+    m_per_bucket: int = 1 << 16,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Streaming maybe-dup flagging with BOUNDED state — the 100 TB
+    complement of :func:`dedup_stream`, whose digest store grows with
+    every distinct document forever.  Each of ``n_buckets`` state
+    groups holds a FIXED ``m_per_bucket``-bit Bloom segment (a blocked
+    Bloom filter): total state is exactly ``n_buckets * m/8`` bytes no
+    matter how many documents stream through.  The trade is Bloom
+    semantics — rows are FLAGGED (``maybe_dup``), not dropped: a
+    duplicate is always flagged (no false negatives, in-batch or
+    cross-batch), a new document is flagged only at the configured
+    false-positive rate.  Downstream either drops flagged rows
+    (accepting the FP rate as over-dedup) or routes only the flagged
+    minority into an exact check.
+
+    Plan shape: digest, bucket, and the k probe positions are all
+    computed JVM-side (the md5 expressions of ``operators.bloom``), so
+    the stateful Python stage only tests/sets bits in a bytearray —
+    no hashing crosses the Arrow boundary.  State groups scale
+    horizontally across the state store exactly like the other keyed
+    operators here.  ``order_col`` pins within-batch processing order
+    (first occurrence unflagged, later copies flagged) for
+    deterministic replay.
+    """
+    from ..operators.bloom import _position, bloom_positions
+
+    cols = docs.columns
+    dg = F.md5(F.col(text_col))
+    with_probe = docs.withColumn(
+        "_bucket", _position(dg, "bucket", n_buckets)
+    ).withColumn("_pos", bloom_positions(dg, k, m_per_bucket))
+    n_bytes = m_per_bucket // 8
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        bits = bytearray(state.get[0]) if state.exists else bytearray(n_bytes)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            if order_col is not None:
+                pdf = pdf.sort_values(order_col, ignore_index=True)
+            flags = np.zeros(len(pdf), dtype=bool)
+            for i, positions in enumerate(pdf["_pos"]):
+                seen = True
+                for p in positions:
+                    p = int(p)
+                    if not (bits[p >> 3] >> (p & 7)) & 1:
+                        seen = False
+                        bits[p >> 3] |= 1 << (p & 7)
+                flags[i] = seen
+            out = pdf[cols].copy()
+            out["maybe_dup"] = flags
+            yield out
+        state.update((bytes(bits),))
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields)
+    return with_probe.groupBy("_bucket").applyInPandasWithState(
+        process,
+        outputStructType=f"{schema}, maybe_dup boolean",
+        stateStructType="bits binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

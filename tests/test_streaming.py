@@ -407,3 +407,64 @@ def test_streaming_windowed_agg_with_watermark_append(stream_reader):
     )
     # every window appears exactly once; the late event 5 is nowhere
     assert rows == [(0, "a", 2), (0, "b", 1), (20, "a", 1), (30, "a", 1)]
+
+
+def test_streaming_bloom_dedup_flags_cross_batch(stream_reader):
+    """Blocked-Bloom streaming dedup: duplicates are flagged in-batch
+    and across micro-batches, flags match a bit-exact python replica
+    of the same blocked filter, and state is bounded by the bucket
+    count (one fixed-size segment per touched bucket)."""
+    import hashlib
+
+    from confidential_storm_spark.streaming import bloom_dedup_stream
+
+    N_BUCKETS, K, M = 8, 4, 1 << 10
+    batches = [
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        [(4, "alpha beta"), (5, "epsilon zeta")],
+        [(6, "gamma delta"), (7, "eta theta"), (8, "epsilon zeta")],
+    ]
+
+    out: list = []
+    stream = bloom_dedup_stream(
+        stream_reader(batches, DOC_SCHEMA),
+        n_buckets=N_BUCKETS,
+        k=K,
+        m_per_bucket=M,
+        order_col="doc_id",
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: out.append((bid, df.collect())))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    flags = {r["doc_id"]: r["maybe_dup"] for _, rows in out for r in rows}
+    assert len(flags) == 8  # flag-don't-drop: every row is emitted
+
+    # bit-exact replica: blocked filter with the same md5 positions,
+    # rows in doc_id order (the pinned order_col)
+    segments = {b: bytearray(M // 8) for b in range(N_BUCKETS)}
+    expect = {}
+    for doc_id, text in sorted(r for b in batches for r in b):
+        dg = hashlib.md5(text.encode()).hexdigest()
+        bucket = int(hashlib.md5(f"bucket:{dg}".encode()).hexdigest()[:8], 16) % N_BUCKETS
+        seen = True
+        for j in range(K):
+            p = int(hashlib.md5(f"{j}:{dg}".encode()).hexdigest()[:8], 16) % M
+            if not (segments[bucket][p >> 3] >> (p & 7)) & 1:
+                seen = False
+                segments[bucket][p >> 3] |= 1 << (p & 7)
+        expect[doc_id] = seen
+    assert flags == expect
+    # the guaranteed flags regardless of FP luck: true dups always flag
+    assert flags[3] and flags[4] and flags[6] and flags[8]
+
+    # bounded state: one row per touched bucket, never per document
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    assert progresses
+    assert all(
+        p["stateOperators"][0]["numRowsTotal"] <= N_BUCKETS for p in progresses
+    )

@@ -42,6 +42,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "hll_distinct",
     "hll_distinct_sql",
+    "hll_set_estimates",
+    "hll_set_estimates_sql",
     "cms_estimates",
     "cms_estimates_sql",
 ]
@@ -141,6 +143,120 @@ SELECT {keys},
                   ELSE {num} / CAST(_s_hit + ({m} - _hit) * CAST({scale} AS BIGINT) AS DOUBLE)
              END, 4) AS {out_col}
 FROM _pk
+"""
+
+
+def _hll_regs(df: DataFrame, value_col: str) -> DataFrame:
+    """The (register, max-rank) relation of one HLL sketch — the
+    MERGEABLE partial: union two of these and take max per register to
+    sketch the union of the underlying sets."""
+    v = F.col(value_col).cast("string")
+    return (
+        df.select(_hll_bucket(v).alias("_b"), _hll_rho(v).alias("_r"))
+        .groupBy("_b")
+        .agg(F.max("_r").alias("_rho"))
+    )
+
+
+def _hll_finish(regs: DataFrame, out_col: str) -> DataFrame:
+    """Single-row estimate from a register relation (same math as
+    :func:`hll_distinct`'s keyed finish)."""
+    per = regs.agg(
+        F.sum(
+            F.expr(f"CAST(power(2.0, {_HLL_RANK_BITS + 1} - _rho) AS BIGINT)")
+        ).alias("_s_hit"),
+        F.count(F.lit(1)).alias("_hit"),
+    )
+    m, scale = HLL_M, float(1 << (_HLL_RANK_BITS + 1))
+    v_empty = F.lit(m) - F.col("_hit")
+    s_full = F.col("_s_hit") + v_empty * F.lit(1 << (_HLL_RANK_BITS + 1))
+    e_raw = F.lit(_HLL_ALPHA * m * m * scale) / s_full.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double")),
+    ).otherwise(e_raw)
+    return per.select(F.round(est, 4).alias(out_col))
+
+
+def hll_set_estimates(
+    df: DataFrame,
+    value_col: str,
+    pred_a: Column,
+    pred_b: Column,
+) -> DataFrame:
+    """HLL set algebra over two cohorts: one row with ``est_a``,
+    ``est_b``, ``est_union``, ``est_intersection``.
+
+    The union estimate is computed by MERGING the two sketches
+    (register-wise max), never re-scanning the union of the data —
+    the property that lets a warehouse keep one sketch per partition /
+    day / source and answer cross-slice cardinalities from sketch
+    storage alone.  Intersection is inclusion-exclusion over the three
+    estimates (the standard HLL derivation; error compounds
+    accordingly).  All register math is md5-deterministic, so the
+    DuckDB twin reproduces identical estimates and the driver's
+    value-hash gate certifies the approximate path itself.
+    """
+    regs_a = _hll_regs(df.filter(pred_a), value_col)
+    regs_b = _hll_regs(df.filter(pred_b), value_col)
+    regs_u = (
+        regs_a.unionByName(regs_b).groupBy("_b").agg(F.max("_rho").alias("_rho"))
+    )
+    est = (
+        _hll_finish(regs_a, "est_a")
+        .crossJoin(_hll_finish(regs_b, "est_b"))
+        .crossJoin(_hll_finish(regs_u, "est_union"))
+    )
+    return est.withColumn(
+        "est_intersection",
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4),
+    )
+
+
+def _hll_finish_sql(regs_cte: str, out_col: str) -> str:
+    m, rb = HLL_M, _HLL_RANK_BITS
+    scale = 1 << (rb + 1)
+    num = f"({_HLL_ALPHA!r}e0 * {m}e0 * {m}e0 * {scale}e0)"
+    return f"""
+  SELECT ROUND(CASE WHEN {num} / CAST(_s_hit + ({m} - _hit) * CAST({scale} AS BIGINT) AS DOUBLE)
+                         <= {2.5 * m!r}e0
+                         AND ({m} - _hit) > 0
+                    THEN {m}e0 * ln({m}e0 / ({m} - _hit))
+                    ELSE {num} / CAST(_s_hit + ({m} - _hit) * CAST({scale} AS BIGINT) AS DOUBLE)
+               END, 4) AS {out_col}
+  FROM (SELECT SUM(CAST(power(2.0, {rb + 1} - _rho) AS BIGINT)) AS _s_hit,
+               COUNT(*) AS _hit
+        FROM {regs_cte})"""
+
+
+def hll_set_estimates_sql(
+    table: str, value_col: str, pred_a: str, pred_b: str
+) -> str:
+    """DuckDB twin of :func:`hll_set_estimates` (identical registers,
+    merge, and finishing arithmetic)."""
+    rb = _HLL_RANK_BITS
+
+    def regs(pred: str) -> str:
+        return f"""(
+  SELECT CAST('0x' || substr(_md5, 1, 3) AS BIGINT) AS _b,
+         MAX(CASE WHEN CAST('0x' || substr(_md5, 4, 12) AS BIGINT) = 0
+                  THEN {rb + 1}
+                  ELSE {rb + 1} - length(bin(CAST('0x' || substr(_md5, 4, 12) AS BIGINT)))
+             END) AS _rho
+  FROM (SELECT md5(CAST({value_col} AS VARCHAR)) AS _md5 FROM {table} WHERE {pred})
+  GROUP BY _b)"""
+
+    return f"""
+WITH _ra AS {regs(pred_a)},
+_rb AS {regs(pred_b)},
+_ru AS (SELECT _b, MAX(_rho) AS _rho
+        FROM (SELECT * FROM _ra UNION ALL SELECT * FROM _rb) GROUP BY _b),
+_ea AS ({_hll_finish_sql('_ra', 'est_a')}),
+_eb AS ({_hll_finish_sql('_rb', 'est_b')}),
+_eu AS ({_hll_finish_sql('_ru', 'est_union')})
+SELECT est_a, est_b, est_union,
+       ROUND(est_a + est_b - est_union, 4) AS est_intersection
+FROM _ea, _eb, _eu
 """
 
 

@@ -2216,6 +2216,93 @@ QUERIES["sample_weighted"] = QueryDef(
     "training-data",
 )
 
+RJ_WINDOW_US = 6 * 3600 * 1_000_000  # 6 h activity windows
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via the grid equi-key: every 10th user's
+    first-6h activity window, counting ALL events (any user) whose
+    timestamp falls inside it.  The grid rewrite turns the BETWEEN
+    predicate into a hash join — no BroadcastNestedLoopJoin at any
+    scale (plan-pinned in tests)."""
+    from ..operators.ranges import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("user_id", ts_to_micros(ev).alias("ts_us"), "value")
+    iv = (
+        ev.filter(F.col("user_id") % 10 == 0)
+        .groupBy(F.col("user_id").alias("iv_user"))
+        .agg(F.min("ts_us").alias("s"))
+        .withColumn("e", F.col("s") + F.lit(RJ_WINDOW_US))
+    )
+    pairs = interval_join(
+        ev.select("ts_us", "value"), iv, "ts_us", "s", "e", grid=RJ_WINDOW_US
+    )
+    return (
+        pairs.groupBy("iv_user")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("iv_user")
+    )
+
+
+def _q_range_join_sql() -> str:
+    return f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+iv AS (SELECT user_id AS iv_user, MIN(ts_us) AS s, MIN(ts_us) + {RJ_WINDOW_US} AS e
+       FROM ev WHERE user_id % 10 = 0 GROUP BY user_id)
+SELECT iv_user, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM iv JOIN ev ON ev.ts_us BETWEEN iv.s AND iv.e
+GROUP BY iv_user
+ORDER BY iv_user
+"""
+
+
+QUERIES["q_range_join"] = QueryDef(
+    q_range_join,
+    _q_range_join_sql(),
+    "grid-bucketed interval join (range predicate as hash join)",
+    "relational",
+)
+
+HLL_SET_A, HLL_SET_B = "view", "click"
+
+
+def sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra: distinct viewers, clickers, their union via
+    register-wise sketch MERGE (no re-scan of the unioned data), and
+    the inclusion-exclusion intersection estimate."""
+    from ..operators.sketches import hll_set_estimates
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_set_estimates(
+        ev,
+        "user_id",
+        F.col("event_type") == HLL_SET_A,
+        F.col("event_type") == HLL_SET_B,
+    )
+
+
+def _sketch_hll_setops_sql() -> str:
+    from ..operators.sketches import hll_set_estimates_sql
+
+    return hll_set_estimates_sql(
+        "events",
+        "user_id",
+        f"event_type = '{HLL_SET_A}'",
+        f"event_type = '{HLL_SET_B}'",
+    )
+
+
+QUERIES["sketch_hll_setops"] = QueryDef(
+    sketch_hll_setops,
+    _sketch_hll_setops_sql(),
+    "HLL union/intersection via register-wise sketch merge",
+    "sketches",
+)
+
 
 def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Build the standing artifacts queries consume — the IVF index

@@ -72,3 +72,35 @@ def test_cms_upper_bounds_true_counts(spark):
     assert all(o >= 0 for o in overshoot)  # one-sided error, always
     # with 200 values in 4x1024 the vast majority collide nowhere
     assert sorted(overshoot)[len(overshoot) // 2] == 0
+
+
+def test_hll_union_merge_equals_direct_sketch(spark):
+    """Register-wise max of two sketches IS the sketch of the union —
+    merged estimate equals the direct estimate exactly, and all four
+    set estimates land within HLL error of the true cardinalities."""
+    from confidential_storm_spark.operators.sketches import (
+        _hll_finish,
+        _hll_regs,
+        hll_set_estimates,
+    )
+    from pyspark.sql import functions as F
+
+    # two overlapping cohorts: a = 0..999, b = 600..1599 (overlap 400)
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(1000)] + [(i, "b") for i in range(600, 1600)],
+        "uid long, grp string",
+    )
+    row = hll_set_estimates(
+        df, "uid", F.col("grp") == "a", F.col("grp") == "b"
+    ).collect()[0]
+    # merged union estimate == direct sketch of the union (same registers)
+    direct = _hll_finish(
+        _hll_regs(df.select("uid").distinct(), "uid"), "est"
+    ).collect()[0]["est"]
+    assert row["est_union"] == direct
+    # p=12 standard error is ~1.04/sqrt(4096) = 1.6%; allow 3 sigma,
+    # intersection compounds three estimates so allow a wider band
+    assert abs(row["est_a"] - 1000) / 1000 < 0.05
+    assert abs(row["est_b"] - 1000) / 1000 < 0.05
+    assert abs(row["est_union"] - 1600) / 1600 < 0.05
+    assert abs(row["est_intersection"] - 400) / 400 < 0.25

@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "words",
+    "clean_text",
+    "clean_text_sql",
     "explode_words",
     "token_count",
     "quality_features",
@@ -55,6 +57,45 @@ FP_MULTIPLIER = 31
 def words(text: Column) -> Column:
     """Array of lowercase words: split on non-word runs, drop empties."""
     return F.filter(F.split(F.lower(text), "\\W+"), lambda w: F.length(w) > 0)
+
+
+# the standard ingestion clean-up, as a chain of pure character-class
+# regexes (identical semantics in Java regex and RE2, so the DuckDB
+# twin reproduces byte-identical output):
+#   1. drop control chars except \t \n   2. \r\n, \r -> \n
+#   3. collapse space/tab runs            4. cap blank-line runs at one
+#   5. trim outer whitespace
+_CLEAN_STEPS: list[tuple[str, str]] = [
+    (r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""),
+    (r"\r\n?", "\n"),
+    (r"[ \t]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n{3,}", "\n\n"),
+    # \s-trim, not trim(): both engines' trim() strips spaces only,
+    # the curation contract strips ALL outer whitespace incl. newlines
+    (r"^\s+|\s+$", ""),
+]
+
+
+def clean_text(text: Column) -> Column:
+    """Normalized document text — the curation pipeline's first stage
+    (strip control bytes, canonicalize newlines, collapse whitespace
+    runs, trim all outer whitespace).  Pure Catalyst
+    ``regexp_replace`` chain: codegens fused with the scan, linear in
+    bytes, no UDF."""
+    out = text
+    for pat, rep in _CLEAN_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def clean_text_sql(col: str = "text") -> str:
+    """DuckDB twin of :func:`clean_text` (RE2 needs the explicit 'g'
+    flag — DuckDB replaces only the first match by default)."""
+    out = col
+    for pat, rep in _CLEAN_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return out
 
 
 def explode_words(df: DataFrame, text_col: str = "text", out_col: str = "word") -> DataFrame:

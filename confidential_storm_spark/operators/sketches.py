@@ -46,6 +46,8 @@ __all__ = [
     "hll_set_estimates_sql",
     "cms_estimates",
     "cms_estimates_sql",
+    "histogram_quantiles",
+    "histogram_quantiles_sql",
 ]
 
 HLL_P = 12                      # 2^12 = 4096 registers
@@ -323,4 +325,106 @@ _probes AS (SELECT DISTINCT {value_col}, _d, _slot FROM _hash)
 SELECT {value_col}, MIN(_n) AS {out_col}
 FROM _probes JOIN _sketch USING (_d, _slot)
 GROUP BY {value_col}
+"""
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    lo: int = 0,
+    width: int = 10,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Equi-width histogram quantile estimates — the bounded-state
+    alternative to exact percentiles (whose sort/percentile_disc state
+    grows with the data).  The sketch is ``n_buckets`` integer counts;
+    quantile q interpolates linearly inside the bucket where the
+    cumulative count crosses ``ceil(q*N)``.  Everything up to the one
+    final division is integer arithmetic, so the estimate is
+    partition-order invariant and the DuckDB twin reproduces it
+    exactly; estimates are within one bucket ``width`` of the true
+    quantile by construction.
+
+    Output: ``(q double, est double)``, one row per requested q.
+
+    Plan shape: ONE map-side-combinable groupBy on the bucket id
+    (<= n_buckets rows survive), a bounded n_buckets^2 pair-join for
+    the cumulative sums (deliberately NOT a global window — no
+    single-partition WindowExec anywhere in this codebase), then a
+    broadcast-sized join against the q list.  At 100 TB the only
+    full-data pass is the bucketing scan.
+    """
+    nb = n_buckets
+    # explicit floor: Spark's cast-to-long truncates but DuckDB's CAST
+    # rounds, so the shared semantics must be floor in both engines
+    b = F.least(
+        F.greatest(F.floor((F.col(value_col) - lo) / width).cast("long"), F.lit(0)),
+        F.lit(nb - 1),
+    )
+    buckets = df.select(b.alias("_b")).groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    cum = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), F.col("y._b") <= F.col("x._b"))
+        .groupBy(F.col("x._b").alias("_b"), F.col("x._c").alias("_c"))
+        .agg(F.sum("y._c").alias("_cum"))
+    )
+    n_total = df.count()
+    q_rows = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    targets = (
+        cum.select(q_rows, "_b", "_c", "_cum")
+        .withColumn("_target", F.ceil(F.col("q") * n_total).cast("long"))
+        .filter(F.col("_cum") >= F.col("_target"))
+    )
+    first = targets.groupBy("q", "_target").agg(F.min("_b").alias("_b"))
+    hit = first.join(cum, "_b").select(
+        "q",
+        (
+            F.lit(float(lo))
+            + F.col("_b") * F.lit(float(width))
+            + F.lit(float(width))
+            * (F.col("_target") - (F.col("_cum") - F.col("_c")))
+            / F.col("_c")
+        ).alias("_est"),
+    )
+    return hit.select("q", F.round(F.col("_est"), 6).alias("est")).orderBy("q")
+
+
+def histogram_quantiles_sql(
+    table: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    lo: int = 0,
+    width: int = 10,
+    n_buckets: int = 64,
+) -> str:
+    """DuckDB twin of :func:`histogram_quantiles` (identical buckets,
+    integer cumulative sums, interpolation arithmetic)."""
+    nb = n_buckets
+    # CAST: DuckDB otherwise types the literals DECIMAL, and a
+    # DECIMAL q prints "0.10" where Spark's double prints "0.1"
+    q_vals = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
+    return f"""
+WITH _bk AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR(({value_col} - {lo}) / {width}) AS BIGINT), 0), {nb - 1}) AS _b,
+         COUNT(*) AS _c
+  FROM {table} GROUP BY 1
+),
+_cum AS (
+  SELECT x._b AS _b, x._c AS _c, SUM(y._c) AS _cum
+  FROM _bk x JOIN _bk y ON y._b <= x._b
+  GROUP BY x._b, x._c
+),
+_n AS (SELECT COUNT(*) AS n FROM {table}),
+_qs(q) AS (VALUES {q_vals}),
+_first AS (
+  SELECT q, CEIL(q * n) AS _target, MIN(_b) AS _b
+  FROM _qs, _n, _cum
+  WHERE _cum >= CEIL(q * n)
+  GROUP BY q, CEIL(q * n)
+)
+SELECT q, ROUND({lo} + _cum._b * {width}.0
+              + {width}.0 * (_target - (_cum._cum - _cum._c)) / _cum._c, 6) AS est
+FROM _first JOIN _cum ON _first._b = _cum._b
+ORDER BY q
 """

@@ -2304,6 +2304,66 @@ QUERIES["sketch_hll_setops"] = QueryDef(
 )
 
 
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion text normalization: control-byte strip, newline
+    canonicalization, whitespace-run collapse, trim — with the per-doc
+    removed-char count as the audit signal."""
+    from ..functions.text import clean_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = clean_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length(clean).alias("clean_len"),
+        (F.length("text") - F.length(clean)).alias("removed_chars"),
+    ).orderBy("doc_id")
+
+
+def _text_clean_sql() -> str:
+    from ..functions.text import clean_text_sql
+
+    c = clean_text_sql("text")
+    return f"""
+SELECT doc_id, length({c}) AS clean_len,
+       length(text) - length({c}) AS removed_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+SQ_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch doc-length quantiles: 64 integer bucket counts
+    instead of a full sort — the bounded-state complement of the exact
+    text_length_quantiles."""
+    from ..operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        load_table(spark, sf_dir, "documents"), "n_chars", qs=SQ_QS
+    )
+
+
+def _sketch_quantiles_sql() -> str:
+    from ..operators.sketches import histogram_quantiles_sql
+
+    return histogram_quantiles_sql("documents", "n_chars", qs=SQ_QS)
+
+
+QUERIES["text_clean"] = QueryDef(
+    text_clean,
+    _text_clean_sql(),
+    "text normalization audit (control strip, ws collapse; removed chars)",
+    "training-data",
+)
+QUERIES["sketch_quantiles"] = QueryDef(
+    sketch_quantiles,
+    _sketch_quantiles_sql(),
+    "histogram-sketch quantile estimates (64 buckets, exact cross-engine)",
+    "sketches",
+)
+
+
 def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Build the standing artifacts queries consume — the IVF index
     table and the encrypted topology graph — if missing.  A warehouse

@@ -14,6 +14,7 @@ from .keyed import (
     run_keyed_dp_available_now,
     stamp_epoch_stream,
 )
+from .sessions import session_stats_stream
 from .stateful import (
     bloom_dedup_stream,
     bound_contributions_stream,
@@ -36,5 +37,6 @@ __all__ = [
     "read_epoch_stream",
     "run_keyed_dp_available_now",
     "replay_filter_stream",
+    "session_stats_stream",
     "stamp_epoch_stream",
 ]

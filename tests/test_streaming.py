@@ -468,3 +468,50 @@ def test_streaming_bloom_dedup_flags_cross_batch(stream_reader):
     assert all(
         p["stateOperators"][0]["numRowsTotal"] <= N_BUCKETS for p in progresses
     )
+
+
+def test_streaming_session_window_merges_and_finalizes(stream_reader):
+    """Native session_window sessions: events within the gap MERGE into
+    one session (across micro-batches), distinct users / far-apart
+    events split, and append mode emits a session only once the
+    watermark passes its end — matching the batch sessionizer's
+    aggregates on the same data (no exact-boundary gaps)."""
+    import datetime as dt
+
+    from confidential_storm_spark.streaming import session_stats_stream
+
+    t = lambda m: dt.datetime(2026, 2, 1, 12, 0, 0) + dt.timedelta(minutes=m)
+    SCHEMA_S = "user_id long, ts timestamp, value double"
+    batches = [
+        # u1 session A: 3 events spanning two micro-batches (gaps < 10m)
+        [(1, t(0), 1.0), (1, t(5), 2.0), (2, t(0), 5.0)],
+        [(1, t(12), 4.0)],
+        # u1 session B starts 30m after A's last event (> 10m gap)
+        [(1, t(42), 8.0)],
+        # watermark flusher: far-future event closes everything above
+        [(9, t(600), 0.0)],
+    ]
+    out: list = []
+    stream = session_stats_stream(
+        stream_reader(batches, SCHEMA_S), gap="10 minutes", watermark_delay="5 minutes"
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: out.append((bid, df.collect())))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        ((r.user_id, r.n_events, r.sum_value) for _, rs in out for r in rs)
+    )
+    # u9's flusher session is still open at stream end (append holds it)
+    assert rows == [(1, 1, 8.0), (1, 3, 7.0), (2, 1, 5.0)]
+    # session bounds: [first, last + gap)
+    sess = {
+        (r.user_id, r.n_events): (r.session_start, r.session_end)
+        for _, rs in out
+        for r in rs
+    }
+    start, end = sess[(1, 3)]
+    assert start == t(0) and end == t(22)  # 12m last event + 10m gap

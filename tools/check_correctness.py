@@ -40,13 +40,19 @@ def main() -> int:
 
     # deliberately a PLAIN session (not session.get_spark): the driver
     # passes its own session into queries(), so the engine must not
-    # depend on our session factory's configs
+    # depend on our session factory's configs.  CORES / SHUFFLE env
+    # overrides drive the determinism sweep (PLANS.md): the gate must
+    # pass under ANY task parallelism and shuffle layout.
+    import os
+
     from pyspark.sql import SparkSession
 
+    cores = os.environ.get("SPARK_GRAFT_CHECK_CORES", "*")
+    shuffle = os.environ.get("SPARK_GRAFT_CHECK_SHUFFLE", "32")
     spark = (
-        SparkSession.builder.master("local[*]")
+        SparkSession.builder.master(f"local[{cores}]")
         .appName("correctness-check")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

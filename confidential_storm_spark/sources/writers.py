@@ -30,6 +30,8 @@ __all__ = [
     "write_bucketed",
     "write_digest_index",
     "incremental_dedup_against_index",
+    "write_bloom_index",
+    "bloom_flag_against_index",
 ]
 
 
@@ -114,3 +116,63 @@ def incremental_dedup_against_index(
         F.min(id_col).alias("survivor_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+def write_bloom_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    k: int = 4,
+    m: int = 1 << 20,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus Bloom filter in its packed-words form
+    (``word_idx, word`` — at most m/64 rows): the FIXED-SIZE standing
+    artifact the bloom pre-filter reads, ~m/8 bytes no matter how
+    large the corpus grows (vs the digest index's one row per distinct
+    doc).  ``mode="append"`` after each run appends the new docs'
+    words; the reader re-ORs per word_idx, which is exactly a Bloom
+    union (bitwise OR is order-invariant), so appends never need
+    read-modify-write."""
+    from ..operators.bloom import bloom_build, bloom_pack
+
+    positions = bloom_build(docs.select(F.md5(F.col(text_col)).alias("digest")), "digest", k=k, m=m)
+    bloom_pack(positions, m=m).write.mode(mode).parquet(path)
+
+
+def bloom_flag_against_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    m: int = 1 << 20,
+) -> DataFrame:
+    """Probe a batch against a persisted packed Bloom index:
+    ``(id_col, maybe_dup)``.  The index reads as <= m/64 rows, re-ORed
+    per word (merging any appended runs) and unpacked to the position
+    relation — still bounded by m, still broadcastable.  Route only
+    the flagged minority into :func:`incremental_dedup_against_index`;
+    definite-new rows skip the digest-index shuffle entirely."""
+    from ..operators.bloom import bloom_flag
+
+    words = (
+        spark.read.parquet(index_path)
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(word)").alias("word"))
+    )
+    # SQL expression: the Python shiftright wrapper takes only literal
+    # shift amounts, the SQL form accepts the lambda-bound column
+    positions = words.select(
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(0, 63), "
+                "b -> CASE WHEN shiftright(word, b) & 1 = 1 "
+                "THEN word_idx * 64 + CAST(b AS BIGINT) END), "
+                "p -> p IS NOT NULL)"
+            )
+        ).alias("pos")
+    )
+    probe = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+    return bloom_flag(probe, positions, "digest", id_col, k=k, m=m)

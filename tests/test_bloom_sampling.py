@@ -117,3 +117,42 @@ def test_weighted_sample_biases_toward_heavy_rows(spark):
     got = weighted_sample_topk(df, 50, "w").collect()
     heavy = sum(1 for r in got if r.doc_id < 500)
     assert heavy >= 45
+
+
+def test_bloom_index_roundtrip_and_append_union(spark, tmp_path):
+    """Persisted packed-words Bloom index: flags agree with the
+    in-memory filter, and append-mode runs OR together (a probe
+    against the appended index sees BOTH corpora) without
+    read-modify-write."""
+    from confidential_storm_spark.sources.writers import (
+        bloom_flag_against_index,
+        write_bloom_index,
+    )
+
+    path = str(tmp_path / "bloom_idx")
+    corpus1 = spark.createDataFrame(
+        [(i, f"text-a-{i}") for i in range(100)], "doc_id long, text string"
+    )
+    corpus2 = spark.createDataFrame(
+        [(i, f"text-b-{i}") for i in range(100)], "doc_id long, text string"
+    )
+    write_bloom_index(corpus1, path, k=K, m=M)
+    write_bloom_index(corpus2, path, k=K, m=M, mode="append")
+
+    batch = spark.createDataFrame(
+        [(1, "text-a-5"), (2, "text-b-99"), (3, "fresh-doc")],
+        "doc_id long, text string",
+    )
+    flags = {
+        r.doc_id: r.maybe_dup
+        for r in bloom_flag_against_index(spark, batch, path, k=K, m=M).collect()
+    }
+    assert flags[1] and flags[2]  # members of either appended corpus
+    # flag 3 must agree with the bit-exact python replica (FP or not)
+    import hashlib
+
+    want = set()
+    for t in [f"text-a-{i}" for i in range(100)] + [f"text-b-{i}" for i in range(100)]:
+        want |= _py_positions(hashlib.md5(t.encode()).hexdigest())
+    probe = _py_positions(hashlib.md5(b"fresh-doc").hexdigest())
+    assert flags[3] == (probe <= want)

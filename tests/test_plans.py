@@ -62,3 +62,46 @@ def test_text_zipf_has_no_global_window(spark, sf_dir):
 
     plan = _plan(text_zipf(spark, sf_dir))
     assert "Window" not in plan, plan
+
+
+def test_sample_weighted_compiles_to_takeordered(spark, sf_dir):
+    """A-ES weighted sampling must be per-partition top-k heaps
+    (TakeOrderedAndProject), never a global sort shuffle, with the key
+    expression fused into the scan stage (no exchange before it)."""
+    from confidential_storm_spark.plans.queries import sample_weighted
+
+    plan = _plan(sample_weighted(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # no SEMANTIC exchange (the load_table single-split spread is a
+    # round-robin REPARTITION_BY_NUM, dead at warehouse scale)
+    assert "ENSURE_REQUIREMENTS" not in plan
+
+
+def test_sketch_quantiles_has_no_single_partition_window(spark, sf_dir):
+    """Cumulative sums run as the bounded pair-join, not a global
+    window — the same no-single-partition rule text_zipf follows."""
+    from confidential_storm_spark.plans.queries import sketch_quantiles
+
+    plan = _plan(sketch_quantiles(spark, sf_dir))
+    assert "Window" not in plan
+
+
+def test_dedup_bloom_broadcasts_the_filter(spark, sf_dir):
+    """The corpus reaches the probe ONLY as the bounded position
+    relation, broadcast — no corpus-sized shuffle join."""
+    from confidential_storm_spark.plans.queries import dedup_bloom
+
+    plan = _plan(dedup_bloom(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_text_clean_is_scan_fused(spark, sf_dir):
+    """The regex chain is pure per-row expression work: no exchange
+    before the release-form sort."""
+    from confidential_storm_spark.plans.queries import text_clean
+
+    plan = _plan(text_clean(spark, sf_dir))
+    # exactly the one range-partition exchange for the final orderBy
+    # (the single-split spread repartition is not a semantic shuffle)
+    assert plan.count("ENSURE_REQUIREMENTS") <= 1

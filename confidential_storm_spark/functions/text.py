@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "words",
+    "bigram_cross_entropy",
+    "bigram_cross_entropy_sql",
     "clean_text",
     "clean_text_sql",
     "explode_words",
@@ -556,6 +558,99 @@ def unigram_surprisal(
             F.coalesce("mean_surprisal", F.lit(0.0)).alias("mean_surprisal"),
         )
     )
+
+
+def bigram_cross_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-doc mean bigram cross-entropy ``-avg ln P(w_i | w_{i-1})``
+    under the corpus's OWN add-alpha bigram LM,
+    ``P(w|v) = (c(v,w) + a) / (c(v) + a*V)`` — the sequence-aware
+    upgrade of :func:`unigram_surprisal`: shuffled/garbled word order
+    scores high even when every individual word is common, which a
+    unigram model cannot see.
+
+    Plan shape: one explode into (v, w) pairs, two count aggregations
+    (bigram and context — both map-side combinable), broadcast back
+    onto the pair stream, one per-doc mean.  The bigram-count relation
+    is the LM "model"; by Heaps' law it is far smaller than the corpus
+    (drop the broadcast hint if a corpus's bigram vocabulary outgrows
+    it and Catalyst shuffle-joins).  Docs with < 2 words score 0 with
+    ``n_bigrams = 0``.
+    """
+    ws = df.select(F.col(id_col), words(F.col(text_col)).alias("_ws"))
+    # sequence(1, 0) would count DOWN, so guard short docs explicitly
+    bg = ws.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_ws) >= 2 THEN transform(sequence(1, size(_ws) - 1), "
+                "i -> struct(_ws[i-1] AS v, _ws[i] AS w)) "
+                "ELSE array() END"
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.v").alias("v"), F.col("_bg.w").alias("w"))
+    vocab = (
+        ws.select(F.explode("_ws").alias("_w")).select("_w").distinct().count()
+    )
+    cbw = bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("_cbw"))
+    cv = bg.groupBy("v").agg(F.count(F.lit(1)).alias("_cv"))
+    scored = (
+        bg.join(F.broadcast(cbw), ["v", "w"])
+        .join(F.broadcast(cv), "v")
+        .select(
+            id_col,
+            (
+                -F.log(
+                    (F.col("_cbw") + F.lit(alpha))
+                    / (F.col("_cv") + F.lit(alpha * vocab))
+                )
+            ).alias("_s"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("_s"), 6).alias("cross_entropy"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("int").alias("n_bigrams"),
+            F.coalesce("cross_entropy", F.lit(0.0)).alias("cross_entropy"),
+        )
+    )
+
+
+def bigram_cross_entropy_sql(
+    col: str = "text", table: str = "documents", alpha: float = 0.5
+) -> str:
+    """DuckDB twin of :func:`bigram_cross_entropy` (identical counts,
+    smoothing, and ln arithmetic; V computed in-query — same value the
+    Spark path embeds as a literal)."""
+    ws = words_sql(col)
+    return f"""
+WITH t AS (SELECT doc_id, {ws} AS ws FROM {table}),
+v_cte AS (SELECT COUNT(DISTINCT w) AS vs FROM (SELECT unnest(ws) AS w FROM t)),
+idx AS (SELECT doc_id, ws, unnest(range(2, len(ws) + 1)) AS i FROM t),
+tok AS (SELECT doc_id, ws[i - 1] AS v, ws[i] AS w FROM idx),
+cbw AS (SELECT v, w, COUNT(*) AS cbw FROM tok GROUP BY v, w),
+cv AS (SELECT v, COUNT(*) AS cv FROM tok GROUP BY v),
+sc AS (SELECT tok.doc_id,
+              -ln((cbw.cbw + {alpha!r}) / (cv.cv + {alpha!r} * v_cte.vs)) AS s
+       FROM tok JOIN cbw USING (v, w) JOIN cv USING (v) CROSS JOIN v_cte),
+pd AS (SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(s), 6) AS cross_entropy
+       FROM sc GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(COALESCE(pd.n_bigrams, 0) AS INTEGER) AS n_bigrams,
+       COALESCE(pd.cross_entropy, 0.0) AS cross_entropy
+FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id
+ORDER BY t.doc_id
+"""
 
 
 def unigram_surprisal_sql(col: str = "text", table: str = "documents") -> str:

@@ -2364,6 +2364,88 @@ QUERIES["sketch_quantiles"] = QueryDef(
 )
 
 
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-aware quality scoring: per-doc cross-entropy under the
+    corpus's own add-0.5 bigram LM (garbled word order scores high
+    even when every word is common)."""
+    from ..functions.text import bigram_cross_entropy
+
+    return bigram_cross_entropy(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+def _text_bigram_lm_sql() -> str:
+    from ..functions.text import bigram_cross_entropy_sql
+
+    return bigram_cross_entropy_sql()
+
+
+QUERIES["text_bigram_lm"] = QueryDef(
+    text_bigram_lm,
+    _text_bigram_lm_sql(),
+    "per-doc bigram-LM cross-entropy (add-alpha, corpus-trained)",
+    "training-data",
+)
+
+SW_GAP_US = 1_800_000_000  # 30 min, matching q_sessionize
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation in batch mode,
+    certified against an independent gap-reconstruction oracle: the
+    same inactivity-gap semantics q_sessionize builds from lag/
+    running-sum windows, here as the engine-level operator the
+    streaming path (streaming/sessions.py) uses.  Convention: windows
+    are half-open [first, last + gap) — a gap of EXACTLY gap_us
+    starts a new session (>=, where the lag form tests >)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("user_id", ts_to_micros(ev).alias("ts_us"), "value")
+    ts = F.timestamp_micros(F.col("ts_us"))
+    return (
+        ev.groupBy(F.session_window(ts, "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+def _q_session_window_sql() -> str:
+    g = SW_GAP_US
+    return f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+o AS (SELECT user_id, ts_us, value,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                       OR ts_us - LAG(ts_us) OVER w >= {g} THEN 1 ELSE 0 END AS brk
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT user_id, MIN(ts_us) AS session_start_us,
+       MAX(ts_us) + {g} AS session_end_us,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
+
+
+QUERIES["q_session_window"] = QueryDef(
+    q_session_window,
+    _q_session_window_sql(),
+    "native session_window vs gap-reconstruction oracle",
+    "relational",
+)
+
+
 def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Build the standing artifacts queries consume — the IVF index
     table and the encrypted topology graph — if missing.  A warehouse

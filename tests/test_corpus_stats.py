@@ -157,3 +157,53 @@ def test_vocab_kl_flags_shifted_tokens(spark):
     # delta: absent in P, present in Q -> negative contribution
     assert by_w["delta"]["contrib"] < 0
     assert by_w["alpha"]["n_p"] == 4 and by_w["alpha"]["n_q"] == 0
+
+
+def test_bigram_cross_entropy_matches_reference_model(spark):
+    """Exact agreement with an independent python add-alpha bigram LM,
+    plus the property the unigram model can't deliver: a doc with
+    GARBLED word order scores higher than the same words in their
+    corpus-typical order."""
+    import math
+    import re
+    from collections import Counter
+
+    from confidential_storm_spark.functions.text import bigram_cross_entropy
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the mat"),
+        (2, "the cat sat on the rug"),
+        (3, "mat the on sat cat the"),  # same words as 0, garbled order
+        (4, "single"),                   # < 2 words -> 0 bigrams
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.cross_entropy) for r in bigram_cross_entropy(df).collect()}
+
+    tok = lambda s: [w for w in re.split(r"\W+", s.lower()) if w]
+    pairs, ctx = Counter(), Counter()
+    vocab = set()
+    for _, t in docs:
+        ws = tok(t)
+        vocab |= set(ws)
+        for v, w in zip(ws, ws[1:]):
+            pairs[(v, w)] += 1
+            ctx[v] += 1
+    a, V = 0.5, len(vocab)
+    for doc_id, t in docs:
+        ws = tok(t)
+        bgs = list(zip(ws, ws[1:]))
+        want_n = len(bgs)
+        want_ce = (
+            round(
+                sum(-math.log((pairs[b] + a) / (ctx[b[0]] + a * V)) for b in bgs)
+                / want_n,
+                6,
+            )
+            if bgs
+            else 0.0
+        )
+        assert got[doc_id] == (want_n, want_ce), doc_id
+    # sequence-awareness: garbled ordering of the SAME words costs more
+    assert got[3][1] > got[0][1]

@@ -161,6 +161,63 @@ def bench_keyed(spark, rows_per_second: int, seconds: float):
     return rows, batches, wall
 
 
+def bench_bloom_dedup(spark, rows_per_second: int, seconds: float):
+    """Blocked-Bloom streaming dedup: rate-driven doc stream with a
+    1M-content universe (so duplicates recur), 64 bucket segments."""
+    from pyspark.sql import functions as F
+
+    from confidential_storm_spark.streaming import bloom_dedup_stream
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", 8)
+        .load()
+    )
+    docs = rate.select(
+        F.col("value").alias("doc_id"),
+        F.concat(
+            F.lit("document body "), (F.col("value") % 1_000_000).cast("string")
+        ).alias("text"),
+    )
+    out = bloom_dedup_stream(docs, n_buckets=64, k=4, m_per_bucket=1 << 16)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sbb_"))
+        .start()
+    )
+    return _drain(q, seconds)
+
+
+def bench_session_windows(spark, rows_per_second: int, seconds: float):
+    """Native session_window aggregation: 50k concurrent users, 10 s
+    gap, 5 s watermark — state scales with ACTIVE sessions."""
+    from pyspark.sql import functions as F
+
+    from confidential_storm_spark.streaming import session_stats_stream
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", 8)
+        .load()
+    )
+    ev = rate.select(
+        F.pmod(F.xxhash64("value"), F.lit(50_000)).alias("user_id"),
+        F.col("timestamp").alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    out = session_stats_stream(ev, gap="10 seconds", watermark_delay="5 seconds")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sbs_"))
+        .start()
+    )
+    return _drain(q, seconds)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows-per-second", type=int, default=200_000)
@@ -179,6 +236,8 @@ def main() -> None:
         ("bucketed", lambda: bench_bucketed(spark, args.rows_per_second, args.seconds, False)),
         ("bucketed_heartbeats", lambda: bench_bucketed(spark, args.rows_per_second, args.seconds, True)),
         ("keyed_stage23", lambda: bench_keyed(spark, args.keyed_rows_per_second, args.seconds)),
+        ("bloom_dedup", lambda: bench_bloom_dedup(spark, args.rows_per_second, args.seconds)),
+        ("session_windows", lambda: bench_session_windows(spark, args.rows_per_second, args.seconds)),
     ):
         offered = (
             args.keyed_rows_per_second if mode == "keyed_stage23" else args.rows_per_second

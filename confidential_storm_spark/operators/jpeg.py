@@ -446,7 +446,18 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     """Decode baseline JPEG bytes to HxW (greyscale) or HxWx3 (RGB)
     uint8, honoring DRI restart intervals.  Raises ValueError on
     malformed streams and NotImplementedError on non-baseline
-    features (progressive, arithmetic, subsampling)."""
+    features (progressive, arithmetic, subsampling).  Fuzz contract
+    (pytest-pinned): NO other exception type escapes, however
+    corrupt the bytes."""
+    try:
+        return _decode_baseline_jpeg(data)
+    except (IndexError, KeyError, struct.error) as exc:
+        # truncated segments / danging table refs surface as the
+        # documented malformed-stream error, never a raw crash
+        raise ValueError(f"malformed JPEG stream: {exc!r}") from exc
+
+
+def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

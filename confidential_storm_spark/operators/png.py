@@ -207,7 +207,15 @@ def decode_png(data: bytes) -> np.ndarray:
     uint16; sub-byte depths yield raw sample values), HxWx2 for
     grey+alpha, HxWx3 for RGB (palette images resolve through PLTE),
     HxWx4 for RGBA (incl. palette+tRNS).  Raises ValueError on
-    malformed streams."""
+    malformed streams — fuzz contract (pytest-pinned): no other
+    exception type escapes, however corrupt the bytes."""
+    try:
+        return _decode_png(data)
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ValueError(f"malformed PNG stream: {exc!r}") from exc
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8

@@ -2446,6 +2446,43 @@ QUERIES["q_session_window"] = QueryDef(
 )
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the ``props`` JSON column
+    (``get_json_object`` — codegen JSON path, no UDF) and aggregate
+    per (event_type, k mod 10).  The JSON-native twin of the
+    contributions view's regexp shortcut; at scale this is the
+    schema-on-read path every event warehouse leans on."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("_k"), "value")
+        .groupBy("event_type", (F.col("_k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("event_type", "k_mod")
+    )
+
+
+Q_JSON_PROPS_SQL = """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY event_type, k_mod
+ORDER BY event_type, k_mod
+"""
+
+
+QUERIES["q_json_props"] = QueryDef(
+    q_json_props,
+    Q_JSON_PROPS_SQL,
+    "JSON path extraction + aggregation over the props column",
+    "relational",
+)
+
+
 def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Build the standing artifacts queries consume — the IVF index
     table and the encrypted topology graph — if missing.  A warehouse

@@ -621,3 +621,38 @@ def test_jpeg_restart_flows_through_multimodal(spark):
     )
     row = decode_image_features(df).collect()[0]
     assert row["decode_ok"]
+
+
+def test_codec_fuzz_only_documented_exceptions():
+    """Fuzz contract: mutated valid streams and random blobs behind
+    valid magics raise ValueError/NotImplementedError ONLY — decoders
+    never leak IndexError/KeyError/struct.error into the mapInPandas
+    stages (which degrade decode failures to decode_ok=false)."""
+    import random
+
+    from confidential_storm_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+    from confidential_storm_spark.operators.png import _SIG, decode_png, encode_png
+
+    rng = random.Random(42)
+    img = np.zeros((8, 8), np.uint8)
+    seeds = [encode_png(img), encode_baseline_jpeg(img)]
+    for trial in range(1500):
+        base = bytearray(seeds[trial % 2])
+        for _ in range(rng.randint(1, 8)):
+            base[rng.randrange(len(base))] = rng.randrange(256)
+        data = bytes(base)
+        for dec in (decode_png, decode_baseline_jpeg):
+            try:
+                dec(data)
+            except (ValueError, NotImplementedError):
+                pass
+    for trial in range(800):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randint(0, 200)))
+        for prefix, dec in ((_SIG, decode_png), (b"\xff\xd8", decode_baseline_jpeg)):
+            try:
+                dec(prefix + blob)
+            except (ValueError, NotImplementedError):
+                pass

@@ -32,6 +32,8 @@ __all__ = [
     "incremental_dedup_against_index",
     "write_bloom_index",
     "bloom_flag_against_index",
+    "zorder_value",
+    "write_zordered",
 ]
 
 
@@ -176,3 +178,55 @@ def bloom_flag_against_index(
     )
     probe = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
     return bloom_flag(probe, positions, "digest", id_col, k=k, m=m)
+
+
+def zorder_value(cols: list[str], bits: int = 21) -> "F.Column":
+    """Morton (Z-order) key from non-negative integer columns: bit b
+    of each column lands at position ``b * len(cols) + i``, so rows
+    close in EVERY dimension are close in the one-dimensional sort
+    order.  Pure SQL expression (shiftleft/shiftright with lambda-
+    bound shift amounts), codegen, no UDF; values clamp into
+    ``bits`` bits per column (21 bits x 3 cols fits a long)."""
+    n = len(cols)
+    if not 1 <= n * bits <= 63:
+        raise ValueError("need 1..63 total interleaved bits")
+    if any(c in ("_z_acc", "_z_bit") for c in cols):
+        raise ValueError("column name collides with the lambda variables")
+    # lambda vars deliberately obscure: a plain name like `b` would
+    # SHADOW a data column of the same name inside the lambda body
+    terms = " | ".join(
+        f"shiftleft(shiftright(least(greatest(CAST({c} AS BIGINT), 0L), "
+        f"{(1 << bits) - 1}L), _z_bit) & 1, _z_bit * {n} + {i})"
+        for i, c in enumerate(cols)
+    )
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (_z_acc, _z_bit) -> _z_acc | {terms})"
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 21,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered on the Z-order of ``cols`` — the
+    multi-dimensional layout play (Delta/Iceberg "OPTIMIZE ZORDER"):
+    after range-partitioning and sorting by the interleaved key, each
+    file's min/max footer stats span a small box in EVERY listed
+    dimension, so a selective predicate on ANY of them skips most
+    files/row-groups at scan time (ordinary sort-by-one-column only
+    prunes that column).  The pruning itself is stock parquet
+    min/max skipping — no reader-side cooperation needed; the test
+    measures it from the footers."""
+    z = zorder_value(cols, bits=bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

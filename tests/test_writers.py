@@ -104,3 +104,70 @@ def test_digest_index_incremental_runs(spark, tmp_path):
         for r in incremental_dedup_against_index(spark, day2, path).collect()
     }
     assert out2 == {21: 1}
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from confidential_storm_spark.sources.writers import zorder_value
+
+    df = spark.createDataFrame([(3, 5), (0, 0), (-7, 99)], "x long, y long")
+    got = [r.z for r in df.select(zorder_value(["x", "y"], bits=4).alias("z")).collect()]
+    # x=3 (0011), y=5 (0101) -> x at even bits, y at odd: 0b100111 = 39
+    # negatives clamp to 0; y=99 clamps to 15 (0b1111 at odd bits = 42+...)
+    assert got[0] == 39 and got[1] == 0
+    assert got[2] == 0b10101010  # y=15 interleaved at odd positions
+
+
+def test_write_zordered_files_are_boxes_in_every_dimension(spark, tmp_path):
+    """The pruning claim, measured from the parquet footers: after
+    z-ordering on (a, b), a selective range predicate on EITHER column
+    overlaps only a few files' min/max stats, where the same data
+    sorted by a alone prunes only a-predicates."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from confidential_storm_spark.sources.writers import write_zordered
+
+    n, files = 40_000, 16
+    # independent dimensions (a full 200x200 grid) — a modular
+    # multiple of `a` would put every row on a 1-D curve and no
+    # 2-D layout could box it
+    df = spark.range(n).select(
+        (F.col("id") % 200).alias("a"),
+        ((F.col("id") / 200).cast("long") % 200).alias("b"),
+    )
+    zpath = str(tmp_path / "zordered")
+    spath = str(tmp_path / "a_sorted")
+    write_zordered(df, zpath, ["a", "b"], n_files=files)
+    df.repartitionByRange(files, "a").sortWithinPartitions("a").write.parquet(spath)
+
+    def overlap_counts(path, lo, hi):
+        """files whose [min,max] box overlaps the range, per column"""
+        import glob
+
+        out = {"a": 0, "b": 0, "n": 0}
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            out["n"] += 1
+            stats = {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in ("a", "b"):
+                        mn, mx = col.statistics.min, col.statistics.max
+                        pmn, pmx = stats.get(name, (mn, mx))
+                        stats[name] = (min(pmn, mn), max(pmx, mx))
+            for name, (mn, mx) in stats.items():
+                if not (mx < lo or mn > hi):
+                    out[name] += 1
+        return out
+
+    z = overlap_counts(zpath, 0, 24)   # 12.5% range in each dimension
+    s = overlap_counts(spath, 0, 24)
+    assert z["n"] == files and s["n"] == files
+    # z-order: BOTH dimensions prune to a minority of files
+    assert z["a"] <= files // 2 and z["b"] <= files // 2
+    # single-column sort: a prunes hard, b cannot prune at all
+    assert s["a"] <= 3 and s["b"] == files

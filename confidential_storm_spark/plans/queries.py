@@ -2482,6 +2482,47 @@ QUERIES["q_json_props"] = QueryDef(
     "relational",
 )
 
+MERGE_LO, MERGE_HI = 300, 400  # updates overlap target on [300, 400)
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 MERGE semantics via full-outer join: target = docs below
+    MERGE_HI, updates = reversed-text docs from MERGE_LO up — the
+    overlap updates in place, the rest inserts, untouched rows carry
+    over.  The digests prove WHICH version won each key."""
+    from ..sources.writers import merge_upsert
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") < MERGE_HI)
+    updates = docs.filter(F.col("doc_id") >= MERGE_LO).select(
+        "doc_id", F.reverse(F.col("text")).alias("text")
+    )
+    merged = merge_upsert(target, updates, "doc_id")
+    return merged.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        F.md5("text").alias("digest"),
+    ).orderBy("doc_id")
+
+
+Q_MERGE_UPSERT_SQL = f"""
+WITH target AS (SELECT doc_id, text FROM documents WHERE doc_id < {MERGE_HI}),
+updates AS (SELECT doc_id, reverse(text) AS text FROM documents WHERE doc_id >= {MERGE_LO}),
+merged AS (SELECT COALESCE(u.doc_id, t.doc_id) AS doc_id,
+                  COALESCE(u.text, t.text) AS text
+           FROM target t FULL OUTER JOIN updates u ON t.doc_id = u.doc_id)
+SELECT doc_id, length(text) AS text_len, md5(text) AS digest
+FROM merged ORDER BY doc_id
+"""
+
+
+QUERIES["q_merge_upsert"] = QueryDef(
+    q_merge_upsert,
+    Q_MERGE_UPSERT_SQL,
+    "SCD-1 upsert via full-outer join (MERGE INTO pattern)",
+    "relational",
+)
+
 
 def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Build the standing artifacts queries consume — the IVF index

@@ -34,6 +34,8 @@ __all__ = [
     "bloom_flag_against_index",
     "zorder_value",
     "write_zordered",
+    "merge_upsert",
+    "compact_parquet",
 ]
 
 
@@ -230,3 +232,45 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def merge_upsert(
+    target: DataFrame, updates: DataFrame, key: str = "doc_id"
+) -> DataFrame:
+    """SCD-1 upsert (the MERGE INTO pattern without a table format):
+    rows present in ``updates`` replace the target row with the same
+    key, unmatched update rows insert, unmatched target rows carry
+    over.  One full-outer join on the key — broadcast when the
+    update batch is small (the common case: today's changes vs the
+    full table), shuffle-hash otherwise, AQE's choice.  Combine with
+    :func:`write_partitioned` to rewrite only the partitions the
+    update batch touches."""
+    if target.columns != updates.columns:
+        raise ValueError("merge_upsert: schemas must match")
+    t, u = target.alias("_t"), updates.alias("_u")
+    picked = [
+        F.coalesce(F.col(f"_u.{c}"), F.col(f"_t.{c}")).alias(c)
+        for c in target.columns
+    ]
+    return t.join(u, F.col(f"_t.{key}") == F.col(f"_u.{key}"), "full_outer").select(
+        *picked
+    )
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, out_path: str, target_files: int
+) -> int:
+    """Small-file compaction — the maintenance job every streaming
+    sink needs (each micro-batch appends a file; a year of 30 s
+    batches is a million files whose open/footer costs dominate
+    scans).  Rewrites ``path`` as ``target_files`` similarly-sized
+    files at ``out_path`` and returns the input file count.  Plain
+    repartition (round-robin): byte-balanced output regardless of
+    input skew."""
+    import glob
+
+    n_in = len(glob.glob(f"{path}/*.parquet"))
+    spark.read.parquet(path).repartition(target_files).write.mode(
+        "overwrite"
+    ).parquet(out_path)
+    return n_in

@@ -171,3 +171,56 @@ def test_write_zordered_files_are_boxes_in_every_dimension(spark, tmp_path):
     assert z["a"] <= files // 2 and z["b"] <= files // 2
     # single-column sort: a prunes hard, b cannot prune at all
     assert s["a"] <= 3 and s["b"] == files
+
+
+def test_merge_upsert_semantics(spark):
+    from confidential_storm_spark.sources.writers import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "old-1"), (2, "old-2"), (3, "old-3")], "doc_id long, text string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "new-2"), (9, "new-9")], "doc_id long, text string"
+    )
+    got = sorted(tuple(r) for r in merge_upsert(target, updates).collect())
+    assert got == [(1, "old-1"), (2, "new-2"), (3, "old-3"), (9, "new-9")]
+    with pytest.raises(ValueError):
+        merge_upsert(target, updates.select("text", "doc_id"))
+
+
+def test_compact_parquet_collapses_small_files(spark, tmp_path):
+    """The streaming-sink maintenance job: many per-batch files in,
+    few balanced files out, identical data."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from confidential_storm_spark.sources.writers import compact_parquet
+
+    src, dst = str(tmp_path / "many"), str(tmp_path / "few")
+    for i in range(12):  # 12 appends, like 12 micro-batches
+        spark.range(i * 100, (i + 1) * 100).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 12
+    n_in = compact_parquet(spark, src, dst, target_files=3)
+    assert n_in == 12
+    assert len(glob.glob(f"{dst}/*.parquet")) == 3
+    a = spark.read.parquet(src).agg(F.sum("id"), F.count("*")).collect()
+    b = spark.read.parquet(dst).agg(F.sum("id"), F.count("*")).collect()
+    assert a == b
+
+
+def test_schema_evolution_merge_schema_read(spark, tmp_path):
+    """Additive schema evolution: a later ingestion run adds a column;
+    mergeSchema reads the union schema with nulls for the old files —
+    the contract a long-lived corpus directory depends on."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "doc_id long, text string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", "en")], "doc_id long, text string, lang string"
+    ).write.mode("append").parquet(path)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    rows = {r.doc_id: (r.text, r.lang) for r in df.collect()}
+    assert set(df.columns) == {"doc_id", "text", "lang"}
+    assert rows[1] == ("a", None) and rows[2] == ("b", "en")

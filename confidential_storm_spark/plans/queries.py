@@ -2523,6 +2523,51 @@ QUERIES["q_merge_upsert"] = QueryDef(
     "relational",
 )
 
+HYBRID_K, HYBRID_POOL = 10, 20
+
+
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 fused with exact cosine
+    kNN top-20 by reciprocal-rank fusion (rank-based, so the two
+    incomparable score scales need no calibration) — the standard
+    hybrid-search composition, over the aligned doc/embedding id
+    space."""
+    from ..operators.fusion import rrf_fuse
+    from ..operators.ranking import bm25_topk
+
+    lex = bm25_topk(
+        load_table(spark, sf_dir, "documents"), BM25_QUERY, k=HYBRID_POOL
+    )
+    q = _query_vec(spark, sf_dir)
+    vec = brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), q, k=HYBRID_POOL
+    ).withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse([(lex, "bm25"), (vec, "cosine")], "doc_id", k=HYBRID_K)
+
+
+def _hybrid_rrf_sql() -> str:
+    from ..operators.fusion import rrf_fuse_sql
+    from ..operators.ranking import bm25_topk_sql
+
+    lex = bm25_topk_sql(BM25_QUERY, k=HYBRID_POOL)
+    vec = f"""
+SELECT vec_id AS doc_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             CAST((SELECT embedding FROM embeddings WHERE vec_id = 0) AS DOUBLE[])), 6) AS cosine
+FROM embeddings
+ORDER BY cosine DESC, vec_id
+LIMIT {HYBRID_POOL}
+"""
+    return rrf_fuse_sql([(lex, "bm25"), (vec, "cosine")], "doc_id", k=HYBRID_K)
+
+
+QUERIES["hybrid_rrf"] = QueryDef(
+    hybrid_rrf,
+    _hybrid_rrf_sql(),
+    "hybrid retrieval: BM25 + cosine kNN via reciprocal-rank fusion",
+    "training-data",
+)
+
 
 def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Build the standing artifacts queries consume — the IVF index

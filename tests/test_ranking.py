@@ -85,3 +85,29 @@ def test_bm25_empty_query_terms_raises_in_both_engines(spark):
         bm25_topk(docs, [])
     with pytest.raises(ValueError):
         bm25_topk_sql([])
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF against hand-computed reciprocal ranks, incl. id-tiebreak
+    ranks and ids present in only one ranking."""
+    from confidential_storm_spark.operators.fusion import rrf_fuse, with_rank
+
+    r1 = spark.createDataFrame(
+        [(1, 3.0), (2, 2.0), (3, 2.0), (4, 1.0)], "doc_id long, s double"
+    )
+    r2 = spark.createDataFrame([(2, 9.0), (5, 8.0)], "doc_id long, s double")
+    # tie at s=2.0: id 2 ranks ahead of id 3
+    ranks = {r.doc_id: r.rank for r in with_rank(r1, "doc_id", "s").collect()}
+    assert ranks == {1: 1, 2: 2, 3: 3, 4: 4}
+    got = [(r.doc_id, r.rrf) for r in rrf_fuse([(r1, "s"), (r2, "s")], "doc_id").collect()]
+    want = {
+        1: 1 / 61,
+        2: 1 / 62 + 1 / 61,
+        3: 1 / 63,
+        4: 1 / 64,
+        5: 1 / 62,
+    }
+    expect = sorted(
+        ((d, round(v, 6)) for d, v in want.items()), key=lambda t: (-t[1], t[0])
+    )
+    assert got == expect

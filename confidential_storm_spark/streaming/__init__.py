@@ -15,6 +15,7 @@ from .keyed import (
     stamp_epoch_stream,
 )
 from .sessions import session_stats_stream
+from .sketches import hll_distinct_stream
 from .stateful import (
     bloom_dedup_stream,
     bound_contributions_stream,
@@ -26,6 +27,7 @@ from .stateful import (
 
 __all__ = [
     "bloom_dedup_stream",
+    "hll_distinct_stream",
     "bound_contributions_stream",
     "curation_filter_stream",
     "quality_predicate",

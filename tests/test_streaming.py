@@ -515,3 +515,63 @@ def test_streaming_session_window_merges_and_finalizes(stream_reader):
     }
     start, end = sess[(1, 3)]
     assert start == t(0) and end == t(22)  # 12m last event + 10m gap
+
+
+def test_streaming_hll_matches_batch_sketch(stream_reader, spark):
+    """Chained stateful aggregations (Spark 4): per-window HLL distinct
+    users on a stream — append emits each window once the watermark
+    closes it, and the estimate is BIT-IDENTICAL to the batch
+    hll_distinct over the same window's rows (same md5 register
+    math)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from confidential_storm_spark.operators.sketches import hll_distinct
+    from confidential_storm_spark.streaming import hll_distinct_stream
+
+    t = lambda s: dt.datetime(2026, 3, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+    SCHEMA_H = "user_id long, event_type string, ts timestamp"
+    # window 0: minute [00:00, 00:01) with overlap across micro-batches;
+    # window 1: [00:01, 00:02); flusher closes both
+    batches = [
+        [(i, "view", t(i % 50)) for i in range(400)],
+        [(i, "view", t(i % 50)) for i in range(200, 700)]
+        + [(i, "click", t(i % 50)) for i in range(100)],
+        [(i, "view", t(70 + i % 20)) for i in range(150)],
+        [(0, "view", t(600))],  # watermark flusher
+    ]
+    out: list = []
+    stream = hll_distinct_stream(
+        stream_reader(batches, SCHEMA_H),
+        "user_id",
+        ["event_type"],
+        window="1 minute",
+        watermark_delay="30 seconds",
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: out.append((bid, df.collect())))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.window_start, r.event_type): r.approx_distinct
+        for _, rows in out
+        for r in rows
+    }
+    # batch twin over the same window slices
+    all_rows = [r for b in batches for r in b]
+    df = spark.createDataFrame(all_rows, SCHEMA_H)
+    for (w0, w1) in (((0, 60)), ((60, 120))):
+        sl = df.filter((F.col("ts") >= t(w0)) & (F.col("ts") < t(w1)))
+        want = {
+            r.event_type: r.approx_distinct
+            for r in hll_distinct(sl, ["event_type"], "user_id").collect()
+        }
+        for etype, est in want.items():
+            assert got[(t(w0), etype)] == est, (w0, etype)
+    # sanity: estimates near truth (700 viewers, 100 clickers in w0)
+    assert abs(got[(t(0), "view")] - 700) / 700 < 0.05
+    assert abs(got[(t(0), "click")] - 100) / 100 < 0.06

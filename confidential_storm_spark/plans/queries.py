@@ -2569,6 +2569,192 @@ QUERIES["hybrid_rrf"] = QueryDef(
 )
 
 
+# ---------------------------------------------------------------------------
+# round-5 additions: join-shape coverage (semi / anti / outer-join
+# distribution / scalar subquery) and range-frame rolling windows —
+# the relational surface a warehouse user expects beyond the
+# reference's three join-shaped computations (SURVEY §2.6).
+# ---------------------------------------------------------------------------
+
+Q4_YEAR_START, Q4_YEAR_END = "1996-01-01", "1997-01-01"
+Q4_LATE_DAYS = 90
+
+
+def q4_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders placed in 1996 with at least one line
+    item shipped > 90 days after the order date, counted by priority.
+    The EXISTS compiles to a LEFT SEMI join — lineitem is scanned
+    once, never materialized per-order; at scale the semi join
+    shuffles both sides on orderkey and emits each order at most once
+    (no fan-out, unlike an inner join + distinct)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q4_YEAR_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_YEAR_END).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_YEAR_START}'
+  AND o.o_orderdate <  TIMESTAMP '{Q4_YEAR_END}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many orders
+    they placed, INCLUDING zero-order customers (the left outer join
+    is the point — an inner join silently drops them).  Two
+    aggregations: per-customer count, then the histogram of counts.
+    Both shuffles carry one row per customer / per distinct count."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    per_cust = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))  # count(col) skips the NULLs from the outer join
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+Q22_DORMANT_SINCE = "2000-01-01"
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average account balance
+    and NO order since 2000, rolled up per nation.  Exercises a
+    scalar aggregate subquery (kept declarative: the 1-row average is
+    cross-joined via broadcast, never collect()ed to the driver) and
+    a LEFT ANTI join against the recent slice of orders — the date
+    filter is pushed into the orders scan before the anti join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(Q22_DORMANT_SINCE).cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_avg_bal")
+    )
+    dormant = rich.join(
+        orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    )
+    return (
+        dormant.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_SQL = f"""
+SELECT c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 6) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{Q22_DORMANT_SINCE}')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+ROLLING_WINDOW_US = 6 * 3600 * 1_000_000  # 6 hours in epoch micros
+
+
+def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 6-hour ROLLING sum/count of event value — the
+    time-series feature shape (trailing engagement, rate limits,
+    monitoring).  A RANGE frame over epoch-micros per user: the
+    window hash-partitions by user_id (no global sort), and ties on
+    ts_us are frame-inclusive so the result is deterministic under
+    any intra-tie order.  DuckDB runs the identical RANGE frame."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("event_id", "user_id", ts_to_micros(ev).alias("ts_us"), "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-ROLLING_WINDOW_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w).alias("n_6h"),
+        F.round(F.sum("value").over(w), 6).alias("sum_6h"),
+    ).orderBy("user_id", "ts_us", "event_id")
+
+
+Q_ROLLING_SQL = f"""
+WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+SELECT event_id, user_id, ts_us,
+       COUNT(*) OVER w AS n_6h,
+       ROUND(SUM(value) OVER w, 6) AS sum_6h
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN {ROLLING_WINDOW_US} PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts_us, event_id
+"""
+
+
+QUERIES["q4_late_priority"] = QueryDef(
+    q4_late_priority, Q4_SQL, "TPC-H Q4 shape: EXISTS -> left-semi join", "relational"
+)
+QUERIES["q13_order_distribution"] = QueryDef(
+    q13_order_distribution,
+    Q13_SQL,
+    "TPC-H Q13 shape: outer-join order-count distribution",
+    "relational",
+)
+QUERIES["q22_dormant_customers"] = QueryDef(
+    q22_dormant_customers,
+    Q22_SQL,
+    "TPC-H Q22 shape: scalar subquery + anti join",
+    "relational",
+)
+QUERIES["q_rolling_user_value"] = QueryDef(
+    q_rolling_user_value,
+    Q_ROLLING_SQL,
+    "per-user 6h rolling RANGE-frame aggregates",
+    "relational",
+)
+
+
 def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Build the standing artifacts queries consume — the IVF index
     table and the encrypted topology graph — if missing.  A warehouse

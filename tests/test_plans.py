@@ -105,3 +105,44 @@ def test_text_clean_is_scan_fused(spark, sf_dir):
     # exactly the one range-partition exchange for the final orderBy
     # (the single-split spread repartition is not a semantic shuffle)
     assert plan.count("ENSURE_REQUIREMENTS") <= 1
+
+
+def test_q4_compiles_to_semi_join_with_pushed_date_filter(spark, sf_dir):
+    """The EXISTS must stay a semi join (each order emitted at most
+    once, no fan-out + distinct) and the 1996 date filter must reach
+    the orders parquet scan."""
+    from confidential_storm_spark.plans.queries import q4_late_priority
+
+    plan = _plan(q4_late_priority(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "o_orderdate" in plan.split("PushedFilters")[1][:300]
+
+
+def test_q13_outer_join_aggregates_partially(spark, sf_dir):
+    """The order-count distribution does two aggregations, each with
+    map-side partial combine (>= 4 HashAggregates)."""
+    from confidential_storm_spark.plans.queries import q13_order_distribution
+
+    plan = _plan(q13_order_distribution(spark, sf_dir))
+    assert "LeftOuter" in plan or "RightOuter" in plan, plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark, sf_dir):
+    """The NOT EXISTS stays an anti join; the 1-row average joins by
+    broadcast (no driver collect, no shuffle for the scalar)."""
+    from confidential_storm_spark.plans.queries import q22_dormant_customers
+
+    plan = _plan(q22_dormant_customers(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_rolling_window_is_partitioned_by_user(spark, sf_dir):
+    """The 6h RANGE frame must hash-partition by user_id — never the
+    'No Partition Defined' single-partition window."""
+    from confidential_storm_spark.plans.queries import q_rolling_user_value
+
+    plan = _plan(q_rolling_user_value(spark, sf_dir))
+    assert "Window" in plan
+    assert "hashpartitioning(user_id" in plan, plan

@@ -2755,6 +2755,75 @@ QUERIES["q_rolling_user_value"] = QueryDef(
 )
 
 
+SALT_N = 8
+
+
+def q_salted_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join via salting: events carry only ~150 distinct
+    user_ids, so an unsalted shuffle join lands thousands of rows per
+    reducer key (at 100 TB: terabytes per key).  ``salted_join``
+    spreads each user over SALT_N reducers by salting on event_id and
+    replicating the customer row SALT_N times.  The oracle is the
+    PLAIN join — salting must be invisible in the result."""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(ev, cust, "user_id", "c_custkey", "event_id", n_salt=SALT_N)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q_SALTED_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via two-phase salting: 5 event types means
+    5 reducer keys no matter the row count — a single key's reduce
+    load is unbounded.  ``salted_aggregate`` groups by (type, salt)
+    first (hot key -> SALT_N partial rows), then combines partials.
+    The oracle is the plain GROUP BY."""
+    from ..operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_aggregate(ev, ["event_type"], ["value"], "event_id", n_salt=SALT_N)
+    return out.select(
+        "event_type",
+        "n_rows",
+        F.round(F.col("sum_value"), 6).alias("sum_value"),
+    ).orderBy("event_type")
+
+
+Q_SALTED_AGG_SQL = """
+SELECT event_type, COUNT(*) AS n_rows, ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES["q_salted_segment_value"] = QueryDef(
+    q_salted_segment_value,
+    Q_SALTED_JOIN_SQL,
+    "salted hot-key join (result == plain join)",
+    "beyond-ref scale",
+)
+QUERIES["q_salted_type_stats"] = QueryDef(
+    q_salted_type_stats,
+    Q_SALTED_AGG_SQL,
+    "salted two-phase aggregation (result == plain GROUP BY)",
+    "beyond-ref scale",
+)
+
+
 def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Build the standing artifacts queries consume — the IVF index
     table and the encrypted topology graph — if missing.  A warehouse

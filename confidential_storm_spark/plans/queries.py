@@ -2824,6 +2824,77 @@ QUERIES["q_salted_type_stats"] = QueryDef(
 )
 
 
+PIVOT_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def q_pivot_nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer counts per nation PIVOTED to one column per market
+    segment (the dashboard wide-form shape).  The segment list is
+    passed explicitly to ``pivot()`` — with an explicit value list
+    Spark skips the extra distinct-values job and compiles to a
+    single pass (one agg with CASE-fused columns, no per-segment
+    scan).  The oracle is the same CASE form DuckDB runs."""
+    cust = load_table(spark, sf_dir, "customer")
+    out = (
+        cust.groupBy("c_nationkey")
+        .pivot("c_mktsegment", PIVOT_SEGMENTS)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [s for s in PIVOT_SEGMENTS])
+    )
+    # stable lower-case column names on both engines
+    for s in PIVOT_SEGMENTS:
+        out = out.withColumnRenamed(s, f"n_{s.lower()}")
+    return out.orderBy("c_nationkey")
+
+
+Q_PIVOT_SQL = (
+    "SELECT c_nationkey, "
+    + ", ".join(
+        # COUNT (never NULL, integer-typed) not SUM (nullable HUGEINT
+        # -> pandas float, which would hash "17.0" against Spark's "17")
+        f"COUNT(CASE WHEN c_mktsegment = '{s}' THEN 1 END) AS n_{s.lower()}"
+        for s in PIVOT_SEGMENTS
+    )
+    + " FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"
+)
+
+
+def q_viewed_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface: (user, day) pairs with views but no
+    purchase that day (browse-without-buy sessions) via EXCEPT —
+    each side's event_type filter is pushed into the scan and the
+    set difference compiles to a distinct + anti-join shape.  Days
+    are emitted as strings so both engines hash the identical form."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    viewed = ev.filter(F.col("event_type") == "view").select("user_id", day)
+    purchased = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
+    # subtract == EXCEPT (distinct semantics)
+    return viewed.subtract(purchased).orderBy("user_id", "day")
+
+
+Q_EXCEPT_SQL = """
+SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'purchase'
+ORDER BY user_id, day
+"""
+
+
+QUERIES["q_pivot_nation_segments"] = QueryDef(
+    q_pivot_nation_segments,
+    Q_PIVOT_SQL,
+    "pivot to wide form, explicit value list (single pass)",
+    "relational",
+)
+QUERIES["q_viewed_never_purchased"] = QueryDef(
+    q_viewed_never_purchased,
+    Q_EXCEPT_SQL,
+    "EXCEPT set operation (viewed, never purchased)",
+    "relational",
+)
+
+
 def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Build the standing artifacts queries consume — the IVF index
     table and the encrypted topology graph — if missing.  A warehouse

@@ -146,3 +146,27 @@ def test_rolling_window_is_partitioned_by_user(spark, sf_dir):
     plan = _plan(q_rolling_user_value(spark, sf_dir))
     assert "Window" in plan
     assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_pivot_with_explicit_values_is_single_pass(spark, sf_dir):
+    """pivot() with an explicit segment list must compile to one scan
+    feeding a (key, segment) pre-agg then a pivotfirst fold — no
+    distinct-values job, no per-segment scan.  Three exchanges: the
+    two agg levels plus the final sort (the (key, segment) first
+    shuffle is the skew-safe part: hot nations spread over their
+    segments)."""
+    from confidential_storm_spark.plans.queries import q_pivot_nation_segments
+
+    plan = _plan(q_pivot_nation_segments(spark, sf_dir))
+    assert plan.count("Exchange ") <= 3, plan
+    assert plan.count("FileScan") == 1
+    assert "pivotfirst" in plan
+
+
+def test_except_compiles_to_anti_join(spark, sf_dir):
+    """EXCEPT must be distinct + anti join, never a nested-loop."""
+    from confidential_storm_spark.plans.queries import q_viewed_never_purchased
+
+    plan = _plan(q_viewed_never_purchased(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan

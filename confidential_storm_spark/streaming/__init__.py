@@ -7,6 +7,7 @@ state store via ``applyInPandasWithState``.
 """
 
 from .curation import curation_filter_stream, quality_predicate
+from .joins import enrich_stream, interval_join_streams
 from .keyed import (
     dp_histogram_stream_keyed,
     prev_epoch_counts_stream,
@@ -27,6 +28,8 @@ from .stateful import (
 
 __all__ = [
     "bloom_dedup_stream",
+    "enrich_stream",
+    "interval_join_streams",
     "hll_distinct_stream",
     "bound_contributions_stream",
     "curation_filter_stream",

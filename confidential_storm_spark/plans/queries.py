@@ -2939,6 +2939,79 @@ QUERIES["graph_pagerank"] = QueryDef(
 )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST active
+    day, counted on each subsequent day they return — the product-
+    analytics table every events warehouse serves.  Two shuffles on
+    user_id (first-day agg, activity distinct) that AQE coalesces
+    into one layout, then a (cohort, offset) agg whose cardinality is
+    days^2 regardless of user count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = ev.distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.to_date("day"), F.to_date("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+Q_COHORT_SQL = """
+WITH ev AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events),
+firsts AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, day FROM ev)
+SELECT f.cohort_day,
+       date_diff('day', CAST(f.cohort_day AS DATE), CAST(a.day AS DATE)) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM act a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+UNPIVOT_METRICS = ["n_tokens", "mean_token_len", "stopword_ratio", "alpha_ratio"]
+
+
+def q_unpivot_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) surface: the per-doc quality features turned
+    into (doc_id, metric, value) long form — the shape metric stores
+    and dashboards ingest.  unpivot() compiles to an Expand node (one
+    pass, rows x metrics output), never a per-metric scan."""
+    q = quality_features(load_table(spark, sf_dir, "documents"))
+    q = q.withColumn("n_tokens", F.col("n_tokens").cast("double"))
+    return q.unpivot("doc_id", UNPIVOT_METRICS, "metric", "value").orderBy(
+        "doc_id", "metric"
+    )
+
+
+def _q_unpivot_sql() -> str:
+    body = TEXT_QUALITY_SQL.replace("ORDER BY doc_id", "")
+    arms = " UNION ALL ".join(
+        f"SELECT doc_id, '{m}' AS metric, CAST({m} AS DOUBLE) AS value FROM q"
+        for m in UNPIVOT_METRICS
+    )
+    return f"WITH q AS ({body}) {arms} ORDER BY doc_id, metric"
+
+
+QUERIES["q_cohort_retention"] = QueryDef(
+    q_cohort_retention,
+    Q_COHORT_SQL,
+    "cohort retention matrix (first-day cohort x return offset)",
+    "relational",
+)
+QUERIES["q_unpivot_quality"] = QueryDef(
+    q_unpivot_quality,
+    _q_unpivot_sql(),
+    "UNPIVOT quality features to long form (single-pass Expand)",
+    "relational",
+)
+
+
 def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Build the standing artifacts queries consume — the IVF index
     table and the encrypted topology graph — if missing.  A warehouse

@@ -170,3 +170,13 @@ def test_except_compiles_to_anti_join(spark, sf_dir):
     plan = _plan(q_viewed_never_purchased(spark, sf_dir))
     assert "LeftAnti" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unpivot_is_single_pass_expand(spark, sf_dir):
+    """unpivot() must compile to one scan + Expand, not a per-metric
+    union of scans."""
+    from confidential_storm_spark.plans.queries import q_unpivot_quality
+
+    plan = _plan(q_unpivot_quality(spark, sf_dir))
+    assert "Expand" in plan, plan
+    assert plan.count("FileScan") == 1

@@ -3012,6 +3012,83 @@ QUERIES["q_unpivot_quality"] = QueryDef(
 )
 
 
+def q_cube_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day) with grouping_id — all four
+    grouping-set combinations in ONE pass (Expand node), completing
+    the grouping-sets family next to q_rollup_revenue.  gid
+    disambiguates a real NULL from a subtotal row."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "value"
+    )
+    return (
+        ev.cube("event_type", "day")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "event_type", "day")
+    )
+
+
+Q_CUBE_SQL = """
+WITH ev AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events)
+SELECT event_type, day, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value,
+       GROUPING(event_type, day) AS gid
+FROM ev GROUP BY CUBE (event_type, day)
+ORDER BY gid, event_type, day
+"""
+
+
+PCTL_PROBES = (0.5, 0.9)
+
+
+def q_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated per-group percentiles (ordered-set
+    aggregate surface): median and p90 order value per priority.
+    Spark's `percentile` and DuckDB's `quantile_cont` use the same
+    linear interpolation, so the values are cross-engine exact.  The
+    exact aggregate buffers each group's values — for sketch-bounded
+    state at scale, sketch_quantiles is the companion path."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            *[
+                F.round(F.expr(f"percentile(o_totalprice, {p})"), 6).alias(
+                    f"p{int(p * 100)}_price"
+                )
+                for p in PCTL_PROBES
+            ]
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_MEDIAN_SQL = (
+    "SELECT o_orderpriority, "
+    + ", ".join(
+        f"ROUND(quantile_cont(o_totalprice, {p}), 6) AS p{int(p * 100)}_price"
+        for p in PCTL_PROBES
+    )
+    + " FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
+QUERIES["q_cube_activity"] = QueryDef(
+    q_cube_activity,
+    Q_CUBE_SQL,
+    "CUBE grouping sets with grouping_id (single-pass Expand)",
+    "relational",
+)
+QUERIES["q_median_order_value"] = QueryDef(
+    q_median_order_value,
+    Q_MEDIAN_SQL,
+    "exact interpolated per-group percentiles",
+    "relational",
+)
+
+
 def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Build the standing artifacts queries consume — the IVF index
     table and the encrypted topology graph — if missing.  A warehouse

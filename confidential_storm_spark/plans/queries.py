@@ -3089,6 +3089,52 @@ QUERIES["q_median_order_value"] = QueryDef(
 )
 
 
+DECAY = 0.9  # per-day decay factor
+
+
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed per-user engagement score (the
+    feature-store recency-weighted aggregate): sum of value * 0.9^age
+    in days, anchored at the corpus max day.  One weighted agg — the
+    decay weight is a pure codegen expression against the broadcast
+    1-row anchor, so the plan is scan -> agg, no window, no state."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    anchor = ev.agg(F.max("day").alias("_ref_day"))
+    return (
+        ev.join(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("value")
+                    * F.pow(F.lit(DECAY), F.datediff("_ref_day", "day"))
+                ),
+                6,
+            ).alias("score")
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_DECAYED_SQL = f"""
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+anchor AS (SELECT MAX(day) AS _ref_day FROM ev)
+SELECT user_id,
+       ROUND(SUM(value * POWER({DECAY}, date_diff('day', day, (SELECT _ref_day FROM anchor)))), 6) AS score
+FROM ev GROUP BY user_id ORDER BY user_id
+"""
+
+
+QUERIES["q_decayed_engagement"] = QueryDef(
+    q_decayed_engagement,
+    Q_DECAYED_SQL,
+    "exponentially-decayed per-user engagement score",
+    "relational",
+)
+
+
 def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Build the standing artifacts queries consume — the IVF index
     table and the encrypted topology graph — if missing.  A warehouse

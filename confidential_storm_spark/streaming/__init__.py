@@ -17,6 +17,7 @@ from .keyed import (
 )
 from .sessions import session_stats_stream
 from .sketches import hll_distinct_stream
+from .trending import top_k_per_window, windowed_wordcounts_stream
 from .stateful import (
     bloom_dedup_stream,
     bound_contributions_stream,
@@ -30,6 +31,8 @@ __all__ = [
     "bloom_dedup_stream",
     "enrich_stream",
     "interval_join_streams",
+    "top_k_per_window",
+    "windowed_wordcounts_stream",
     "hll_distinct_stream",
     "bound_contributions_stream",
     "curation_filter_stream",

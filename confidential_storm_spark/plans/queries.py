@@ -3153,6 +3153,33 @@ QUERIES["q_decayed_engagement"] = QueryDef(
 )
 
 
+def q_viewed_and_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT twin of q_viewed_never_purchased: (user, day) pairs
+    with BOTH a view and a purchase (browse-and-buy sessions) —
+    compiles to a distinct + semi-join shape."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    viewed = ev.filter(F.col("event_type") == "view").select("user_id", day)
+    purchased = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
+    return viewed.intersect(purchased).orderBy("user_id", "day")
+
+
+Q_INTERSECT_SQL = """
+SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'view'
+INTERSECT
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'purchase'
+ORDER BY user_id, day
+"""
+
+
+QUERIES["q_viewed_and_purchased"] = QueryDef(
+    q_viewed_and_purchased,
+    Q_INTERSECT_SQL,
+    "INTERSECT set operation (viewed and purchased same day)",
+    "relational",
+)
+
+
 def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Build the standing artifacts queries consume — the IVF index
     table and the encrypted topology graph — if missing.  A warehouse

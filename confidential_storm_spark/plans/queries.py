@@ -3180,6 +3180,407 @@ QUERIES["q_viewed_and_purchased"] = QueryDef(
 )
 
 
+# ---------------------------------------------------------------------------
+# More TPC-H join shapes (Q10/Q12/Q14/Q18/Q19) — the remaining
+# canonical join/aggregate patterns a warehouse user reaches for:
+# fact->dim rollup with top-k, big-big conditional aggregation,
+# broadcast-dim scalar ratio, agg-filtered self-reference, and
+# OR-of-ANDs predicate joins.  Each is the idiomatic Catalyst plan,
+# not a literal TPC-H port (our schema lacks some columns).
+# ---------------------------------------------------------------------------
+
+Q10_QTR_START, Q10_QTR_END = "1996-01-01", "1996-04-01"
+Q10_TOP = 20
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer in
+    one quarter, top 20 customers.  The lineitem scan keeps only
+    ``l_returnflag = 'R'`` rows (pushed to parquet), orders keep one
+    quarter (pushed), the fact-side join shuffles on orderkey, the
+    per-customer rollup shuffles once on custkey, and nation joins
+    broadcast.  The final top-20 compiles to TakeOrderedAndProject —
+    no global sort at any scale."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q10_QTR_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_QTR_END).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # revenue's TRUE value has exactly 4 decimals (2-decimal price x
+    # 2-decimal discount), so round-4 is never at a half boundary;
+    # round-2 is a cross-engine hazard (Spark rounds the shortest
+    # decimal repr half-up, DuckDB rounds the binary double — they
+    # disagree on sums landing exactly on .xx5)
+    per_cust = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("_rev"), 4).alias("revenue"))
+    )
+    return (
+        per_cust.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(Q10_TOP)
+    )
+
+
+Q10_SQL = f"""
+WITH per_cust AS (
+  SELECT o.o_custkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '{Q10_QTR_START}'
+    AND o.o_orderdate <  TIMESTAMP '{Q10_QTR_END}'
+  GROUP BY o.o_custkey
+)
+SELECT c.c_custkey, c.c_name, n.n_name, p.revenue
+FROM per_cust p
+JOIN customer c ON c.c_custkey = p.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY p.revenue DESC, c.c_custkey LIMIT {Q10_TOP}
+"""
+
+
+Q12_YEAR_START, Q12_YEAR_END = "1996-01-01", "1997-01-01"
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: line counts by linestatus split into
+    high/low-priority orders for one ship year — the big-big join
+    (lineitem x orders on orderkey) feeding a CONDITIONAL aggregation.
+    Both sides shuffle on orderkey once; the CASE branches are pure
+    codegen; the final two-row agg is map-side combined.  No
+    distinct, no fan-out: each line contributes exactly one row."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q12_YEAR_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q12_YEAR_END).cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin(*_Q12_HIGH).cast("long")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = f"""
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q12_YEAR_START}'
+  AND l.l_shipdate <  TIMESTAMP '{Q12_YEAR_END}'
+GROUP BY l.l_linestatus ORDER BY l.l_linestatus
+"""
+
+
+Q14_MONTH_START, Q14_MONTH_END = "1996-03-01", "1996-04-01"
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo share of one month's revenue — fact
+    scan (month filter pushed) joined to the part dimension
+    BROADCAST (plan-pinned), conditional sum over the join output,
+    one scalar row.  At 100 TB the only shuffle is the final 1-row
+    agg combine; part stays a broadcast dim until it outgrows the
+    threshold, where AQE flips to shuffle-hash."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q14_MONTH_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_MONTH_END).cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+Q14_SQL = f"""
+SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q14_MONTH_START}'
+  AND l.l_shipdate <  TIMESTAMP '{Q14_MONTH_END}'
+"""
+
+
+Q18_QTY_THRESHOLD = 250
+Q18_TOP = 100
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose TOTAL quantity exceeds a
+    threshold (large-volume buyers), with customer attribution.  The
+    per-order rollup aggregates lineitem FIRST (map-side combined,
+    one shuffle on orderkey, ~0.1% survive the HAVING) — so the
+    subsequent orders/customer joins see only the tiny filtered
+    relation.  Joining raw lineitem then filtering would shuffle the
+    whole fact table twice."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        per_order.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_day"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(Q18_TOP)
+    )
+
+
+Q18_SQL = f"""
+WITH per_order AS (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING ROUND(SUM(l_quantity), 2) > {Q18_QTY_THRESHOLD}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_day,
+       ROUND(o.o_totalprice, 2) AS o_totalprice, p.total_qty
+FROM per_order p
+JOIN orders o ON o.o_orderkey = p.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT {Q18_TOP}
+"""
+
+
+_Q19_ARMS = (
+    ("Brand#1", 1, 15, 1, 20),
+    ("Brand#2", 10, 30, 10, 30),
+    ("Brand#3", 20, 50, 20, 40),
+)
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from an OR-of-ANDs of (brand, size,
+    quantity) brackets — the disjunctive-predicate join.  part joins
+    broadcast; the disjunction evaluates in codegen on the join
+    output, while the IMPLIED conjunctions (brand IN (...), size/
+    quantity envelope bounds) are factored out as scan-level filters
+    Catalyst pushes into both parquet scans — the scans read the
+    bracket envelope, not the full fact table."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm = None
+    for brand, s_lo, s_hi, q_lo, q_hi in _Q19_ARMS:
+        a = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        arm = a if arm is None else (arm | a)
+    # factored envelope bounds — pushable to the scans even though the
+    # precise predicate is disjunctive
+    brands = [a[0] for a in _Q19_ARMS]
+    q_env = F.col("l_quantity").between(
+        min(a[3] for a in _Q19_ARMS), max(a[4] for a in _Q19_ARMS)
+    )
+    return (
+        li.filter(q_env)
+        .join(
+            F.broadcast(part.filter(F.col("p_brand").isin(*brands))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .filter(arm)
+        .agg(
+            # round-4 (not 2): the true sum has exactly 4 decimals, so
+            # 4 is boundary-safe across engines (see q10 note)
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def _q19_sql() -> str:
+    arms = " OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi} "
+        f"AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in _Q19_ARMS
+    )
+    return f"""
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {arms}
+"""
+
+
+QUERIES["q10_returned_items"] = QueryDef(
+    q10_returned_items,
+    Q10_SQL,
+    "TPC-H Q10 shape: returned-item revenue rollup, top 20 customers",
+    "relational",
+)
+QUERIES["q12_priority_lines"] = QueryDef(
+    q12_priority_lines,
+    Q12_SQL,
+    "TPC-H Q12 shape: big-big join + conditional aggregation",
+    "relational",
+)
+QUERIES["q14_promo_revenue"] = QueryDef(
+    q14_promo_revenue,
+    Q14_SQL,
+    "TPC-H Q14 shape: broadcast-dim scalar revenue ratio",
+    "relational",
+)
+QUERIES["q18_large_orders"] = QueryDef(
+    q18_large_orders,
+    Q18_SQL,
+    "TPC-H Q18 shape: agg-first HAVING filter then joins",
+    "relational",
+)
+QUERIES["q19_bracket_revenue"] = QueryDef(
+    q19_bracket_revenue,
+    _q19_sql(),
+    "TPC-H Q19 shape: OR-of-ANDs disjunctive predicate join",
+    "relational",
+)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deterministic sharding + domain mixture
+# reweighting (the writer-side and sampler-side planning primitives)
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+TOKEN_BUDGET = 120_000  # target corpus size (tokens) for the mixture
+
+
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment for training-data writers:
+    ``shard = md5(doc_id) mod N`` — stable across runs, engines, and
+    cluster sizes (unlike ``spark_partition_id`` or round-robin
+    repartition, which depend on physical layout).  The query
+    certifies shard balance (doc + char counts per shard); the writer
+    path is ``df.repartition(N, shard_col).write...`` so each output
+    file is one shard.  One map-side-combined agg; no data movement
+    beyond the N-row rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % N_SHARDS
+    ).alias("shard")
+    return (
+        docs.groupBy(shard)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )
+
+
+SHARD_SQL = f"""
+SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {N_SHARDS} AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY shard ORDER BY shard
+"""
+
+
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture reweighting (the DoReMi/data-budget planning
+    step): given a total token budget split EQUALLY across sources,
+    compute each source's sampling weight ``min(1, share/tokens)``
+    and the tokens it would contribute.  Downstream, the weight feeds
+    :func:`operators.sampling.hash_accept` for the actual subsample —
+    so planning (this query, an N-source rollup) is decoupled from
+    execution (a stateless filter; no shuffle at any corpus size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(words(F.col("text")))
+    per_src = docs.groupBy("source").agg(F.sum(n_tok).alias("tokens"))
+    n_sources = per_src.select(
+        F.count(F.lit(1)).alias("_n"),
+    )
+    share = F.lit(float(TOKEN_BUDGET)) / F.col("_n")
+    weight = F.least(F.lit(1.0), share / F.col("tokens"))
+    return (
+        per_src.join(F.broadcast(n_sources))
+        .select(
+            "source",
+            "tokens",
+            F.round(weight, 6).alias("weight"),
+            F.round(F.col("tokens") * F.round(weight, 6), 2).alias(
+                "expected_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_SQL = f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM(len({words_sql("text")})) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+n AS (SELECT COUNT(*) AS _n FROM per_src)
+SELECT source, tokens,
+       ROUND(LEAST(1.0, ({TOKEN_BUDGET}.0 / _n) / tokens), 6) AS weight,
+       ROUND(tokens * ROUND(LEAST(1.0, ({TOKEN_BUDGET}.0 / _n) / tokens), 6), 2) AS expected_tokens
+FROM per_src CROSS JOIN n ORDER BY source
+"""
+
+
+QUERIES["shard_assignment"] = QueryDef(
+    shard_assignment,
+    SHARD_SQL,
+    "deterministic md5 shard balance rollup",
+    "training-data",
+)
+QUERIES["mixture_weights"] = QueryDef(
+    mixture_weights,
+    MIXTURE_SQL,
+    "domain mixture reweighting under a token budget",
+    "training-data",
+)
+
+
 def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Build the standing artifacts queries consume — the IVF index
     table and the encrypted topology graph — if missing.  A warehouse

@@ -180,3 +180,89 @@ def test_unpivot_is_single_pass_expand(spark, sf_dir):
     plan = _plan(q_unpivot_quality(spark, sf_dir))
     assert "Expand" in plan, plan
     assert plan.count("FileScan") == 1
+
+
+def test_q10_takeordered_and_broadcast_nation(spark, sf_dir):
+    """Top-20 must be TakeOrderedAndProject (no global sort); nation
+    joins broadcast; the returnflag filter reaches the lineitem scan."""
+    from confidential_storm_spark.plans.queries import q10_returned_items
+
+    plan = _plan(q10_returned_items(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    pushed = [s[:300] for s in plan.split("PushedFilters")[1:]]
+    assert any("l_returnflag" in s for s in pushed), plan
+
+
+def test_q12_single_shuffle_per_side_conditional_agg(spark, sf_dir):
+    """The big-big join shuffles each side once on orderkey; the CASE
+    aggregation partial-combines map-side (2 HashAggregates); the ship
+    year filter reaches the lineitem scan."""
+    from confidential_storm_spark.plans.queries import q12_priority_lines
+
+    plan = _plan(q12_priority_lines(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+
+
+def test_q14_broadcasts_part_dim(spark, sf_dir):
+    """part must broadcast (plan-pinned); the month filter must reach
+    the lineitem scan; only 3 lineitem columns read."""
+    from confidential_storm_spark.plans.queries import q14_promo_revenue
+
+    plan = _plan(q14_promo_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+    read = plan.split("ReadSchema")[1][:300]
+    assert "l_orderkey" not in read and "l_quantity" not in read
+
+
+def test_q18_aggregates_before_joining(spark, sf_dir):
+    """The per-order quantity rollup must run BEFORE the orders and
+    customer joins — the joins see the ~0.1% HAVING survivors, not
+    raw lineitem.  In the plan tree the lineitem-side HashAggregate
+    appears below the first join."""
+    from confidential_storm_spark.plans.queries import q18_large_orders
+
+    plan = _plan(q18_large_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # the HAVING filter sits directly on the aggregated relation (the
+    # join probes the filtered rollup, not raw lineitem): plans print
+    # parent-before-child, so the total_qty filter precedes its agg
+    f = plan.find("Filter (isnotnull(total_qty")
+    a = plan.find("HashAggregate(keys=[l_orderkey")
+    assert 0 <= f < a, plan
+    # one semantic shuffle only: the per-order rollup
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q19_pushes_envelope_bounds_and_broadcasts_part(spark, sf_dir):
+    """The disjunctive predicate keeps its factored envelope: brand
+    IN-list pushed to the part scan, quantity bounds pushed to the
+    lineitem scan, part broadcast."""
+    from confidential_storm_spark.plans.queries import q19_bracket_revenue
+
+    plan = _plan(q19_bracket_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    pushed = [s[:300] for s in plan.split("PushedFilters")[1:]]
+    assert any("l_quantity" in s for s in pushed), plan
+    assert any("p_brand" in s for s in pushed), plan
+
+
+def test_shard_assignment_is_one_agg_pass(spark, sf_dir):
+    """Shard balance is one map-side-combined agg over the scan: two
+    HashAggregates, one semantic exchange (plus the release sort)."""
+    from confidential_storm_spark.plans.queries import shard_assignment
+
+    plan = _plan(shard_assignment(spark, sf_dir))
+    assert plan.count("HashAggregate") == 2, plan
+    assert plan.count("FileScan") == 1
+
+
+def test_mixture_weights_broadcasts_source_count(spark, sf_dir):
+    """The N-sources scalar joins by broadcast — no driver collect,
+    no shuffle for the 1-row relation."""
+    from confidential_storm_spark.plans.queries import mixture_weights
+
+    plan = _plan(mixture_weights(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan

@@ -3581,6 +3581,200 @@ QUERIES["mixture_weights"] = QueryDef(
 )
 
 
+Q7_NATIONS = ("NATION_3", "NATION_7")
+
+
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations by ship year
+    — the SAME dimension (nation) joined twice from one fact row,
+    once via the supplier leg and once via the customer leg.  Both
+    nation copies broadcast with the name filter pushed into each
+    copy's scan, so the fact table is filtered by BOTH legs before
+    the (nation-pair, year) rollup — a 2x2x7 output whatever the
+    fact size."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*Q7_NATIONS)
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_n1key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("_n1key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("_n2key") == F.col("c_nationkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("volume"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       YEAR(l.l_shipdate) AS l_year, COUNT(*) AS n_lines,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_name IN ('{Q7_NATIONS[0]}', '{Q7_NATIONS[1]}')
+  AND n2.n_name IN ('{Q7_NATIONS[0]}', '{Q7_NATIONS[1]}')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+Q8_REGION = "AMERICA"
+Q8_SHARE_NATION = "NATION_5"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier-nation's share of yearly revenue
+    from customers in one region — the 6-way snowflake (fact ->
+    orders -> customer -> nation -> REGION on one leg, supplier ->
+    nation on the other) with a conditional-sum ratio.  All dimension
+    legs broadcast; region's name filter prunes the customer leg
+    BEFORE the fact join; the share divides two sums from the same
+    agg pass (never two scans)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_cnkey"), F.col("n_regionkey").alias("_crkey")
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q8_REGION
+    )
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_snkey"), F.col("n_name").alias("_sname")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    share_rev = F.when(F.col("_sname") == Q8_SHARE_NATION, rev).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("_cnkey") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("_crkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("_snkey") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(share_rev) / F.sum(rev), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+SELECT YEAR(o.o_orderdate) AS o_year,
+       ROUND(SUM(CASE WHEN sn.n_name = '{Q8_SHARE_NATION}'
+                      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = cn.n_regionkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE r.r_name = '{Q8_REGION}'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+OOV_VOCAB_SIZE = 500
+
+
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-V corpus
+    vocabulary (frequency-ranked, tie-broken by word so the cut is
+    deterministic), then each document's out-of-vocabulary token
+    rate — the data-prep gauge for how well a fixed vocab covers a
+    corpus.  The vocab is a TakeOrdered top-V (per-partition heaps,
+    no global sort) broadcast to the rate pass; the fact-side work is
+    two token scans and one doc-keyed shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), "w")
+        .limit(OOV_VOCAB_SIZE)
+        .select("w", F.lit(1).alias("_in"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                (F.count(F.lit(1)) - F.sum(F.coalesce(F.col("_in"), F.lit(0))))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+OOV_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({words_sql("text")}) AS w FROM documents
+),
+vocab AS (
+  SELECT w, 1 AS _in FROM tok GROUP BY w
+  ORDER BY COUNT(*) DESC, w LIMIT {OOV_VOCAB_SIZE}
+)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       ROUND((COUNT(*) - SUM(COALESCE(v._in, 0))) * 1.0 / COUNT(*), 6) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON v.w = t.w
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+QUERIES["q7_nation_trade"] = QueryDef(
+    q7_nation_trade,
+    Q7_SQL,
+    "TPC-H Q7 shape: nation-pair trade volume by year (dual nation legs)",
+    "relational",
+)
+QUERIES["q8_market_share"] = QueryDef(
+    q8_market_share,
+    Q8_SQL,
+    "TPC-H Q8 shape: snowflake market-share ratio per year",
+    "relational",
+)
+QUERIES["text_oov_rate"] = QueryDef(
+    text_oov_rate,
+    OOV_SQL,
+    "per-doc out-of-vocabulary rate vs top-V corpus vocab",
+    "training-data",
+)
+
+
 def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Build the standing artifacts queries consume — the IVF index
     table and the encrypted topology graph — if missing.  A warehouse

@@ -266,3 +266,38 @@ def test_mixture_weights_broadcasts_source_count(spark, sf_dir):
 
     plan = _plan(mixture_weights(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_q7_broadcasts_both_nation_legs(spark, sf_dir):
+    """The nation dim joins twice (supplier leg, customer leg) — both
+    broadcast, with the two-nation name filter pushed into each copy's
+    scan so the fact rows are pruned by BOTH legs pre-rollup."""
+    from confidential_storm_spark.plans.queries import q7_nation_trade
+
+    plan = _plan(q7_nation_trade(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    pushed = [s[:300] for s in plan.split("PushedFilters")[1:]]
+    assert sum("n_name" in s for s in pushed) >= 2, plan
+
+
+def test_q8_snowflake_broadcasts_and_single_agg(spark, sf_dir):
+    """All five dimension legs broadcast; the region name filter
+    reaches the region scan; the share ratio comes from ONE agg pass
+    (2 HashAggregates: partial + final), never two scans."""
+    from confidential_storm_spark.plans.queries import q8_market_share
+
+    plan = _plan(q8_market_share(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    pushed = [s[:300] for s in plan.split("PushedFilters")[1:]]
+    assert any("r_name" in s for s in pushed), plan
+    assert plan.count("HashAggregate") == 2, plan
+
+
+def test_oov_vocab_is_takeordered_and_broadcast(spark, sf_dir):
+    """The top-V vocabulary compiles to TakeOrderedAndProject
+    (per-partition heaps) and reaches the rate pass by broadcast."""
+    from confidential_storm_spark.plans.queries import text_oov_rate
+
+    plan = _plan(text_oov_rate(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -3775,6 +3775,156 @@ QUERIES["text_oov_rate"] = QueryDef(
 )
 
 
+Q6_YEAR_START, Q6_YEAR_END = "1996-01-01", "1997-01-01"
+Q6_DISC_LO, Q6_DISC_HI, Q6_QTY = 0.05, 0.07, 24
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 — the canonical scan-pushdown microbenchmark: pure
+    conjunctive predicate, no join, one scalar.  Every predicate must
+    reach the parquet scan (plan-pinned) so row groups outside the
+    date/discount/quantity envelope never decompress; the only
+    post-scan work is a codegen multiply and a 1-row agg combine.
+    This is the query whose cost at 100 TB is ENTIRELY I/O pruning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(Q6_YEAR_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q6_YEAR_END).cast("timestamp"))
+            & F.col("l_discount").between(Q6_DISC_LO, Q6_DISC_HI)
+            & (F.col("l_quantity") < Q6_QTY)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q6_SQL = f"""
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue, COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR_START}'
+  AND l_shipdate <  TIMESTAMP '{Q6_YEAR_END}'
+  AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY}
+"""
+
+
+Q15_QTR_START, Q15_QTR_END = "1996-01-01", "1996-04-01"
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with MAXIMUM quarterly revenue
+    — the argmax-via-scalar-join pattern (distinct from window top-k:
+    ties all surface, and no per-group ordering state exists).  The
+    per-supplier rollup is one shuffle; its 1-row max joins back by
+    broadcast (never a driver collect); supplier attributes join the
+    surviving row(s) only.  Revenue rounds on the 4-decimal grid
+    BEFORE the max-equality so the comparison is exact cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_QTR_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_QTR_END).cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_rev")
+        )
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("_max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(max_rev), F.col("total_rev") == F.col("_max_rev"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_QTR_START}'
+    AND l_shipdate <  TIMESTAMP '{Q15_QTR_END}'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+Q17_AVG_FRACTION = 0.2
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems below 20% of their
+    part's average quantity — the correlated per-group-average
+    pattern: aggregate per partkey, join the thresholds back to the
+    same fact table, filter, total.  Both passes shuffle on partkey
+    (AQE reuses the hash layout); the threshold relation is one row
+    per part, orders of magnitude under the fact rows.  The avg of
+    integer-valued quantities is an exact double (sum of integers is
+    order-independent), so the < comparison is cross-engine exact;
+    the output sum stays on the 2-decimal price grid (no /7.0 — a
+    quotient would leave the grid and expose reduction-order noise)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.lit(Q17_AVG_FRACTION) * F.avg("l_quantity")).alias("_qty_lim")
+    )
+    return (
+        li.join(
+            thresholds.withColumnRenamed("l_partkey", "_pk"),
+            F.col("_pk") == F.col("l_partkey"),
+        )
+        .filter(F.col("l_quantity") < F.col("_qty_lim"))
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q17_SQL = f"""
+WITH pa AS (
+  SELECT l_partkey AS pk, {Q17_AVG_FRACTION} * AVG(l_quantity) AS qty_lim
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(SUM(l.l_extendedprice), 2) AS total_price, COUNT(*) AS n_lines
+FROM lineitem l JOIN pa ON pa.pk = l.l_partkey
+WHERE l.l_quantity < pa.qty_lim
+"""
+
+
+QUERIES["q6_forecast_revenue"] = QueryDef(
+    q6_forecast_revenue,
+    Q6_SQL,
+    "TPC-H Q6: pure-pushdown predicate scan to one scalar",
+    "relational",
+)
+QUERIES["q15_top_supplier"] = QueryDef(
+    q15_top_supplier,
+    Q15_SQL,
+    "TPC-H Q15 shape: argmax supplier via broadcast scalar join",
+    "relational",
+)
+QUERIES["q17_small_quantity"] = QueryDef(
+    q17_small_quantity,
+    Q17_SQL,
+    "TPC-H Q17 shape: correlated per-part average threshold",
+    "relational",
+)
+
+
 def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Build the standing artifacts queries consume — the IVF index
     table and the encrypted topology graph — if missing.  A warehouse

@@ -301,3 +301,37 @@ def test_oov_vocab_is_takeordered_and_broadcast(spark, sf_dir):
     plan = _plan(text_oov_rate(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q6_pushes_every_predicate(spark, sf_dir):
+    """Q6 is pure pushdown: date, discount, and quantity predicates
+    all reach the parquet scan; no join, no window, one agg."""
+    from confidential_storm_spark.plans.queries import q6_forecast_revenue
+
+    plan = _plan(q6_forecast_revenue(spark, sf_dir))
+    pushed = plan.split("PushedFilters")[1][:500]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_q15_argmax_joins_broadcast_scalar(spark, sf_dir):
+    """The 1-row max joins back by broadcast — no driver collect, no
+    shuffle for the scalar; the quarter filter reaches the scan."""
+    from confidential_storm_spark.plans.queries import q15_top_supplier
+
+    plan = _plan(q15_top_supplier(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    pushed = [s[:300] for s in plan.split("PushedFilters")[1:]]
+    assert any("l_shipdate" in s for s in pushed), plan
+
+
+def test_q17_threshold_join_reuses_partkey_layout(spark, sf_dir):
+    """The per-part threshold relation and the fact probe hash on the
+    same key: the plan needs at most 3 exchanges (threshold agg, probe
+    side, final 1-row combine) — a 4th means the partkey layout was
+    lost between the agg and the join."""
+    from confidential_storm_spark.plans.queries import q17_small_quantity
+
+    plan = _plan(q17_small_quantity(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 3, plan

@@ -36,6 +36,9 @@ __all__ = [
     "write_zordered",
     "merge_upsert",
     "compact_parquet",
+    "write_orc",
+    "read_orc",
+    "write_jsonl",
 ]
 
 
@@ -274,3 +277,42 @@ def compact_parquet(
         "overwrite"
     ).parquet(out_path)
     return n_in
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_cols: tuple[str, ...] = (),
+) -> None:
+    """ORC sink (the other columnar interchange format a warehouse
+    must speak — Hive/Trino estates are ORC-first).  Same layout
+    semantics as the parquet writers: optional hive-style partitions,
+    zstd compression.  Spark's native ORC reader supports the same
+    predicate pushdown / column pruning as parquet (pytest pins
+    ``PushedFilters`` on the read-back scan), so a query plan is
+    format-agnostic."""
+    w = df.write.mode(mode).option("compression", "zstd")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_jsonl(
+    df: DataFrame, path: str, mode: str = "overwrite", compression: str | None = "gzip"
+) -> None:
+    """JSON-lines sink — the interchange format of the training-data
+    world (one JSON object per line; gzip per part-file by default).
+    The round-trip twin of :func:`ingest.read_documents_jsonl`:
+    ingest's quarantine reader accepts exactly what this emits.
+    Arrays/structs serialize natively; binary columns should be
+    base64-encoded to a string column first (JSON has no bytes
+    type)."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -224,3 +224,55 @@ def test_schema_evolution_merge_schema_read(spark, tmp_path):
     rows = {r.doc_id: (r.text, r.lang) for r in df.collect()}
     assert set(df.columns) == {"doc_id", "text", "lang"}
     assert rows[1] == ("a", None) and rows[2] == ("b", "en")
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC round-trips byte-identically and its read-back scan gets
+    the same predicate pushdown + column pruning as parquet — plans
+    stay format-agnostic."""
+    from confidential_storm_spark.sources.writers import read_orc, write_orc
+
+    path = str(tmp_path / "orc")
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("bucket"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.count() == 1000
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+    filtered = back.filter(F.col("bucket") == 3).select("id")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "bucket" in plan.split("PushedFilters")[1][:200]
+    read = plan.split("ReadSchema")[1][:200]
+    assert "payload" not in read  # column pruned
+
+    # hive-style partitioned variant prunes directories
+    ppath = str(tmp_path / "orc_part")
+    write_orc(df, ppath, partition_cols=("bucket",))
+    pr = read_orc(spark, ppath).filter(F.col("bucket") == 2)
+    pplan = pr._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in pplan and pr.count() == df.filter(F.col("bucket") == 2).count()
+
+
+def test_jsonl_round_trip_through_quarantine_reader(spark, tmp_path):
+    """write_jsonl output is accepted verbatim by the ingestion
+    quarantine reader (zero rejects), arrays/structs included."""
+    from confidential_storm_spark.sources.ingest import read_documents_jsonl, split_corrupt
+    from confidential_storm_spark.sources.writers import write_jsonl
+
+    path = str(tmp_path / "jsonl")
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "src0", 11), (2, "hola", "es", "src1", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    write_jsonl(docs, path, compression=None)
+    parsed = read_documents_jsonl(
+        spark, path, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    clean, rejects, src = split_corrupt(parsed, return_source=True)
+    assert rejects.count() == 0
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2}
+    src.unpersist()

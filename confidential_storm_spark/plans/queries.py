@@ -3925,6 +3925,36 @@ QUERIES["q17_small_quantity"] = QueryDef(
 )
 
 
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+_PROFILE_NUMERIC = ["event_id", "user_id", "value"]
+
+
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of the events table (nulls / exact
+    distincts / numeric ranges) — the ANALYZE / data-quality pass, in
+    ONE scan: every aggregate lands in a single HashAggregate row
+    that then unpivots to the tall release form (operators/profile)."""
+    from ..operators.profile import profile_table
+
+    return profile_table(
+        load_table(spark, sf_dir, "events"), cols=_PROFILE_COLS
+    )
+
+
+def _q_profile_events_sql() -> str:
+    from ..operators.profile import profile_sql
+
+    return profile_sql("events", _PROFILE_COLS, _PROFILE_NUMERIC)
+
+
+QUERIES["q_profile_events"] = QueryDef(
+    q_profile_events,
+    _q_profile_events_sql(),
+    "single-scan per-column table profile (ANALYZE pass)",
+    "relational",
+)
+
+
 def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
     """Build the standing artifacts queries consume — the IVF index
     table and the encrypted topology graph — if missing.  A warehouse

@@ -335,3 +335,13 @@ def test_q17_threshold_join_reuses_partkey_layout(spark, sf_dir):
 
     plan = _plan(q17_small_quantity(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """All per-column aggregates (nulls, distincts, ranges) must fold
+    into ONE scan of the table — profiling cost is one read, not one
+    per column."""
+    from confidential_storm_spark.plans.queries import q_profile_events
+
+    plan = _plan(q_profile_events(spark, sf_dir))
+    assert plan.count("FileScan") == 1, plan

@@ -276,3 +276,25 @@ def test_jsonl_round_trip_through_quarantine_reader(spark, tmp_path):
     assert rejects.count() == 0
     assert {r["doc_id"] for r in clean.collect()} == {1, 2}
     src.unpersist()
+
+
+def test_profile_table_semantics(spark):
+    """Null counts, exact distincts (non-null), numeric ranges; NULL
+    ranges for string columns; approx mode stays one scan and lands
+    near truth."""
+    from confidential_storm_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, 2.5), (3, "a", 0.25)],
+        "id long, tag string, score double",
+    )
+    rows = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert rows["id"]["n_rows"] == 4 and rows["id"]["n_nulls"] == 0
+    assert rows["id"]["n_distinct"] == 3
+    assert rows["tag"]["n_nulls"] == 1 and rows["tag"]["n_distinct"] == 2
+    assert rows["tag"]["min_num"] is None and rows["tag"]["max_num"] is None
+    assert rows["score"]["n_nulls"] == 1
+    assert rows["score"]["min_num"] == 0.25 and rows["score"]["max_num"] == 2.5
+
+    approx = {r["col_name"]: r for r in profile_table(df, exact_distinct=False).collect()}
+    assert abs(approx["id"]["n_distinct"] - 3) <= 1

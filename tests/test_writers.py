@@ -298,3 +298,41 @@ def test_profile_table_semantics(spark):
 
     approx = {r["col_name"]: r for r in profile_table(df, exact_distinct=False).collect()}
     assert abs(approx["id"]["n_distinct"] - 3) <= 1
+
+
+def test_profile_table_matches_pandas_reference(spark):
+    """Randomized cross-check: profile_table == an independent pandas
+    model over mixed-type frames with nulls (several seeds, one
+    session — hypothesis-style without per-example Spark spinup)."""
+    import numpy as np
+    import pandas as pd
+
+    for seed in (0, 1, 7):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(5, 200))
+        pdf = pd.DataFrame(
+            {
+                "i": rng.integers(-5, 5, n).astype("int64"),
+                "s": [
+                    None if rng.random() < 0.2 else f"s{int(rng.integers(0, 6))}"
+                    for _ in range(n)
+                ],
+                "f": [
+                    None if rng.random() < 0.3 else round(float(rng.normal()), 4)
+                    for _ in range(n)
+                ],
+            }
+        )
+        from confidential_storm_spark.operators.profile import profile_table
+
+        df = spark.createDataFrame(pdf.astype({"f": "float64"}))
+        got = {r["col_name"]: r for r in profile_table(df).collect()}
+        for c in ("i", "s", "f"):
+            assert got[c]["n_rows"] == n
+            assert got[c]["n_nulls"] == int(pdf[c].isna().sum())
+            assert got[c]["n_distinct"] == int(pdf[c].dropna().nunique())
+        assert got["s"]["min_num"] is None
+        f_clean = pdf["f"].dropna()
+        if len(f_clean):
+            assert got["f"]["min_num"] == round(float(f_clean.min()), 6)
+            assert got["f"]["max_num"] == round(float(f_clean.max()), 6)

@@ -1040,7 +1040,7 @@ FROM documents GROUP BY md5(text) ORDER BY digest
 """
 
 NEARDUP_THRESHOLD = 0.2
-MINHASH_K, MINHASH_BANDS, SHINGLE_N = 16, 4, 3
+MINHASH_K, MINHASH_BANDS, SHINGLE_N = 32, 16, 3  # K=32/b=16 (r=2): recall 0.885 -> 0.965 vs exact at sf1 for +20% time (measured sweep, PLANS.md)
 MINHASH_MAX_BUCKET = 1000  # operator default: band buckets holding > this many docs are dropped
 NGRAM_MAX_DF = 1000  # operator default: shingles in > this many docs leave the postings
 

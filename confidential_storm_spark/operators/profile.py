@@ -16,6 +16,8 @@ engines format floats differently, values compare exactly).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
@@ -35,6 +37,16 @@ def profile_table(
     non-numeric columns; distincts count non-null values (SQL COUNT
     DISTINCT semantics, cross-engine identical)."""
     names = cols if cols is not None else df.columns
+    if not names:
+        raise ValueError("profile_table: no columns to profile")
+    for c in names:
+        # names are interpolated into selectExpr/SQL text below; the
+        # identifier whitelist keeps that injection-proof and the
+        # generated _min_/_max_ aliases parseable
+        if not re.fullmatch(r"\w+", c):
+            raise ValueError(
+                f"profile_table: column name {c!r} is not a plain identifier"
+            )
     aggs = [F.count(F.lit(1)).alias("_n")]
     numeric = {
         f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
@@ -72,6 +84,11 @@ def profile_sql(
     """DuckDB twin: UNION ALL of per-column stat rows (clarity over
     one-pass elegance — the oracle certifies VALUES, the Spark plan
     carries the scale argument)."""
+    for c in cols:
+        if not re.fullmatch(r"\w+", c):
+            raise ValueError(f"profile_sql: column name {c!r} is not a plain identifier")
+    if not cols:
+        raise ValueError("profile_sql: no columns to profile")
     selects = []
     for c in cols:
         if c in numeric_cols:

@@ -69,35 +69,76 @@ def _contrib_cte(extra: str = "") -> str:
 # ---------------------------------------------------------------------------
 
 
+# --- exact money arithmetic -----------------------------------------------
+# Large double sums are ORDER-UNSTABLE: at fact-table magnitudes the
+# floating-point reduction noise (~ulp(sum) * sqrt(n)) crosses any
+# rounding grid, so ROUND(SUM(double), k) differs between engines and
+# between task layouts (measured: q1's charge sum at sf0.01 lands on
+# 2-3 distinct 1e-6 grid points across random summation orders).  The
+# robust contract: recover the stored k-decimal values as DECIMAL
+# (exact — prices are true 2-decimals, discount/tax true 2-decimals),
+# SUM in decimal (exact integer arithmetic in BOTH engines, any order,
+# any partitioning), and cast the exact result to DOUBLE at the end —
+# bit-identical across engines, layouts, and scale factors.  Averages
+# divide the exact-decimal sum (as double) by the exact count.
+
+_PRICE_D = "decimal(18,2)"
+_RATE_D = "decimal(4,2)"
+
+
+def _price_dec(col: str = "l_extendedprice") -> Column:
+    return F.col(col).cast(_PRICE_D)
+
+
+def _disc_price_dec() -> Column:
+    # decimal(18,2) * decimal(.,2) -> exact 4-decimal decimal
+    return _price_dec() * (F.lit(1) - F.col("l_discount").cast(_RATE_D))
+
+
+def _charge_dec() -> Column:
+    # * (1 + tax) -> exact 6-decimal decimal
+    return _disc_price_dec() * (F.lit(1) + F.col("l_tax").cast(_RATE_D))
+
+
+# DuckDB twins of the exact-decimal summands
+DISC_PRICE_DEC_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+CHARGE_DEC_SQL = DISC_PRICE_DEC_SQL + " * (1 + CAST(l_tax AS DECIMAL(4,2)))"
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # quantities are integer-valued: double sums are exact
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.sum(_price_dec()), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(_disc_price_dec()), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(_charge_dec()), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum(_price_dec()).cast("double") / n, 4).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast(_RATE_D)).cast("double") / n, 4
+            ).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-Q1_SQL = """
+Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)      AS sum_base_price,
+       CAST(ROUND(SUM({DISC_PRICE_DEC_SQL}), 2) AS DOUBLE)                        AS sum_disc_price,
+       CAST(ROUND(SUM({CHARGE_DEC_SQL}), 2) AS DOUBLE)                            AS sum_charge,
        ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
-       ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 4)       AS avg_disc,
        COUNT(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -115,7 +156,7 @@ def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            F.round(F.sum(_disc_price_dec()), 2).cast("double").alias(
                 "revenue"
             )
         )
@@ -126,7 +167,7 @@ def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey, o_orderdate,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -151,7 +192,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            F.round(F.sum(_disc_price_dec()), 2).cast("double").alias(
                 "revenue"
             )
         )
@@ -160,7 +201,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q5_SQL = """
-SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -179,14 +220,14 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .agg(F.round(F.sum(_disc_price_dec()), 2).cast("double").alias("revenue"))
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
 Q_ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY l_returnflag, l_linestatus
@@ -2691,7 +2732,10 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("_avg_bal")
+        (
+            F.sum(F.col("c_acctbal").cast(_PRICE_D)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg_bal")
     )
     rich = cust.join(F.broadcast(avg_bal)).filter(
         F.col("c_acctbal") > F.col("_avg_bal")
@@ -2703,16 +2747,16 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         dormant.groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast(_PRICE_D)), 2).cast("double").alias("totacctbal"),
         )
         .orderBy("c_nationkey")
     )
 
 
 Q22_SQL = f"""
-SELECT c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 6) AS totacctbal
+SELECT c_nationkey, COUNT(*) AS numcust, CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
 FROM customer c
-WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '{Q22_DORMANT_SINCE}')
@@ -3204,10 +3248,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_returnflag") == "R")
-        .select(
-            "l_orderkey",
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
-        )
+        .select("l_orderkey", _disc_price_dec().alias("_rev"))
     )
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit(Q10_QTR_START).cast("timestamp"))
@@ -3225,7 +3266,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = (
         orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(F.round(F.sum("_rev"), 4).alias("revenue"))
+        .agg(F.round(F.sum("_rev"), 2).cast("double").alias("revenue"))
     )
     return (
         per_cust.join(cust, F.col("c_custkey") == F.col("o_custkey"))
@@ -3238,7 +3279,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = f"""
 WITH per_cust AS (
-  SELECT o.o_custkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+  SELECT o.o_custkey, CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
   WHERE l.l_returnflag = 'R'
     AND o.o_orderdate >= TIMESTAMP '{Q10_QTR_START}'
@@ -3271,7 +3312,12 @@ def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    high = F.col("o_orderpriority").isin(*_Q12_HIGH).cast("long")
+    # coalesce: isin() is NULL for a NULL priority, which would drop
+    # the row from BOTH buckets while the SQL twin's ELSE counts it as
+    # low — align on "unknown priority = low" in both engines
+    high = F.coalesce(
+        F.col("o_orderpriority").isin(*_Q12_HIGH).cast("long"), F.lit(0)
+    )
     return (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_linestatus")
@@ -3309,22 +3355,25 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit(Q14_MONTH_END).cast("timestamp"))
     ).select("l_partkey", "l_extendedprice", "l_discount")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    rev = _disc_price_dec()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
     return (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .agg(
-            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias(
-                "promo_revenue_pct"
-            )
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_revenue_pct")
         )
     )
 
 
 Q14_SQL = f"""
-SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                              THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS promo_revenue_pct
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE l.l_shipdate >= TIMESTAMP '{Q14_MONTH_START}'
   AND l.l_shipdate <  TIMESTAMP '{Q14_MONTH_END}'
@@ -3396,10 +3445,12 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: revenue from an OR-of-ANDs of (brand, size,
     quantity) brackets — the disjunctive-predicate join.  part joins
     broadcast; the disjunction evaluates in codegen on the join
-    output, while the IMPLIED conjunctions (brand IN (...), size/
-    quantity envelope bounds) are factored out as scan-level filters
-    Catalyst pushes into both parquet scans — the scans read the
-    bracket envelope, not the full fact table."""
+    output, while the IMPLIED conjunctions — the brand IN-list (part
+    scan) and the quantity envelope (lineitem scan) — are factored
+    out as scan-level filters Catalyst pushes down, so each scan
+    reads its bracket envelope, not the full table.  (The size
+    envelope [1, 50] spans the whole column at these arms, so
+    factoring it would be a no-op filter.)"""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
@@ -3426,11 +3477,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(arm)
         .agg(
-            # round-4 (not 2): the true sum has exactly 4 decimals, so
-            # 4 is boundary-safe across engines (see q10 note)
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
+            F.round(F.sum(_disc_price_dec()), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -3443,7 +3490,7 @@ def _q19_sql() -> str:
         for b, slo, shi, qlo, qhi in _Q19_ARMS
     )
     return f"""
-SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE {arms}
@@ -3619,9 +3666,7 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("volume"),
+            F.round(F.sum(_disc_price_dec()), 2).cast("double").alias("volume"),
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -3630,7 +3675,7 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q7_SQL = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        YEAR(l.l_shipdate) AS l_year, COUNT(*) AS n_lines,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS volume
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
@@ -3673,8 +3718,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("_snkey"), F.col("n_name").alias("_sname")
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    share_rev = F.when(F.col("_sname") == Q8_SHARE_NATION, rev).otherwise(F.lit(0.0))
+    rev = _disc_price_dec()
+    share_rev = F.when(F.col("_sname") == Q8_SHARE_NATION, rev).otherwise(F.lit(0))
     return (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
@@ -3683,16 +3728,20 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(sn), F.col("_snkey") == F.col("s_nationkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(share_rev) / F.sum(rev), 6).alias("mkt_share"))
+        .agg(
+            F.round(
+                F.sum(share_rev).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("mkt_share")
+        )
         .orderBy("o_year")
     )
 
 
 Q8_SQL = f"""
 SELECT YEAR(o.o_orderdate) AS o_year,
-       ROUND(SUM(CASE WHEN sn.n_name = '{Q8_SHARE_NATION}'
-                      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-             / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+       ROUND(CAST(SUM(CASE WHEN sn.n_name = '{Q8_SHARE_NATION}'
+                      THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6) AS mkt_share
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
@@ -3795,16 +3844,16 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < Q6_QTY)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(_price_dec() * F.col("l_discount").cast(_RATE_D)), 2
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
 
 
 Q6_SQL = f"""
-SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue, COUNT(*) AS n_lines
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR_START}'
   AND l_shipdate <  TIMESTAMP '{Q6_YEAR_END}'
@@ -3830,11 +3879,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = (
         li.groupBy("l_suppkey")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("total_rev")
-        )
+        .agg(F.round(F.sum(_disc_price_dec()), 2).cast("double").alias("total_rev"))
     )
     max_rev = rev.agg(F.max("total_rev").alias("_max_rev"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -3848,7 +3893,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q15_SQL = f"""
 WITH rev AS (
-  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+  SELECT l_suppkey, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS total_rev
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '{Q15_QTR_START}'
     AND l_shipdate <  TIMESTAMP '{Q15_QTR_END}'
@@ -3888,7 +3933,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("l_quantity") < F.col("_qty_lim"))
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.round(F.sum(_price_dec("l_extendedprice")), 2).cast("double").alias("total_price"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -3899,7 +3944,7 @@ WITH pa AS (
   SELECT l_partkey AS pk, {Q17_AVG_FRACTION} * AVG(l_quantity) AS qty_lim
   FROM lineitem GROUP BY l_partkey
 )
-SELECT ROUND(SUM(l.l_extendedprice), 2) AS total_price, COUNT(*) AS n_lines
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price, COUNT(*) AS n_lines
 FROM lineitem l JOIN pa ON pa.pk = l.l_partkey
 WHERE l.l_quantity < pa.qty_lim
 """

@@ -68,11 +68,21 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            sdf = df.toPandas()
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {ex}")
             continue
+        finally:
+            # same JVM hygiene as bench.py: localCheckpoint/broadcast
+            # blocks stay pinned until the driver-side DataFrame object
+            # is collected (py4j ref -> ContextCleaner); across 100+
+            # queries at sf1 the backlog OOMs the JVM mid-run
+            import gc
+
+            df = None
+            gc.collect()
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             continue

@@ -57,10 +57,19 @@ def audit_plan(plan: str) -> dict[str, int]:
         "take_ordered": plan.count("TakeOrderedAndProject"),
         "scans_with_pushed_filters": pushed,
         "has_python_stage": int(
-            "ArrowEvalPython" in plan
-            or "FlatMapGroupsInPandas" in plan
-            or "MapInPandas" in plan
-            or "FlatMapCoGroupsInPandas" in plan
+            any(
+                node in plan
+                for node in (
+                    "ArrowEvalPython",
+                    "BatchEvalPython",  # plain (non-Arrow) Python UDFs
+                    "FlatMapGroupsInPandas",
+                    "MapInPandas",
+                    "FlatMapCoGroupsInPandas",
+                    "WindowInPandas",
+                    "AggregateInPandas",
+                    "FlatMapGroupsInArrow",
+                )
+            )
         ),
     }
 

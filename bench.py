@@ -1,10 +1,24 @@
 """Benchmark harness: runs the full query registry at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS].
 
+Output contract (round-6 fix — VERDICT r5 item 1): the driver
+captures only the TAIL of stdout and parses the FINAL line, and the
+full per-query map (106 queries x medians + spreads) outgrew that
+window in round 5, leaving BENCH_r05.json unparseable.  So stdout
+now carries TWO JSON lines:
+
+  line 1 (detail, may be truncated by the driver's capture — fine):
+    {"metric": "total_query_sec", ..., "queries": {...}, "spread": {...}}
+  line 2 (FINAL, compact, always parseable):
     {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "spread": {name: [min, max], ...},
-     "runs": 3, "sf": 0.1}
+     "runs": 3, "sf": 0.1, "n_queries": 106,
+     "detail": "benchmark/bench_detail_sf0.1.json"}
+
+The full detail object is also written to ``benchmark/
+bench_detail_sf{sf}.json`` (committed per round) and echoed to
+stderr, so the per-query record survives regardless of the driver's
+capture window.
 
 Each query is executed to completion (count() materializes every
 partition) after a warm-up of the session, and timed over
@@ -98,16 +112,40 @@ def main() -> None:
     timings = {name: median(xs) for name, xs in samples.items()}
     spread = {name: [min(xs), max(xs)] for name, xs in samples.items()}
     total = round(sum(timings.values()), 3)
+    detail = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "runs": n_runs,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmark", f"bench_detail_sf{sf}.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        detail_path = ""
+    detail_line = json.dumps(detail)
+    print(detail_line, file=sys.stderr)
+    print(detail_line)
+    # FINAL stdout line: compact, fits any tail-capture window — this
+    # is the line the driver parses (nothing may print after it).
     print(
         json.dumps(
             {
                 "metric": "total_query_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "spread": spread,
                 "runs": n_runs,
                 "sf": sf,
+                "n_queries": len(timings),
+                "detail": detail_path and os.path.relpath(
+                    detail_path, os.path.dirname(os.path.abspath(__file__))
+                ),
             }
         )
     )

@@ -2781,12 +2781,18 @@ def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_us")
         .rangeBetween(-ROLLING_WINDOW_US, 0)
     )
+    # events.value is a true 2-decimal column (verified at every SF):
+    # SUM in DECIMAL (exact under any frame-evaluation order), round
+    # on the cents grid in decimal, THEN cast — the money contract
+    # (PLANS.md), extended here per VERDICT r5 item 3.  A double
+    # window-sum would drift cross-engine at sf1+.
+    vdec = F.col("value").cast(_PRICE_D)
     return ev.select(
         "event_id",
         "user_id",
         "ts_us",
         F.count("*").over(w).alias("n_6h"),
-        F.round(F.sum("value").over(w), 6).alias("sum_6h"),
+        F.round(F.sum(vdec).over(w), 2).cast("double").alias("sum_6h"),
     ).orderBy("user_id", "ts_us", "event_id")
 
 
@@ -2794,7 +2800,7 @@ Q_ROLLING_SQL = f"""
 WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
 SELECT event_id, user_id, ts_us,
        COUNT(*) OVER w AS n_6h,
-       ROUND(SUM(value) OVER w, 6) AS sum_6h
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE) AS sum_6h
 FROM ev
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
              RANGE BETWEEN {ROLLING_WINDOW_US} PRECEDING AND CURRENT ROW)
@@ -4031,9 +4037,55 @@ def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
     _neardup_pairs_indexed(spark, sf_dir)
 
 
+# Names the driver's 50-row correctness gate has ALREADY certified
+# (CORRECTNESS_r01..r05 all cover the same head-of-dict 50).  The
+# driver takes the first 50 entries of queries(), so to spread hard
+# certification across the whole 106-query registry we rotate
+# never-driver-certified names to the head each round (VERDICT r5
+# item 2).  The full registry is still gated every round by the
+# local replica (tools/check_correctness.py ->
+# benchmark/correctness_full_r*.log); this ordering only decides
+# which 50 get the driver's independent run.
+_DRIVER_CERTIFIED_PRIOR: frozenset[str] = frozenset(
+    {
+        "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
+        "q_rollup_revenue", "q_top_orders_per_customer", "q_asof_attribution",
+        "dp_bounded_histogram", "dp_zero_noise_full", "dp_zero_noise_mu",
+        "dp_unique_users", "dp_key_selection", "dp_partial_merge",
+        "dp_utility_metrics", "sec_replay_filter", "sec_seq_stamp",
+        "sec_route_validation", "wordcount_histogram", "simple_reverse",
+        "text_quality", "text_lang_id", "text_repetition", "text_fingerprint",
+        "token_stats", "token_stats_bpe", "dedup_exact", "dedup_ngram_jaccard",
+        "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
+        "dedup_simhash_pairs", "dedup_embedding", "knn_brute_force", "knn_lsh",
+        "knn_ivf", "knn_ivfpq", "text_redact_pii", "text_surprisal",
+        "sample_mixture", "knn_lsh_multiprobe", "text_winnow",
+        "dedup_embedding_lsh", "sample_stratified", "text_contamination",
+        "pack_sequences", "text_length_quantiles", "kmeans_embeddings",
+        "dedup_semantic", "q_sessionize", "emb_project", "text_bm25",
+    }
+)
+
+
+def _registry_order() -> list[str]:
+    """Registry order with never-driver-certified queries first.
+
+    Stable within each group (original insertion order), so the
+    rotation is deterministic: round 6 presents the 56 uncovered
+    names at the head; once the driver certifies them, their names
+    move into _DRIVER_CERTIFIED_PRIOR and the next uncovered block
+    rotates forward."""
+    names = list(QUERIES.keys())
+    return sorted(names, key=lambda n: (n in _DRIVER_CERTIFIED_PRIOR, names.index(n)))
+
+
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: qd.builder for name, qd in QUERIES.items()}
+    return {name: QUERIES[name].builder for name in _registry_order()}
 
 
 def build_oracles() -> dict[str, str]:
-    return {name: qd.oracle for name, qd in QUERIES.items() if qd.oracle is not None}
+    return {
+        name: QUERIES[name].oracle
+        for name in _registry_order()
+        if QUERIES[name].oracle is not None
+    }

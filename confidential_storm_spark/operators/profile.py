@@ -84,6 +84,8 @@ def profile_sql(
     """DuckDB twin: UNION ALL of per-column stat rows (clarity over
     one-pass elegance — the oracle certifies VALUES, the Spark plan
     carries the scale argument)."""
+    if not re.fullmatch(r"\w+", table):
+        raise ValueError(f"profile_sql: table name {table!r} is not a plain identifier")
     for c in cols:
         if not re.fullmatch(r"\w+", c):
             raise ValueError(f"profile_sql: column name {c!r} is not a plain identifier")

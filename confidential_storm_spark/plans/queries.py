@@ -2843,21 +2843,27 @@ def q_salted_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     PLAIN join — salting must be invisible in the result."""
     from ..operators.skew import salted_join
 
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    # events.value is exactly 2-decimal: SUM in DECIMAL (exact under
+    # any salt spread / combine order), round in decimal, cast —
+    # the money contract (PLANS.md), per VERDICT r5 item 3.
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").cast(_PRICE_D).alias("value")
+    )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     j = salted_join(ev, cust, "user_id", "c_custkey", "event_id", n_salt=SALT_N)
     return (
         j.groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.sum("value"), 2).cast("double").alias("sum_value"),
         )
         .orderBy("c_mktsegment")
     )
 
 
 Q_SALTED_JOIN_SQL = """
-SELECT c_mktsegment, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
@@ -2871,17 +2877,22 @@ def q_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the plain GROUP BY."""
     from ..operators.skew import salted_aggregate
 
-    ev = load_table(spark, sf_dir, "events")
+    # decimal in -> decimal partials -> decimal combine: the two-phase
+    # salted sum stays exact end-to-end (money contract, PLANS.md).
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast(_PRICE_D)
+    )
     out = salted_aggregate(ev, ["event_type"], ["value"], "event_id", n_salt=SALT_N)
     return out.select(
         "event_type",
         "n_rows",
-        F.round(F.col("sum_value"), 6).alias("sum_value"),
+        F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
     ).orderBy("event_type")
 
 
 Q_SALTED_AGG_SQL = """
-SELECT event_type, COUNT(*) AS n_rows, ROUND(SUM(value), 6) AS sum_value
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -3160,38 +3171,76 @@ QUERIES["q_median_order_value"] = QueryDef(
 DECAY = 0.9  # per-day decay factor
 
 
+# Exact decay-weight table: 0.9^d precomputed in Python and embedded
+# as LITERALS in both engines.  Spark's Math.pow and DuckDB's C pow
+# disagree by 1 ulp at 7 of the first 61 integer exponents (measured),
+# so POWER() in the query is a cross-engine hazard; a literal double
+# survives py4j exactly and a repr() string parses to the identical
+# double via correctly-rounded strtod.  64 days >> the generator's
+# 30-day event span; element_at past the table returns NULL, which
+# would fail the gate loudly rather than silently diverge.
+_DECAY_MAX_DAYS = 64
+_DECAY_WEIGHTS = [DECAY**d for d in range(_DECAY_MAX_DAYS)]
+
+
 def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-decayed per-user engagement score (the
     feature-store recency-weighted aggregate): sum of value * 0.9^age
-    in days, anchored at the corpus max day.  One weighted agg — the
-    decay weight is a pure codegen expression against the broadcast
-    1-row anchor, so the plan is scan -> agg, no window, no state."""
+    in days, anchored at the corpus max day.
+
+    Cross-engine-exact evaluation (money contract extended to a
+    weighted sum, VERDICT r5 item 3): (1) inner sums per (user, age)
+    run in DECIMAL — exact under any partitioning — and cast to
+    bit-identical doubles; (2) each term multiplies by a literal
+    weight (identical double in both engines, see _DECAY_WEIGHTS);
+    (3) the <=30 per-user terms fold LEFT-TO-RIGHT IN AGE ORDER
+    (F.aggregate over a sorted array / DuckDB list_reduce over
+    LIST(ORDER BY)), so the double sum has ONE defined association
+    and both engines produce the same bits — no final rounding
+    needed.  Plan: scan -> partial-agg (user, d) -> per-user fold;
+    d <= 64 values, so the second shuffle carries <=64x users rows."""
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.to_date("ts").alias("day"), "value"
+        "user_id", F.to_date("ts").alias("day"), F.col("value").cast(_PRICE_D).alias("value")
     )
     anchor = ev.agg(F.max("day").alias("_ref_day"))
-    return (
+    warr = F.array(*[F.lit(w) for w in _DECAY_WEIGHTS])
+    inner = (
         ev.join(F.broadcast(anchor))
-        .groupBy("user_id")
+        .withColumn("d", F.datediff("_ref_day", "day"))
+        .groupBy("user_id", "d")
+        .agg(F.round(F.sum("value"), 2).cast("double").alias("s"))
+    )
+    terms = inner.select(
+        "user_id", "d", (F.col("s") * F.element_at(warr, F.col("d") + 1)).alias("t")
+    )
+    return (
+        terms.groupBy("user_id")
         .agg(
-            F.round(
-                F.sum(
-                    F.col("value")
-                    * F.pow(F.lit(DECAY), F.datediff("_ref_day", "day"))
-                ),
-                6,
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("d", "t"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"],
             ).alias("score")
         )
         .orderBy("user_id")
     )
 
 
+_DECAY_W_SQL = "[" + ", ".join(f"'{w!r}'::DOUBLE" for w in _DECAY_WEIGHTS) + "]"
+
 Q_DECAYED_SQL = f"""
-WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
-anchor AS (SELECT MAX(day) AS _ref_day FROM ev)
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(value AS DECIMAL(18,2)) AS value FROM events),
+anchor AS (SELECT MAX(day) AS _ref_day FROM ev),
+inner_sums AS (
+  SELECT user_id,
+         date_diff('day', day, (SELECT _ref_day FROM anchor)) AS d,
+         CAST(ROUND(SUM(value), 2) AS DOUBLE) AS s
+  FROM ev GROUP BY 1, 2),
+terms AS (SELECT user_id, d, s * ({_DECAY_W_SQL})[d + 1] AS t FROM inner_sums)
 SELECT user_id,
-       ROUND(SUM(value * POWER({DECAY}, date_diff('day', day, (SELECT _ref_day FROM anchor)))), 6) AS score
-FROM ev GROUP BY user_id ORDER BY user_id
+       list_reduce(list_prepend(0.0::DOUBLE, LIST(t ORDER BY d)), (a, b) -> a + b) AS score
+FROM terms GROUP BY user_id ORDER BY user_id
 """
 
 
@@ -3264,11 +3313,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_nationkey"
     )
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    # revenue's TRUE value has exactly 4 decimals (2-decimal price x
-    # 2-decimal discount), so round-4 is never at a half boundary;
-    # round-2 is a cross-engine hazard (Spark rounds the shortest
-    # decimal repr half-up, DuckDB rounds the binary double — they
-    # disagree on sums landing exactly on .xx5)
+    # revenue sums in DECIMAL (exact 4-decimal values), so the
+    # round-2 below is deterministic: a half-up tie on an exact
+    # decimal (e.g. a sum landing on .xx50) resolves identically in
+    # both engines.  (Under the superseded double-sum scheme round-2
+    # WAS a cross-engine hazard — the decimal contract removed it.)
     per_cust = (
         orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
@@ -3877,8 +3926,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties all surface, and no per-group ordering state exists).  The
     per-supplier rollup is one shuffle; its 1-row max joins back by
     broadcast (never a driver collect); supplier attributes join the
-    surviving row(s) only.  Revenue rounds on the 4-decimal grid
-    BEFORE the max-equality so the comparison is exact cross-engine."""
+    surviving row(s) only.  Revenue sums in DECIMAL and rounds to
+    2 decimals IN DECIMAL before the cast, so the max-equality join
+    compares exact cross-engine-identical doubles."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit(Q15_QTR_START).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(Q15_QTR_END).cast("timestamp"))

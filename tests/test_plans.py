@@ -17,7 +17,8 @@ def test_q1_pushes_filter_and_prunes_columns(spark, sf_dir):
 
     plan = _plan(q1_pricing_summary(spark, sf_dir))
     # date predicate reaches the parquet scan
-    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    assert "PushedFilters: [" in plan
+    assert any("l_shipdate" in s[:200] for s in plan.split("PushedFilters")[1:])
     # projection pruned: the scan must not read all 11 lineitem columns
     read = plan.split("ReadSchema")[1][:400]
     assert "l_comment" not in read and "l_orderkey" not in read
@@ -115,7 +116,7 @@ def test_q4_compiles_to_semi_join_with_pushed_date_filter(spark, sf_dir):
 
     plan = _plan(q4_late_priority(spark, sf_dir))
     assert "LeftSemi" in plan, plan
-    assert "o_orderdate" in plan.split("PushedFilters")[1][:300]
+    assert any("o_orderdate" in s[:300] for s in plan.split("PushedFilters")[1:])
 
 
 def test_q13_outer_join_aggregates_partially(spark, sf_dir):
@@ -202,7 +203,7 @@ def test_q12_single_shuffle_per_side_conditional_agg(spark, sf_dir):
 
     plan = _plan(q12_priority_lines(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
-    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+    assert any("l_shipdate" in s[:300] for s in plan.split("PushedFilters")[1:])
 
 
 def test_q14_broadcasts_part_dim(spark, sf_dir):
@@ -212,7 +213,7 @@ def test_q14_broadcasts_part_dim(spark, sf_dir):
 
     plan = _plan(q14_promo_revenue(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
-    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+    assert any("l_shipdate" in s[:300] for s in plan.split("PushedFilters")[1:])
     read = plan.split("ReadSchema")[1][:300]
     assert "l_orderkey" not in read and "l_quantity" not in read
 
@@ -309,9 +310,11 @@ def test_q6_pushes_every_predicate(spark, sf_dir):
     from confidential_storm_spark.plans.queries import q6_forecast_revenue
 
     plan = _plan(q6_forecast_revenue(spark, sf_dir))
-    pushed = plan.split("PushedFilters")[1][:500]
-    for col in ("l_shipdate", "l_discount", "l_quantity"):
-        assert col in pushed, plan
+    # all three predicates must land on ONE scan's pushed filters
+    assert any(
+        all(col in s[:500] for col in ("l_shipdate", "l_discount", "l_quantity"))
+        for s in plan.split("PushedFilters")[1:]
+    ), plan
     assert "Join" not in plan and "Window" not in plan
 
 

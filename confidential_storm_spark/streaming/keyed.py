@@ -46,14 +46,20 @@ predicted epoch; the cumulative sums are identical.  The per-bucket
 operator remains available for exact tick-parity (T4 heartbeats).
 
 ``transformWithStateInPandas`` (Spark 4's per-key state API) would
-collapse stage 3's packing boilerplate, but it crashes in this
-container: on Spark **4.1.2** a minimal ValueState counter over a
-file source dies with "TransformWithStateInPySpark driver worker
-exited unexpectedly (crashed)" before the first batch commits
-(re-verified 2026-08-14; environmental — the API's driver-side Python
-worker does not survive in this sandbox).  The per-key grouping runs
-on ``applyInPandasWithState`` instead — the state layout and
-write-volume properties are the same.
+collapse stage 3's packing boilerplate, but it cannot run in this
+container — root cause isolated (re-verified on Spark **4.1.2**,
+2026-08-14): the API's state-server protocol is protobuf-based, and
+the driver-side worker dies at
+``pyspark/sql/streaming/proto/StateMessage_pb2.py`` with
+``ImportError: cannot import name 'descriptor' from
+'google.protobuf'`` — the ``protobuf`` Python package is simply not
+installed here (and installs are prohibited), so the JVM surfaces it
+as "TransformWithStateInPySpark driver worker exited unexpectedly
+(crashed)".  Purely environmental: the code path needs no change on
+a cluster with protobuf present.  The per-key grouping runs on
+``applyInPandasWithState`` instead — the state layout and
+write-volume properties are the same, and that API's socket protocol
+has no protobuf dependency.
 """
 
 from __future__ import annotations

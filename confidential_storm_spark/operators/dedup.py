@@ -333,15 +333,20 @@ def ngram_jaccard_pairs(
     over the (indexed) shingle arrays, so results are IDENTICAL to the
     naive join (equivalence-tested across thresholds and caps).
 
-    Default OFF after measurement: on the driver's synthetic corpus
-    (flat shingle-df distribution, ~50-shingle docs) the freq-join +
-    per-doc-window + verify overhead exceeds the join-row saving at
-    every threshold (sf1: 24-40 s vs 16-20 s naive).  Turn it ON for
-    heavy-tailed real-text corpora with longer documents and high
-    thresholds — the regime the AllPairs literature targets — where
-    the naive join's hot-shingle rows dominate; the ``max_shingle_df``
-    cap (default 1000) already bounds the degenerate corpus either
-    way.
+    Default OFF because the driver's certified registry corpus has a
+    FLAT shingle-df distribution, where the freq-join + per-doc-window
+    + verify overhead exceeds the join-row saving at every threshold
+    (sf1: 24-40 s vs 16-20 s naive).  **On heavy-tailed (Zipfian)
+    corpora — i.e. natural text — turn it ON**: measured on a Zipf
+    s=1.07 synthetic corpus (tools/make_zipf_docs.py,
+    benchmark/zipf_prefix_ab.csv), prefix filtering is identical-
+    result and 1.27x faster capped / 1.73x faster uncapped at 20k
+    docs (max shingle df 5095), with the advantage GROWING in corpus
+    size (it loses ~13% at 5k docs where overhead still dominates).
+    The ``max_shingle_df`` cap (default 1000) bounds the degenerate
+    corpus either way, at a small true-pair cost the prefix filter
+    does not pay (20k-doc Zipf run: cap dropped 2 of 3938 pairs;
+    prefix lost none).
 
     ``max_shingle_df`` is the standard document-frequency cap: a
     shingle appearing in k docs contributes k^2/2 rows to the join, so

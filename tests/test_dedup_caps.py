@@ -144,6 +144,58 @@ def test_prefix_filter_identical_to_naive_join(spark, sf_dir):
     assert len(naive) >= 0
 
 
+def _zipf_corpus(spark, n_docs=300, vocab=2000, s=1.07, seed=11):
+    """In-test heavy-tailed corpus: Zipf word frequencies (the
+    natural-text shape prefix filtering targets — a few hot shingles
+    carry most of the join cost) plus ~25% near-duplicate docs so
+    true pairs exist at high thresholds."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    probs = np.arange(1, vocab + 1, dtype=np.float64) ** (-s)
+    probs /= probs.sum()
+    words = np.array([f"w{i}" for i in range(vocab)], dtype=object)
+    docs = []
+    for i in range(n_docs):
+        if docs and rng.random() < 0.25:
+            arr = np.array(docs[rng.integers(0, len(docs))].split(" "), dtype=object)
+            pos = rng.choice(len(arr), size=max(1, len(arr) // 10), replace=False)
+            arr[pos] = words[rng.choice(vocab, size=len(pos), p=probs)]
+            docs.append(" ".join(arr))
+        else:
+            docs.append(" ".join(words[rng.choice(vocab, size=40, p=probs)]))
+    return spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    ).repartition(8)
+
+
+def test_prefix_filter_identical_on_heavy_tailed_corpus(spark):
+    """The regime prefix filtering is FOR (Zipfian df, hot shingles in
+    a large share of docs): results must still be exactly the naive
+    join's, capped and uncapped.  Companion measured A/B at 5k/20k
+    docs: benchmark/zipf_prefix_ab.csv (prefix wins at scale)."""
+    from confidential_storm_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _zipf_corpus(spark)
+    for t in (0.2, 0.5):
+        for cap in (None, 50):
+            fast = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(
+                    docs, threshold=t, max_shingle_df=cap, prefix_filter=True
+                ).collect()
+            }
+            naive = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(
+                    docs, threshold=t, max_shingle_df=cap, prefix_filter=False
+                ).collect()
+            }
+            assert fast == naive, (t, cap)
+    # the fixture must actually contain true pairs (not a vacuous test)
+    assert len(naive) > 0
+
+
 def test_connected_components_handcrafted(spark):
     """CC over a chain (propagation depth > 1), a triangle, and an
     isolated pair; singletons only appear via neardup_clusters."""

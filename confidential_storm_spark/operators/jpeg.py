@@ -10,8 +10,14 @@ matmuls, YCbCr <-> RGB (BT.601 full range), edge-replicate padding to
 8x8 blocks.  Supported: 8-bit greyscale (1 component) and 4:4:4
 colour (3 components), with DRI/RSTn restart intervals (round 5:
 byte-aligned restart markers, DC-prediction reset, both codec
-directions).  NOT supported (still honestly gated at the call
-sites): progressive scans, arithmetic coding, chroma subsampling.
+directions), and — round 6 — PROGRESSIVE mode (T.81 Annex G: SOF2,
+spectral selection + successive approximation, EOB-run coding,
+AC-refinement correction bits; both codec directions, decode also
+honoring DRI per scan).  Progressive coding reorders the same
+quantized coefficients, so progressive and baseline streams of one
+image decode to bit-identical pixels — the equivalence the tests
+pin.  NOT supported (still honestly gated at the call sites):
+arithmetic coding, hierarchical mode, chroma subsampling.
 
 The encoder emits custom DHT tables (canonical fixed-length-9 codes
 over the symbols actually used — valid prefix codes by construction,
@@ -32,7 +38,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_baseline_jpeg", "decode_baseline_jpeg"]
+__all__ = ["encode_baseline_jpeg", "encode_progressive_jpeg", "decode_baseline_jpeg"]
 
 
 # ---------------------------------------------------------------------------
@@ -439,22 +445,272 @@ def encode_baseline_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G.1)
+# ---------------------------------------------------------------------------
+
+def _prog_dc_first_ops(zz_comps, comp_class, al):
+    """Interleaved first DC scan: huffman-coded diffs of DC >> al
+    (arithmetic shift, G.1.2.1).  Ops: ('s', cls, tc, sym) huffman
+    symbol / ('b', value, nbits) raw bits."""
+    ops, syms = [], {0: set(), 1: set()}
+    prev = [0] * len(zz_comps)
+    for m in range(len(zz_comps[0])):
+        for ci, blocks in enumerate(zz_comps):
+            v = int(blocks[m][0]) >> al
+            size, bits = _magnitude(v - prev[ci])
+            prev[ci] = v
+            cls = comp_class[ci]
+            syms[cls].add(size)
+            ops.append(("s", cls, 0, size))
+            if size:
+                ops.append(("b", bits, size))
+    return ops, syms
+
+
+def _prog_dc_refine_ops(zz_comps, al):
+    """DC refinement: one raw bit (bit ``al`` of the signed DC) per
+    block per component — no huffman coding at all (G.1.2.1)."""
+    ops = []
+    for m in range(len(zz_comps[0])):
+        for blocks in zz_comps:
+            ops.append(("b", (int(blocks[m][0]) >> al) & 1, 1))
+    return ops, {0: set(), 1: set()}
+
+
+def _prog_ac_first_ops(blocks, cls, ss, se, al):
+    """First AC scan for band [ss..se] at approximation ``al``
+    (G.1.2.2): sign-magnitude point transform, run/size symbols,
+    EOB-run coding across blocks."""
+    ops, syms = [], set()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            syms.add(nbits << 4)
+            ops.append(("s", cls, 1, nbits << 4))
+            if nbits:
+                ops.append(("b", eobrun - (1 << nbits), nbits))
+            eobrun = 0
+
+    for zzb in blocks:
+        r = 0
+        for v in (int(x) for x in zzb[ss : se + 1]):
+            t = (abs(v) >> al) * (1 if v > 0 else -1)
+            if t == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                syms.add(0xF0)
+                ops.append(("s", cls, 1, 0xF0))
+                r -= 16
+            size, bits = _magnitude(t)
+            sym = (r << 4) | size
+            syms.add(sym)
+            ops.append(("s", cls, 1, sym))
+            ops.append(("b", bits, size))
+            r = 0
+        if r:  # band ends in zeros -> block joins the EOB run
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return ops, {cls: syms, 1 - cls: set()}
+
+
+def _prog_ac_refine_ops(blocks, cls, ss, se, al):
+    """AC refinement scan (G.1.2.3): newly-significant coefficients
+    coded as run/1 + sign, already-significant ones as buffered
+    correction bits appended after the next symbol; EOB runs carry
+    their blocks' pending correction bits."""
+    ops, syms = [], set()
+    eobrun = 0
+    pend: list[int] = []  # correction bits buffered across the EOB run
+
+    def flush_eob():
+        nonlocal eobrun, pend
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            sym = nbits << 4
+            syms.add(sym)
+            ops.append(("s", cls, 1, sym))
+            if nbits:
+                ops.append(("b", eobrun - (1 << nbits), nbits))
+            ops.extend(("b", b, 1) for b in pend)
+            eobrun = 0
+            pend = []
+
+    for zzb in blocks:
+        band = [int(x) for x in zzb[ss : se + 1]]
+        t = [abs(v) >> al for v in band]
+        eob_idx = max((i for i, tv in enumerate(t) if tv == 1), default=-1)
+        r = 0
+        br: list[int] = []  # correction bits since the last symbol
+        for i, tv in enumerate(t):
+            if tv == 0:
+                r += 1
+                continue
+            if i <= eob_idx:
+                while r > 15:
+                    flush_eob()
+                    syms.add(0xF0)
+                    ops.append(("s", cls, 1, 0xF0))
+                    r -= 16
+                    ops.extend(("b", b, 1) for b in br)
+                    br = []
+            if tv > 1:  # already significant: correction bit (bit al)
+                br.append(tv & 1)
+                continue
+            # newly significant (tv == 1)
+            flush_eob()
+            sym = (r << 4) | 1
+            syms.add(sym)
+            ops.append(("s", cls, 1, sym))
+            ops.append(("b", 1 if band[i] > 0 else 0, 1))
+            ops.extend(("b", b, 1) for b in br)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pend.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return ops, {cls: syms, 1 - cls: set()}
+
+
+def encode_progressive_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """Encode HxW (greyscale) or HxWx3 (RGB) uint8 to PROGRESSIVE
+    JPEG (SOF2, 4:4:4): a spec-standard scan script exercising both
+    progressive modes — DC first at Al=1 + DC refinement, then per
+    component AC bands 1-5 and 6-63 first at Al=1 + refinements to
+    Al=0.  Quantization is identical to ``encode_baseline_jpeg`` at
+    the same quality, so decoding a progressive stream yields
+    BIT-IDENTICAL pixels to decoding the baseline stream of the same
+    image (progressive coding is a lossless reordering of the same
+    quantized coefficients) — the round-trip equivalence pytest pins
+    exactly that."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        planes = [img.astype(np.float64)]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ycc = _rgb_to_ycbcr(img)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    else:
+        raise ValueError("expected HxW or HxWx3 uint8")
+    h, w = planes[0].shape
+    ncomp = len(planes)
+    ql, qc = _quant_tables(quality)
+    qs = [ql] + [qc] * (ncomp - 1)
+    comp_class = [0] + [1] * (ncomp - 1)
+    zz_comps = [
+        [_fdct_quant(b, q).flatten()[_ZZ] for b in _blocks(p)]
+        for p, q in zip(planes, qs)
+    ]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tq, q in enumerate(qs[: 2 if ncomp > 1 else 1]):
+        payload = bytes([tq]) + bytes(int(q.flatten()[_ZZ][i]) for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(payload)) + payload
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, (0 if ci == 0 else 1) if ncomp > 1 else 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+
+    all_comps = list(range(ncomp))
+    scans: list[tuple] = [("dc_first", all_comps, 0, 0, 0, 1)]
+    for ci in range(ncomp):
+        scans.append(("ac_first", [ci], 1, 5, 0, 1))
+        scans.append(("ac_first", [ci], 6, 63, 0, 1))
+    scans.append(("dc_refine", all_comps, 0, 0, 1, 0))
+    for ci in range(ncomp):
+        scans.append(("ac_refine", [ci], 1, 5, 1, 0))
+        scans.append(("ac_refine", [ci], 6, 63, 1, 0))
+
+    for kind, comp_ids, ss, se, ah, al in scans:
+        if kind == "dc_first":
+            ops, syms = _prog_dc_first_ops(zz_comps, comp_class, al)
+            tc = 0
+        elif kind == "dc_refine":
+            ops, syms = _prog_dc_refine_ops(zz_comps, al)
+            tc = 0
+        else:
+            ci = comp_ids[0]
+            fn = _prog_ac_first_ops if kind == "ac_first" else _prog_ac_refine_ops
+            ops, syms = fn(zz_comps[ci], comp_class[ci], ss, se, al)
+            tc = 1
+        # per-scan DHT for the classes this scan actually codes
+        codes: dict[tuple[int, int], dict] = {}
+        for cls in (0, 1):
+            if not syms.get(cls):
+                continue
+            bits, vals = _fixed9_table(sorted(syms[cls]))
+            payload = bytes([(tc << 4) | cls]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+            codes[(tc, cls)] = {
+                s: (lc, code)
+                for (lc, code), s in _build_decode_map(bits, vals).items()
+            }
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            cls = comp_class[ci] if ncomp > 1 else 0
+            sos += bytes([ci + 1, (cls << 4) if tc == 0 else cls])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        wtr = _BitWriter()
+        for op in ops:
+            if op[0] == "s":
+                _, cls, tcl, sym = op
+                lc, code = codes[(tcl, cls)][sym]
+                wtr.write(code, lc)
+            else:
+                _, val, n = op
+                wtr.write(val, n)
+        out += wtr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
 def decode_baseline_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes to HxW (greyscale) or HxWx3 (RGB)
-    uint8, honoring DRI restart intervals.  Raises ValueError on
-    malformed streams and NotImplementedError on non-baseline
-    features (progressive, arithmetic, subsampling).  Fuzz contract
-    (pytest-pinned): NO other exception type escapes, however
-    corrupt the bytes."""
+    """Decode JPEG bytes to HxW (greyscale) or HxWx3 (RGB) uint8:
+    baseline sequential (SOF0, honoring DRI restart intervals) and —
+    round 6 — progressive (SOF2, spectral selection + successive
+    approximation, T.81 Annex G).  Raises ValueError on malformed
+    streams and NotImplementedError on the remaining non-supported
+    features (arithmetic coding, hierarchical, subsampling).  Fuzz
+    contract (pytest-pinned): NO other exception type escapes,
+    however corrupt the bytes."""
     try:
         return _decode_baseline_jpeg(data)
     except (IndexError, KeyError, struct.error) as exc:
         # truncated segments / danging table refs surface as the
         # documented malformed-stream error, never a raw crash
         raise ValueError(f"malformed JPEG stream: {exc!r}") from exc
+
+
+def _find_next_marker(data: bytes, pos: int) -> int:
+    """Index of the 0xFF that starts the next true marker at/after
+    ``pos``, skipping entropy-coded bytes, stuffed 0xFF00, RSTn, and
+    0xFF fill runs (T.81 B.1.1.2)."""
+    while pos < len(data) - 1:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = data[pos + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:  # stuffing / restart
+            pos += 2
+            continue
+        if nxt == 0xFF:  # fill byte: last 0xFF of the run is the prefix
+            pos += 1
+            continue
+        return pos
+    raise ValueError("truncated stream (no terminating marker)")
 
 
 def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
@@ -464,8 +720,10 @@ def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
     restart_interval = 0
     comps: list[tuple[int, int]] = []  # (comp_id, quant table id)
+    coefs: dict[int, np.ndarray] | None = None  # cid -> (bh, bw, 64) zigzag
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("expected marker")
@@ -478,6 +736,8 @@ def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and coefs is not None:
+                return _reconstruct_progressive(frame, comps, coefs, qtables)
             raise ValueError("no scan data before EOI")
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         seg = data[pos + 2 : pos + seglen]
@@ -492,7 +752,7 @@ def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 t[_ZZ] = vals
                 qtables[tq] = t.reshape(8, 8)
                 p += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise ValueError("only 8-bit precision")
@@ -505,8 +765,14 @@ def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
                     )
                 comps.append((cid, tq))
             frame = (h, w, ncomp)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
-            raise NotImplementedError("non-baseline JPEG (progressive/arithmetic)")
+            if marker == 0xC2:
+                progressive = True
+                bw, bh = (w + 7) // 8, (h + 7) // 8
+                coefs = {
+                    cid: np.zeros((bh, bw, 64), dtype=np.int64) for cid, _ in comps
+                }
+        elif marker in (0xC1, 0xC3, 0xC9, 0xCA):
+            raise NotImplementedError("non-baseline JPEG (arithmetic/hierarchical)")
         elif marker == 0xC4:  # DHT (possibly multiple tables)
             p = 0
             while p < len(seg):
@@ -520,20 +786,165 @@ def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scan = []
             for ci in range(ns):
                 cid, tt = seg[1 + 2 * ci], seg[2 + 2 * ci]
                 scan.append((cid, tt >> 4, tt & 0x0F))
             entropy_start = pos + seglen
-            return _decode_scan(
-                data, entropy_start, frame, comps, scan, qtables, htables,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    data, entropy_start, frame, comps, scan, qtables, htables,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            _decode_progressive_scan(
+                data, entropy_start, frame, scan, htables, coefs,
+                ss, se, ahal >> 4, ahal & 0x0F, restart_interval,
             )
+            pos = _find_next_marker(data, entropy_start)
+            continue
         # APPn / COM / others: skip
         pos += seglen
     raise ValueError("no SOS marker found")
+
+
+def _decode_progressive_scan(
+    data, start, frame, scan, htables, coefs, ss, se, ah, al, restart_interval=0
+) -> None:
+    """One progressive scan (T.81 G.2) accumulated into ``coefs``:
+    DC first/refine (interleaved allowed), AC first/refine
+    (single-component per spec).  The successive-approximation
+    refinement follows the spec's signed-coefficient bit semantics:
+    stored values are always sign * (approximated magnitude), so
+    ``value & (1 << al)`` tests bit ``al`` of the magnitude for every
+    reachable state."""
+    h, w, _ = frame
+    reader = _BitReader(data[start:])
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    p1 = 1 << al
+
+    if ss == 0:  # DC scan (se must be 0)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        prev_dc = {cid: 0 for cid, _, _ in scan}
+        n_mcus = bw * bh
+        for m in range(n_mcus):
+            if restart_interval and m and m % restart_interval == 0:
+                reader.sync_restart((m // restart_interval - 1) % 8)
+                prev_dc = {cid: 0 for cid, _, _ in scan}
+            by, bx = m // bw, m % bw
+            for cid, td, _ta in scan:
+                if ah == 0:  # first DC scan: huffman diffs of DC >> al
+                    size = _huff_decode(reader, htables[(0, td)])
+                    diff = _extend(reader.read_bits(size), size) if size else 0
+                    prev_dc[cid] += diff
+                    coefs[cid][by, bx, 0] = prev_dc[cid] << al
+                else:  # refinement: one raw bit per block
+                    if reader.read_bit():
+                        coefs[cid][by, bx, 0] |= p1
+        return
+
+    # AC scan: exactly one component (T.81 G.1.1.1.1)
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cid, _td, ta = scan[0]
+    ac_tab = htables[(1, ta)]
+    plane = coefs[cid]
+    eobrun = 0
+    n_blocks = bw * bh
+    for m in range(n_blocks):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.sync_restart((m // restart_interval - 1) % 8)
+            eobrun = 0
+        by, bx = m // bw, m % bw
+        blk = plane[by, bx]
+        if ah == 0:  # first scan for this band
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = _huff_decode(reader, ac_tab)
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) + (reader.read_bits(r) if r else 0) - 1
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC run overflow")
+                blk[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+        else:  # refinement scan
+            m1 = -p1
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = _huff_decode(reader, ac_tab)
+                    r, s = sym >> 4, sym & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) + (reader.read_bits(r) if r else 0)
+                            break  # rest of block corrected below
+                        # r == 15: skip 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError("invalid refinement symbol")
+                        newval = p1 if reader.read_bit() else m1
+                    while k <= se:
+                        cur = int(blk[k])
+                        if cur != 0:
+                            if reader.read_bit() and (cur & p1) == 0:
+                                blk[k] = cur + (p1 if cur >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if k > se:
+                        if s:
+                            raise ValueError("AC refinement overflow")
+                        break
+                    if s:
+                        blk[k] = newval
+                    k += 1  # past the placed / 16th-skipped position
+            if eobrun > 0:
+                # correction bits for the remaining coefficients of
+                # this block, then count it against the run
+                while k <= se:
+                    cur = int(blk[k])
+                    if cur != 0:
+                        if reader.read_bit() and (cur & p1) == 0:
+                            blk[k] = cur + (p1 if cur >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
+def _reconstruct_progressive(frame, comps, coefs, qtables) -> np.ndarray:
+    h, w, ncomp = frame
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    planes = []
+    for cid, tq in comps:
+        q = qtables[tq]
+        plane = np.zeros((bh * 8, bw * 8))
+        store = coefs[cid]
+        for by in range(bh):
+            for bx in range(bw):
+                coef = np.zeros(64)
+                coef[_ZZ] = store[by, bx]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _dequant_idct(
+                    coef.reshape(8, 8), q
+                )
+        planes.append(plane[:h, :w])
+    if ncomp == 1:
+        return planes[0].astype(np.uint8)
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
 
 
 def _decode_scan(

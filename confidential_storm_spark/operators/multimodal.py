@@ -16,13 +16,16 @@ Codec coverage is honest about the container:
   ``operators/png.py`` — chunk CRCs + all five scanline filters,
   lossless round-trip; every colour type incl. palette and
   grey+alpha, depths 1-16, Adam7 interlace).
-- Remaining COMPRESSED formats (progressive or subsampled JPEG,
-  MP4 / ...) need Pillow / ffmpeg,
-  which are NOT in this
-  container; those payloads either raise ``NotImplementedError``
-  (``strict=True``) or flow through as a clearly-marked
-  deterministic fake (payload-digest-seeded) so the Spark-side
-  schema / partitioning / batch shape stay real.
+- Round 6 added PROGRESSIVE JPEG (SOF2, spectral selection +
+  successive approximation) to the native codec — both directions,
+  bit-identical to the baseline path on the same quantized
+  coefficients.
+- Remaining COMPRESSED formats (subsampled JPEG, MP4 / ...) need
+  Pillow / ffmpeg, which are NOT in this container; those payloads
+  either raise ``NotImplementedError`` (``strict=True``) or flow
+  through as a clearly-marked deterministic fake
+  (payload-digest-seeded) so the Spark-side schema / partitioning /
+  batch shape stay real.
 
 Scale: binary payloads ride the normal columnar path; feature columns
 are fixed-width arrays; mapInPandas streams record batches so a task
@@ -127,10 +130,10 @@ def _parse_bmp(data: bytes):
 def decode_image(data: bytes):
     """Decode an image payload to an (h, w[, c]) uint8 array, or
     return None if the format needs an external codec or the payload
-    is malformed (truncated header, 16-bit PNM, progressive JPEG,
-    ...).  Baseline JPEG (operators/jpeg.py) and non-interlaced
-    8-bit PNG (operators/png.py) decode natively; WebP /
-    progressive-JPEG / palette-PNG remain gated."""
+    is malformed (truncated header, 16-bit PNM, ...).  Baseline AND
+    progressive JPEG (operators/jpeg.py) plus full PNG
+    (operators/png.py) decode natively; WebP / subsampled JPEG
+    remain gated."""
     if data[:2] in (b"P6", b"P5"):
         try:
             return _parse_pnm(data)

@@ -623,6 +623,60 @@ def test_jpeg_restart_flows_through_multimodal(spark):
     assert row["decode_ok"]
 
 
+def test_progressive_jpeg_bit_identical_to_baseline():
+    """Progressive coding (SOF2, spectral selection + successive
+    approximation) is a lossless reordering of the same quantized
+    coefficients: decoding the progressive stream must produce
+    BIT-IDENTICAL pixels to decoding the baseline stream of the same
+    image at the same quality — greyscale and RGB, flat / gradient /
+    noise / sparse content (EOB-run-, ZRL-, and correction-bit-heavy
+    paths all exercised)."""
+    from confidential_storm_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    sparse = np.full((33, 41, 3), 128, np.uint8)
+    for _ in range(6):
+        sparse[rng.integers(0, 33), rng.integers(0, 41)] = rng.integers(0, 256, 3)
+    cases = [
+        np.full((16, 16), 130, np.uint8),
+        np.tile((np.arange(24) * 10 % 250).astype(np.uint8), (17, 1)),
+        rng.integers(0, 256, (23, 19), dtype=np.uint8),
+        rng.integers(0, 256, (21, 14, 3), dtype=np.uint8),
+        (np.indices((40, 40)).sum(0) % 17 + 100).astype(np.uint8),
+        sparse,
+    ]
+    for img in cases:
+        for q in (35, 90):
+            base = decode_baseline_jpeg(encode_baseline_jpeg(img, quality=q))
+            prog = decode_baseline_jpeg(encode_progressive_jpeg(img, quality=q))
+            assert np.array_equal(base, prog), (img.shape, q)
+
+
+def test_progressive_jpeg_flows_through_multimodal(spark):
+    """decode_image (and thus the mapInPandas feature stage) handles
+    progressive payloads transparently — same pixels as baseline."""
+    from confidential_storm_spark.operators.jpeg import encode_progressive_jpeg
+    from confidential_storm_spark.operators.multimodal import (
+        decode_image,
+        decode_image_features,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    payload = encode_progressive_jpeg(img, quality=85)
+    arr = decode_image(payload)
+    assert arr is not None and arr.shape == (24, 16, 3)
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    row = decode_image_features(df).collect()[0]
+    # features = [w, h, c, mean, std, min, max, 8-bin hist, aspect]
+    assert row["decode_ok"]
+    assert row["features"][0] == 16.0 and row["features"][1] == 24.0
+
+
 def test_codec_fuzz_only_documented_exceptions():
     """Fuzz contract: mutated valid streams and random blobs behind
     valid magics raise ValueError/NotImplementedError ONLY — decoders
@@ -636,11 +690,13 @@ def test_codec_fuzz_only_documented_exceptions():
     )
     from confidential_storm_spark.operators.png import _SIG, decode_png, encode_png
 
+    from confidential_storm_spark.operators.jpeg import encode_progressive_jpeg
+
     rng = random.Random(42)
     img = np.zeros((8, 8), np.uint8)
-    seeds = [encode_png(img), encode_baseline_jpeg(img)]
+    seeds = [encode_png(img), encode_baseline_jpeg(img), encode_progressive_jpeg(img)]
     for trial in range(1500):
-        base = bytearray(seeds[trial % 2])
+        base = bytearray(seeds[trial % len(seeds)])
         for _ in range(rng.randint(1, 8)):
             base[rng.randrange(len(base))] = rng.randrange(256)
         data = bytes(base)

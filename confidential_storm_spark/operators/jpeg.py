@@ -297,49 +297,138 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
-def _entropy_encode(
-    planes: list[np.ndarray], qs: list[np.ndarray], restart_interval: int = 0
-) -> tuple[bytes, list, list]:
-    """Returns (entropy bytes, dc tables, ac tables) — one (bits,
-    huffval) pair per table class, shared across components of the
-    same class (0 = luma, 1 = chroma like the standard layout).  With
-    ``restart_interval`` > 0, an aligned RSTn marker is emitted every
-    that many MCUs and DC prediction resets (T.81 E.2.4)."""
-    # first pass: collect symbols per class
-    comp_class = [0] + [1] * (len(planes) - 1)
-    blocks_per_comp = []
-    for plane, q in zip(planes, qs):
-        blocks_per_comp.append([_fdct_quant(b, q).flatten()[_ZZ] for b in _blocks(plane)])
+def _mcu_sequences(planes, qs, samplings):
+    """Quantized zigzag blocks per component: ``seqs`` flattened in
+    MCU emission order (hi x vi data units of component i per MCU,
+    T.81 A.2.3) plus the raw ``(bh, bw, 64)`` grids and the MCU grid
+    dims.  Planes must already be padded so every block grid is an
+    exact multiple of its sampling factors (true by construction for
+    4:4:4, by MCU padding for subsampled layouts)."""
+    mcux = mcuy = None
+    seqs: list[list[np.ndarray]] = []
+    grids: list[np.ndarray] = []
+    for (hi, vi), plane, q in zip(samplings, planes, qs):
+        bh, bw = (plane.shape[0] + 7) // 8, (plane.shape[1] + 7) // 8
+        grid = np.stack(
+            [_fdct_quant(b, q).flatten()[_ZZ] for b in _blocks(plane)]
+        ).reshape(bh, bw, 64)
+        grids.append(grid)
+        cx, cy = bw // hi, bh // vi
+        if mcux is None:
+            mcux, mcuy = cx, cy
+        elif (cx, cy) != (mcux, mcuy):
+            raise ValueError("component grids disagree on MCU geometry")
+        seq = []
+        for m in range(mcux * mcuy):
+            my, mx = m // mcux, m % mcux
+            for v in range(vi):
+                for hh in range(hi):
+                    seq.append(grid[my * vi + v, mx * hi + hh])
+        seqs.append(seq)
+    return seqs, grids, mcux, mcuy
 
+
+def _prep_planes(img: np.ndarray, subsampling: str):
+    """Color transform + MCU padding + chroma box-downsample shared
+    by the baseline and progressive encoders.  Returns (planes,
+    samplings, h, w) — ``samplings`` is None for the 4:4:4 /
+    greyscale layouts (one 1x1 block per MCU)."""
+    if subsampling not in _SUBSAMPLINGS:
+        raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLINGS)}")
+    hs, vs = _SUBSAMPLINGS[subsampling]
+    img = np.asarray(img)
+    samplings = None
+    if img.ndim == 2:
+        planes = [img.astype(np.float64)]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ycc = _rgb_to_ycbcr(img)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        if (hs, vs) != (1, 1):
+            # pad to whole MCUs (edge-replicate, like _blocks), then
+            # box-average chroma down by the luma sampling factors
+            ih, iw = planes[0].shape
+            ph = (ih + 8 * vs - 1) // (8 * vs) * (8 * vs)
+            pw = (iw + 8 * hs - 1) // (8 * hs) * (8 * hs)
+            padded = [
+                np.pad(p, ((0, ph - ih), (0, pw - iw)), mode="edge") for p in planes
+            ]
+            planes = [padded[0]] + [
+                p.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+                for p in padded[1:]
+            ]
+            samplings = [(hs, vs), (1, 1), (1, 1)]
+    else:
+        raise ValueError("expected HxW or HxWx3 uint8")
+    return planes, samplings, img.shape[0], img.shape[1]
+
+
+def _collect_block_syms(zz, prev_dc: int, dc_set: set, ac_set: set) -> int:
+    """Symbol-collection pass for one data unit; returns the new DC
+    predictor."""
+    size, _ = _magnitude(int(zz[0]) - prev_dc)
+    dc_set.add(size)
+    run = 0
+    for v in zz[1:]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ac_set.add(0xF0)
+            run -= 16
+        s, _ = _magnitude(int(v))
+        ac_set.add((run << 4) | s)
+        run = 0
+    if run:
+        ac_set.add(0x00)
+    return int(zz[0])
+
+
+def _emit_block(w: "_BitWriter", zz, prev_dc: int, dc_codes: dict, ac_codes: dict) -> int:
+    """Emission pass for one data unit; returns the new DC predictor."""
+    diff = int(zz[0]) - prev_dc
+    size, bits = _magnitude(diff)
+    lc, code = dc_codes[size]
+    w.write(code, lc)
+    if size:
+        w.write(bits, size)
+    run = 0
+    for v in zz[1:]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            lc, code = ac_codes[0xF0]
+            w.write(code, lc)
+            run -= 16
+        s, bts = _magnitude(int(v))
+        lc, code = ac_codes[(run << 4) | s]
+        w.write(code, lc)
+        w.write(bts, s)
+        run = 0
+    if run:
+        lc, code = ac_codes[0x00]
+        w.write(code, lc)
+    return int(zz[0])
+
+
+def _huff_tables_for(comp_seqs, comp_class, reset_everys, n_classes):
+    """Build the shared per-class canonical tables + code maps from
+    the symbol-collection pass over every component's block
+    sequence (``reset_everys[ci]`` = DC-predictor reset period in
+    blocks, 0 for none)."""
     dc_syms: dict[int, set] = {0: set(), 1: set()}
     ac_syms: dict[int, set] = {0: set(), 1: set()}
-    for ci, blocks in enumerate(blocks_per_comp):
+    for ci, blocks in enumerate(comp_seqs):
         cls = comp_class[ci]
+        reset_every = reset_everys[ci]
         prev_dc = 0
         for m, zz in enumerate(blocks):
-            if restart_interval and m and m % restart_interval == 0:
+            if reset_every and m and m % reset_every == 0:
                 prev_dc = 0  # mirror the encode-pass DC reset
-            size, _ = _magnitude(int(zz[0]) - prev_dc)
-            prev_dc = int(zz[0])
-            dc_syms[cls].add(size)
-            run = 0
-            for v in zz[1:]:
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    ac_syms[cls].add(0xF0)
-                    run -= 16
-                s, _ = _magnitude(int(v))
-                ac_syms[cls].add((run << 4) | s)
-                run = 0
-            if run:
-                ac_syms[cls].add(0x00)
+            prev_dc = _collect_block_syms(zz, prev_dc, dc_syms[cls], ac_syms[cls])
     for cls in (0, 1):
         dc_syms[cls].add(0)       # always define EOB/zero-size
         ac_syms[cls].add(0x00)
-
-    n_classes = 1 if len(planes) == 1 else 2
     dc_tables = [_fixed9_table(sorted(dc_syms[c])) for c in range(n_classes)]
     ac_tables = [_fixed9_table(sorted(ac_syms[c])) for c in range(n_classes)]
     dc_codes = [
@@ -350,96 +439,164 @@ def _entropy_encode(
         {s: (lc, code) for (lc, code), s in ((k, v) for k, v in _build_decode_map(*t).items())}
         for t in ac_tables
     ]
+    return dc_tables, ac_tables, dc_codes, ac_codes
 
-    # interleaved MCU order: one block of each component (4:4:4)
+
+def _entropy_encode(
+    planes: list[np.ndarray],
+    qs: list[np.ndarray],
+    restart_interval: int = 0,
+    samplings: list[tuple[int, int]] | None = None,
+) -> tuple[bytes, list, list]:
+    """Returns (entropy bytes, dc tables, ac tables) — one (bits,
+    huffval) pair per table class, shared across components of the
+    same class (0 = luma, 1 = chroma like the standard layout).
+    ``samplings`` gives each component's (hi, vi); per T.81 A.2.3 an
+    MCU carries hi x vi data units of component i (4:4:4 when all
+    (1, 1)).  With ``restart_interval`` > 0, an aligned RSTn marker
+    is emitted every that many MCUs and DC prediction resets
+    (T.81 E.2.4)."""
+    samplings = samplings or [(1, 1)] * len(planes)
+    comp_class = [0] + [1] * (len(planes) - 1)
+    seqs, _grids, mcux, mcuy = _mcu_sequences(planes, qs, samplings)
+    n_classes = 1 if len(planes) == 1 else 2
+    # restart resets mirror the emission pass: every restart_interval
+    # MCUs = that many * hi*vi blocks of component i
+    dc_tables, ac_tables, dc_codes, ac_codes = _huff_tables_for(
+        seqs, comp_class, [restart_interval * hi * vi for hi, vi in samplings],
+        n_classes,
+    )
+
+    # interleaved MCU order: hi x vi blocks of each component
     w = _BitWriter()
     prev_dc = [0] * len(planes)
-    n_mcus = len(blocks_per_comp[0])
-    for m in range(n_mcus):
+    ptr = [0] * len(planes)
+    for m in range(mcux * mcuy):
         if restart_interval and m and m % restart_interval == 0:
             w.align()
             w.emit_marker(0xD0 + (m // restart_interval - 1) % 8)
             prev_dc = [0] * len(planes)
         for ci in range(len(planes)):
             cls = comp_class[ci] if n_classes == 2 else 0
-            zz = blocks_per_comp[ci][m]
-            diff = int(zz[0]) - prev_dc[ci]
-            prev_dc[ci] = int(zz[0])
-            size, bits = _magnitude(diff)
-            lc, code = dc_codes[cls][size]
-            w.write(code, lc)
-            if size:
-                w.write(bits, size)
-            run = 0
-            for v in zz[1:]:
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    lc, code = ac_codes[cls][0xF0]
-                    w.write(code, lc)
-                    run -= 16
-                s, bts = _magnitude(int(v))
-                lc, code = ac_codes[cls][(run << 4) | s]
-                w.write(code, lc)
-                w.write(bts, s)
-                run = 0
-            if run:
-                lc, code = ac_codes[cls][0x00]
-                w.write(code, lc)
+            hi, vi = samplings[ci]
+            for _ in range(hi * vi):
+                zz = seqs[ci][ptr[ci]]
+                ptr[ci] += 1
+                prev_dc[ci] = _emit_block(w, zz, prev_dc[ci], dc_codes[cls], ac_codes[cls])
     return w.flush(), dc_tables, ac_tables
 
 
+def _entropy_encode_noninterleaved(
+    planes, qs, samplings, restart_interval, h, w
+) -> tuple[list[bytes], list, list]:
+    """One entropy stream per component (baseline one-scan-per-
+    component layout, T.81 A.2.2): each scan covers the component's
+    TRUE block grid (no MCU padding units), restart counts data
+    units.  Tables are still shared per class across components."""
+    ncomp = len(planes)
+    comp_class = [0] + [1] * (ncomp - 1)
+    geo = _comp_geometry(
+        (h, w, ncomp),
+        [(ci, hi, vi, 0) for ci, (hi, vi) in enumerate(samplings)],
+    )[4]
+    comp_blocks = []
+    for ci, (plane, q) in enumerate(zip(planes, qs)):
+        g = geo[ci]
+        bh, bw = (plane.shape[0] + 7) // 8, (plane.shape[1] + 7) // 8
+        grid = np.stack(
+            [_fdct_quant(b, q).flatten()[_ZZ] for b in _blocks(plane)]
+        ).reshape(bh, bw, 64)
+        # true grid only — MCU padding data units exist solely in
+        # interleaved scans; same quantized blocks as the interleaved
+        # layout, so the decode is bit-identical
+        comp_blocks.append(
+            [grid[by, bx] for by in range(g["bhc"]) for bx in range(g["bwc"])]
+        )
+    n_classes = 1 if ncomp == 1 else 2
+    dc_tables, ac_tables, dc_codes, ac_codes = _huff_tables_for(
+        comp_blocks, comp_class, [restart_interval] * ncomp, n_classes,
+    )
+    streams = []
+    for ci, blocks in enumerate(comp_blocks):
+        cls = comp_class[ci] if n_classes == 2 else 0
+        wtr = _BitWriter()
+        prev = 0
+        for m, zz in enumerate(blocks):
+            if restart_interval and m and m % restart_interval == 0:
+                wtr.align()
+                wtr.emit_marker(0xD0 + (m // restart_interval - 1) % 8)
+                prev = 0
+            prev = _emit_block(wtr, zz, prev, dc_codes[cls], ac_codes[cls])
+        streams.append(wtr.flush())
+    return streams, dc_tables, ac_tables
+
+
+_SUBSAMPLINGS = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
 def encode_baseline_jpeg(
-    img: np.ndarray, quality: int = 90, restart_interval: int = 0
+    img: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+    interleave: bool = True,
 ) -> bytes:
     """Encode HxW (greyscale) or HxWx3 (RGB) uint8 to baseline JPEG
-    (4:4:4, custom canonical Huffman tables).  ``restart_interval``
-    > 0 writes a DRI segment and RSTn markers every that many MCUs —
-    the feature that lets a 100 TB image pipeline entropy-decode one
+    (custom canonical Huffman tables).  ``subsampling`` is "444"
+    (default), "422", or "420" — chroma is box-averaged down by the
+    luma sampling factors, the standard crawl-JPEG layout.
+    ``interleave=False`` writes one scan per component (T.81 A.2.2's
+    non-interleaved layout) instead of a single interleaved scan —
+    same quantized coefficients, so the decode is bit-identical.
+    ``restart_interval`` > 0 writes a DRI segment and RSTn markers
+    every that many MCUs (data units when non-interleaved) — the
+    feature that lets a 100 TB image pipeline entropy-decode one
     image's scan in parallel slices."""
-    img = np.asarray(img)
-    if img.ndim == 2:
-        planes = [img.astype(np.float64)]
-    elif img.ndim == 3 and img.shape[2] == 3:
-        ycc = _rgb_to_ycbcr(img)
-        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
-    else:
-        raise ValueError("expected HxW or HxWx3 uint8")
-    h, w = planes[0].shape
+    planes, samplings, h, w = _prep_planes(img, subsampling)
     ql, qc = _quant_tables(quality)
     qs = [ql] + [qc] * (len(planes) - 1)
+    ncomp = len(planes)
+    samplings = samplings or [(1, 1)] * ncomp
 
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT
-    for tq, q in enumerate(qs[: 2 if len(planes) > 1 else 1]):
+    for tq, q in enumerate(qs[: 2 if ncomp > 1 else 1]):
         payload = bytes([tq]) + bytes(int(q.flatten()[_ZZ][i]) for i in range(64))
         out += b"\xff\xdb" + struct.pack(">H", 2 + len(payload)) + payload
     # SOF0
-    ncomp = len(planes)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         tq = 0 if ci == 0 else 1
-        sof += bytes([ci + 1, 0x11, tq if ncomp > 1 else 0])
+        hi, vi = samplings[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, tq if ncomp > 1 else 0])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
 
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
-    entropy, dc_tables, ac_tables = _entropy_encode(planes, qs, restart_interval)
+    if interleave or ncomp == 1:
+        entropy, dc_tables, ac_tables = _entropy_encode(
+            planes, qs, restart_interval, samplings
+        )
+        scans = [(list(range(ncomp)), entropy)]
+    else:
+        streams, dc_tables, ac_tables = _entropy_encode_noninterleaved(
+            planes, qs, samplings, restart_interval, h, w
+        )
+        scans = [([ci], stream) for ci, stream in enumerate(streams)]
     for cls, (bits, vals) in enumerate(dc_tables):
         payload = bytes([0x00 | cls]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
     for cls, (bits, vals) in enumerate(ac_tables):
         payload = bytes([0x10 | cls]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
-    # SOS
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        cls = 0 if ci == 0 or ncomp == 1 else 1
-        sos += bytes([ci + 1, (cls << 4) | cls])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-    out += entropy
+    for comp_ids, entropy in scans:
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            cls = 0 if ci == 0 or ncomp == 1 else 1
+            sos += bytes([ci + 1, (cls << 4) | cls])
+        sos += bytes([0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += entropy
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -448,32 +605,40 @@ def encode_baseline_jpeg(
 # progressive encoder (T.81 Annex G.1)
 # ---------------------------------------------------------------------------
 
-def _prog_dc_first_ops(zz_comps, comp_class, al):
+def _prog_dc_first_ops(seqs, comp_class, bpm, al):
     """Interleaved first DC scan: huffman-coded diffs of DC >> al
-    (arithmetic shift, G.1.2.1).  Ops: ('s', cls, tc, sym) huffman
-    symbol / ('b', value, nbits) raw bits."""
+    (arithmetic shift, G.1.2.1) in MCU order — ``seqs`` are the
+    MCU-ordered block sequences, ``bpm[ci]`` the hi*vi data units of
+    component i per MCU.  Ops: ('s', cls, tc, sym) huffman symbol /
+    ('b', value, nbits) raw bits."""
     ops, syms = [], {0: set(), 1: set()}
-    prev = [0] * len(zz_comps)
-    for m in range(len(zz_comps[0])):
-        for ci, blocks in enumerate(zz_comps):
-            v = int(blocks[m][0]) >> al
-            size, bits = _magnitude(v - prev[ci])
-            prev[ci] = v
+    prev = [0] * len(seqs)
+    ptr = [0] * len(seqs)
+    for _m in range(len(seqs[0]) // bpm[0]):
+        for ci, blocks in enumerate(seqs):
             cls = comp_class[ci]
-            syms[cls].add(size)
-            ops.append(("s", cls, 0, size))
-            if size:
-                ops.append(("b", bits, size))
+            for _ in range(bpm[ci]):
+                v = int(blocks[ptr[ci]][0]) >> al
+                ptr[ci] += 1
+                size, bits = _magnitude(v - prev[ci])
+                prev[ci] = v
+                syms[cls].add(size)
+                ops.append(("s", cls, 0, size))
+                if size:
+                    ops.append(("b", bits, size))
     return ops, syms
 
 
-def _prog_dc_refine_ops(zz_comps, al):
+def _prog_dc_refine_ops(seqs, bpm, al):
     """DC refinement: one raw bit (bit ``al`` of the signed DC) per
-    block per component — no huffman coding at all (G.1.2.1)."""
+    data unit in MCU order — no huffman coding at all (G.1.2.1)."""
     ops = []
-    for m in range(len(zz_comps[0])):
-        for blocks in zz_comps:
-            ops.append(("b", (int(blocks[m][0]) >> al) & 1, 1))
+    ptr = [0] * len(seqs)
+    for _m in range(len(seqs[0]) // bpm[0]):
+        for ci, blocks in enumerate(seqs):
+            for _ in range(bpm[ci]):
+                ops.append(("b", (int(blocks[ptr[ci]][0]) >> al) & 1, 1))
+                ptr[ci] += 1
     return ops, {0: set(), 1: set()}
 
 
@@ -581,34 +746,42 @@ def _prog_ac_refine_ops(blocks, cls, ss, se, al):
     return ops, {cls: syms, 1 - cls: set()}
 
 
-def encode_progressive_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+def encode_progressive_jpeg(
+    img: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
     """Encode HxW (greyscale) or HxWx3 (RGB) uint8 to PROGRESSIVE
-    JPEG (SOF2, 4:4:4): a spec-standard scan script exercising both
-    progressive modes — DC first at Al=1 + DC refinement, then per
-    component AC bands 1-5 and 6-63 first at Al=1 + refinements to
-    Al=0.  Quantization is identical to ``encode_baseline_jpeg`` at
-    the same quality, so decoding a progressive stream yields
+    JPEG (SOF2; ``subsampling`` "444"/"422"/"420" like the baseline
+    encoder): a spec-standard scan script exercising both progressive
+    modes — DC first at Al=1 + DC refinement (interleaved over MCUs),
+    then per component AC bands 1-5 and 6-63 first at Al=1 +
+    refinements to Al=0 (non-interleaved over the component's own
+    block grid, T.81 G.1.1.1.1).  Quantization and chroma
+    downsampling are identical to ``encode_baseline_jpeg`` at the
+    same quality, so decoding a progressive stream yields
     BIT-IDENTICAL pixels to decoding the baseline stream of the same
     image (progressive coding is a lossless reordering of the same
     quantized coefficients) — the round-trip equivalence pytest pins
     exactly that."""
-    img = np.asarray(img)
-    if img.ndim == 2:
-        planes = [img.astype(np.float64)]
-    elif img.ndim == 3 and img.shape[2] == 3:
-        ycc = _rgb_to_ycbcr(img)
-        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
-    else:
-        raise ValueError("expected HxW or HxWx3 uint8")
-    h, w = planes[0].shape
+    planes, samplings, h, w = _prep_planes(img, subsampling)
     ncomp = len(planes)
+    samplings = samplings or [(1, 1)] * ncomp
     ql, qc = _quant_tables(quality)
     qs = [ql] + [qc] * (ncomp - 1)
     comp_class = [0] + [1] * (ncomp - 1)
-    zz_comps = [
-        [_fdct_quant(b, q).flatten()[_ZZ] for b in _blocks(p)]
-        for p, q in zip(planes, qs)
-    ]
+    seqs, grids, _mcux, _mcuy = _mcu_sequences(planes, qs, samplings)
+    bpm = [hi * vi for hi, vi in samplings]
+    # non-interleaved AC scans cover only the component's TRUE block
+    # grid (padding data units exist solely in interleaved scans)
+    geo = _comp_geometry(
+        (h, w, ncomp),
+        [(ci, hi, vi, 0) for ci, (hi, vi) in enumerate(samplings)],
+    )[4]
+    zz_comps = []
+    for ci, grid in enumerate(grids):
+        g = geo[ci]
+        zz_comps.append(
+            [grid[by, bx] for by in range(g["bhc"]) for bx in range(g["bwc"])]
+        )
 
     out = bytearray(b"\xff\xd8")  # SOI
     for tq, q in enumerate(qs[: 2 if ncomp > 1 else 1]):
@@ -616,7 +789,8 @@ def encode_progressive_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
         out += b"\xff\xdb" + struct.pack(">H", 2 + len(payload)) + payload
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, (0 if ci == 0 else 1) if ncomp > 1 else 0])
+        hi, vi = samplings[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, (0 if ci == 0 else 1) if ncomp > 1 else 0])
     out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
 
     all_comps = list(range(ncomp))
@@ -631,10 +805,10 @@ def encode_progressive_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
 
     for kind, comp_ids, ss, se, ah, al in scans:
         if kind == "dc_first":
-            ops, syms = _prog_dc_first_ops(zz_comps, comp_class, al)
+            ops, syms = _prog_dc_first_ops(seqs, comp_class, bpm, al)
             tc = 0
         elif kind == "dc_refine":
-            ops, syms = _prog_dc_refine_ops(zz_comps, al)
+            ops, syms = _prog_dc_refine_ops(seqs, bpm, al)
             tc = 0
         else:
             ci = comp_ids[0]
@@ -679,17 +853,20 @@ def encode_progressive_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
 
 def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     """Decode JPEG bytes to HxW (greyscale) or HxWx3 (RGB) uint8:
-    baseline sequential (SOF0, honoring DRI restart intervals) and —
-    round 6 — progressive (SOF2, spectral selection + successive
-    approximation, T.81 Annex G).  Raises ValueError on malformed
-    streams and NotImplementedError on the remaining non-supported
-    features (arithmetic coding, hierarchical, subsampling).  Fuzz
-    contract (pytest-pinned): NO other exception type escapes,
-    however corrupt the bytes."""
+    baseline sequential (SOF0, honoring DRI restart intervals,
+    interleaved or one-component-per-scan) and progressive (SOF2,
+    spectral selection + successive approximation, T.81 Annex G) —
+    both with arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 /
+    anything T.81 A.1.1 allows, chroma upsampled nearest-neighbor).
+    Raises ValueError on malformed streams and NotImplementedError on
+    the remaining non-supported features (arithmetic coding,
+    hierarchical).  Fuzz contract (pytest-pinned): NO other exception
+    type escapes, however corrupt the bytes."""
     try:
         return _decode_baseline_jpeg(data)
-    except (IndexError, KeyError, struct.error) as exc:
-        # truncated segments / danging table refs surface as the
+    except (IndexError, KeyError, struct.error, OverflowError) as exc:
+        # truncated segments / dangling table refs / corrupt huffman
+        # tables driving coefficients past int64 surface as the
         # documented malformed-stream error, never a raw crash
         raise ValueError(f"malformed JPEG stream: {exc!r}") from exc
 
@@ -713,6 +890,31 @@ def _find_next_marker(data: bytes, pos: int) -> int:
     raise ValueError("truncated stream (no terminating marker)")
 
 
+def _comp_geometry(frame, comps):
+    """Per-component block geometry under T.81 A.1.1: the MCU grid
+    comes from the max sampling factors; component i covers
+    ceil(w*hi/hmax) x ceil(h*vi/vmax) samples.  Returns (hmax, vmax,
+    mcux, mcuy, {cid: dict}) where each dict carries the sampling
+    factors, the component's true sample dims (wc, hc), its coded
+    block grid (bwc, bhc) for non-interleaved scans, and the padded
+    interleaved grid (bw, bh) = MCU grid x sampling."""
+    h, w, _ = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    geo = {}
+    for cid, hi, vi, _tq in comps:
+        wc = (w * hi + hmax - 1) // hmax
+        hc = (h * vi + vmax - 1) // vmax
+        geo[cid] = {
+            "hi": hi, "vi": vi, "wc": wc, "hc": hc,
+            "bwc": (wc + 7) // 8, "bhc": (hc + 7) // 8,
+            "bw": mcux * hi, "bh": mcuy * vi,
+        }
+    return hmax, vmax, mcux, mcuy, geo
+
+
 def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -721,8 +923,9 @@ def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}
     frame = None
     progressive = False
+    scanned = False
     restart_interval = 0
-    comps: list[tuple[int, int]] = []  # (comp_id, quant table id)
+    comps: list[tuple[int, int, int, int]] = []  # (comp_id, hi, vi, quant id)
     coefs: dict[int, np.ndarray] | None = None  # cid -> (bh, bw, 64) zigzag
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -736,8 +939,8 @@ def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
-            if progressive and coefs is not None:
-                return _reconstruct_progressive(frame, comps, coefs, qtables)
+            if scanned and coefs is not None:
+                return _reconstruct(frame, comps, coefs, qtables)
             raise ValueError("no scan data before EOI")
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         seg = data[pos + 2 : pos + seglen]
@@ -759,18 +962,17 @@ def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for ci in range(ncomp):
                 cid, sampling, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling not supported (4:4:4 only)"
-                    )
-                comps.append((cid, tq))
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("invalid sampling factors")
+                comps.append((cid, hi, vi, tq))
             frame = (h, w, ncomp)
-            if marker == 0xC2:
-                progressive = True
-                bw, bh = (w + 7) // 8, (h + 7) // 8
-                coefs = {
-                    cid: np.zeros((bh, bw, 64), dtype=np.int64) for cid, _ in comps
-                }
+            progressive = marker == 0xC2
+            _, _, _, _, geo = _comp_geometry(frame, comps)
+            coefs = {
+                cid: np.zeros((geo[cid]["bh"], geo[cid]["bw"], 64), dtype=np.int64)
+                for cid, _, _, _ in comps
+            }
         elif marker in (0xC1, 0xC3, 0xC9, 0xCA):
             raise NotImplementedError("non-baseline JPEG (arithmetic/hierarchical)")
         elif marker == 0xC4:  # DHT (possibly multiple tables)
@@ -791,19 +993,23 @@ def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
             scan = []
             for ci in range(ns):
                 cid, tt = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                if cid not in coefs:
+                    raise ValueError("scan references unknown component")
                 scan.append((cid, tt >> 4, tt & 0x0F))
             entropy_start = pos + seglen
             if not progressive:
-                return _decode_scan(
-                    data, entropy_start, frame, comps, scan, qtables, htables,
+                _decode_sequential_scan(
+                    data, entropy_start, frame, comps, scan, htables, coefs,
                     restart_interval,
                 )
-            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
-            ahal = seg[3 + 2 * ns]
-            _decode_progressive_scan(
-                data, entropy_start, frame, scan, htables, coefs,
-                ss, se, ahal >> 4, ahal & 0x0F, restart_interval,
-            )
+            else:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                _decode_progressive_scan(
+                    data, entropy_start, frame, comps, scan, htables, coefs,
+                    ss, se, ahal >> 4, ahal & 0x0F, restart_interval,
+                )
+            scanned = True
             pos = _find_next_marker(data, entropy_start)
             continue
         # APPn / COM / others: skip
@@ -811,40 +1017,121 @@ def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
     raise ValueError("no SOS marker found")
 
 
+def _decode_block(reader, dc_tab, ac_tab, prev_dc: int, zz: np.ndarray) -> int:
+    """One sequential data unit (T.81 F.2.2) into ``zz`` (a zigzag
+    int64 view); returns the new DC predictor."""
+    size = _huff_decode(reader, dc_tab)
+    if size > 15:  # T.81 F.1.2.1.1: DC magnitude category is 0..11
+        raise ValueError("invalid DC size category")
+    diff = _extend(reader.read_bits(size), size) if size else 0
+    dc = prev_dc + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        sym = _huff_decode(reader, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, s = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63:
+            raise ValueError("AC run overflow")
+        zz[k] = _extend(reader.read_bits(s), s)
+        k += 1
+    return dc
+
+
+def _decode_sequential_scan(
+    data, start, frame, comps, scan, htables, coefs, restart_interval=0
+) -> None:
+    """One baseline scan into the coefficient store: interleaved
+    (ns > 1: MCU = hi x vi data units per component, T.81 A.2.3) or
+    non-interleaved (ns == 1: the component's own block grid)."""
+    _, _, mcux, mcuy, geo = _comp_geometry(frame, comps)
+    reader = _BitReader(data[start:])
+    if len(scan) == 1:
+        cid, td, ta = scan[0]
+        g = geo[cid]
+        dc_tab, ac_tab = htables[(0, td)], htables[(1, ta)]
+        store = coefs[cid]
+        prev = 0
+        bwc = g["bwc"]
+        for m in range(bwc * g["bhc"]):
+            if restart_interval and m and m % restart_interval == 0:
+                reader.sync_restart((m // restart_interval - 1) % 8)
+                prev = 0
+            prev = _decode_block(reader, dc_tab, ac_tab, prev, store[m // bwc, m % bwc])
+        return
+    prev_dc = {cid: 0 for cid, _, _ in scan}
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.sync_restart((m // restart_interval - 1) % 8)
+            prev_dc = {cid: 0 for cid, _, _ in scan}
+        my, mx = m // mcux, m % mcux
+        for cid, td, ta in scan:
+            g = geo[cid]
+            dc_tab, ac_tab = htables[(0, td)], htables[(1, ta)]
+            for v in range(g["vi"]):
+                for hh in range(g["hi"]):
+                    prev_dc[cid] = _decode_block(
+                        reader, dc_tab, ac_tab, prev_dc[cid],
+                        coefs[cid][my * g["vi"] + v, mx * g["hi"] + hh],
+                    )
+
+
 def _decode_progressive_scan(
-    data, start, frame, scan, htables, coefs, ss, se, ah, al, restart_interval=0
+    data, start, frame, comps, scan, htables, coefs, ss, se, ah, al,
+    restart_interval=0,
 ) -> None:
     """One progressive scan (T.81 G.2) accumulated into ``coefs``:
-    DC first/refine (interleaved allowed), AC first/refine
-    (single-component per spec).  The successive-approximation
-    refinement follows the spec's signed-coefficient bit semantics:
-    stored values are always sign * (approximated magnitude), so
-    ``value & (1 << al)`` tests bit ``al`` of the magnitude for every
-    reachable state."""
-    h, w, _ = frame
+    DC first/refine (interleaved over MCUs when ns > 1, else the
+    component's own grid), AC first/refine (single-component per
+    spec, over that component's block grid).  The successive-
+    approximation refinement follows the spec's signed-coefficient
+    bit semantics: stored values are always sign * (approximated
+    magnitude), so ``value & (1 << al)`` tests bit ``al`` of the
+    magnitude for every reachable state."""
+    _, _, mcux, mcuy, geo = _comp_geometry(frame, comps)
     reader = _BitReader(data[start:])
-    bw, bh = (w + 7) // 8, (h + 7) // 8
     p1 = 1 << al
 
     if ss == 0:  # DC scan (se must be 0)
         if se != 0:
             raise ValueError("DC scan with Se != 0")
+
+        def dc_unit(cid, td, by, bx):
+            if ah == 0:  # first DC scan: huffman diffs of DC >> al
+                size = _huff_decode(reader, htables[(0, td)])
+                diff = _extend(reader.read_bits(size), size) if size else 0
+                prev_dc[cid] += diff
+                coefs[cid][by, bx, 0] = prev_dc[cid] << al
+            else:  # refinement: one raw bit per block
+                if reader.read_bit():
+                    coefs[cid][by, bx, 0] |= p1
+
         prev_dc = {cid: 0 for cid, _, _ in scan}
-        n_mcus = bw * bh
-        for m in range(n_mcus):
+        if len(scan) == 1:  # non-interleaved: the component's grid
+            cid, td, _ta = scan[0]
+            g = geo[cid]
+            bwc = g["bwc"]
+            for m in range(bwc * g["bhc"]):
+                if restart_interval and m and m % restart_interval == 0:
+                    reader.sync_restart((m // restart_interval - 1) % 8)
+                    prev_dc = {cid: 0}
+                dc_unit(cid, td, m // bwc, m % bwc)
+            return
+        for m in range(mcux * mcuy):  # interleaved MCU order
             if restart_interval and m and m % restart_interval == 0:
                 reader.sync_restart((m // restart_interval - 1) % 8)
                 prev_dc = {cid: 0 for cid, _, _ in scan}
-            by, bx = m // bw, m % bw
+            my, mx = m // mcux, m % mcux
             for cid, td, _ta in scan:
-                if ah == 0:  # first DC scan: huffman diffs of DC >> al
-                    size = _huff_decode(reader, htables[(0, td)])
-                    diff = _extend(reader.read_bits(size), size) if size else 0
-                    prev_dc[cid] += diff
-                    coefs[cid][by, bx, 0] = prev_dc[cid] << al
-                else:  # refinement: one raw bit per block
-                    if reader.read_bit():
-                        coefs[cid][by, bx, 0] |= p1
+                g = geo[cid]
+                for v in range(g["vi"]):
+                    for hh in range(g["hi"]):
+                        dc_unit(cid, td, my * g["vi"] + v, mx * g["hi"] + hh)
         return
 
     # AC scan: exactly one component (T.81 G.1.1.1.1)
@@ -854,7 +1141,9 @@ def _decode_progressive_scan(
     ac_tab = htables[(1, ta)]
     plane = coefs[cid]
     eobrun = 0
-    n_blocks = bw * bh
+    g = geo[cid]
+    bw = g["bwc"]
+    n_blocks = bw * g["bhc"]
     for m in range(n_blocks):
         if restart_interval and m and m % restart_interval == 0:
             reader.sync_restart((m // restart_interval - 1) % 8)
@@ -926,68 +1215,34 @@ def _decode_progressive_scan(
                 eobrun -= 1
 
 
-def _reconstruct_progressive(frame, comps, coefs, qtables) -> np.ndarray:
+def _reconstruct(frame, comps, coefs, qtables) -> np.ndarray:
+    """Coefficient store -> image: per-component dequant + IDCT over
+    the component's coded grid, crop to its true sample dims, then
+    nearest-neighbor upsample to frame resolution (T.81 leaves the
+    upsampling filter to the decoder; nearest is the deterministic
+    choice a bit-reproducible pipeline wants)."""
     h, w, ncomp = frame
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    hmax, vmax, _, _, geo = _comp_geometry(frame, comps)
     planes = []
-    for cid, tq in comps:
+    for cid, hi, vi, tq in comps:
         q = qtables[tq]
-        plane = np.zeros((bh * 8, bw * 8))
+        g = geo[cid]
         store = coefs[cid]
-        for by in range(bh):
-            for bx in range(bw):
+        plane = np.zeros((g["bhc"] * 8, g["bwc"] * 8))
+        for by in range(g["bhc"]):
+            for bx in range(g["bwc"]):
                 coef = np.zeros(64)
                 coef[_ZZ] = store[by, bx]
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _dequant_idct(
                     coef.reshape(8, 8), q
                 )
-        planes.append(plane[:h, :w])
-    if ncomp == 1:
-        return planes[0].astype(np.uint8)
-    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
-
-
-def _decode_scan(
-    data, start, frame, comps, scan, qtables, htables, restart_interval=0
-) -> np.ndarray:
-    h, w, ncomp = frame
-    reader = _BitReader(data[start:])
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(ncomp)]
-    prev_dc = [0] * ncomp
-    comp_q = {cid: qtables[tq] for cid, tq in comps}
-    for m in range(bw * bh):
-        if restart_interval and m and m % restart_interval == 0:
-            reader.sync_restart((m // restart_interval - 1) % 8)
-            prev_dc = [0] * ncomp
-        by, bx = (m // bw) * 8, (m % bw) * 8
-        for ci, (cid, td, ta) in enumerate(scan):
-            dc_tab, ac_tab = htables[(0, td)], htables[(1, ta)]
-            zz = np.zeros(64, dtype=np.int64)
-            size = _huff_decode(reader, dc_tab)
-            diff = _extend(reader.read_bits(size), size) if size else 0
-            prev_dc[ci] += diff
-            zz[0] = prev_dc[ci]
-            k = 1
-            while k < 64:
-                sym = _huff_decode(reader, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run overflow")
-                zz[k] = _extend(reader.read_bits(size), size)
-                k += 1
-            coef = np.zeros(64)
-            coef[_ZZ] = zz
-            planes[ci][by : by + 8, bx : bx + 8] = _dequant_idct(
-                coef.reshape(8, 8), comp_q[cid]
-            )
-    planes = [p[:h, :w] for p in planes]
+        if hi == hmax and vi == vmax:
+            plane = plane[:h, :w]
+        else:
+            rows = np.minimum((np.arange(h) * vi) // vmax, g["hc"] - 1)
+            cols = np.minimum((np.arange(w) * hi) // hmax, g["wc"] - 1)
+            plane = plane[rows][:, cols]
+        planes.append(plane)
     if ncomp == 1:
         return planes[0].astype(np.uint8)
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

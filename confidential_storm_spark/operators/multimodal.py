@@ -12,16 +12,18 @@ Codec coverage is honest about the container:
   resizes and frame samples on these formats are exact.
 - Baseline JPEG is decoded FOR REAL too (pure-numpy T.81 codec,
   ``operators/jpeg.py`` — Huffman + zigzag + dequant + IDCT +
-  YCbCr, 4:4:4 and greyscale), and so is PNG (stdlib-zlib codec,
-  ``operators/png.py`` — chunk CRCs + all five scanline filters,
-  lossless round-trip; every colour type incl. palette and
-  grey+alpha, depths 1-16, Adam7 interlace).
+  YCbCr), and so is PNG (stdlib-zlib codec, ``operators/png.py`` —
+  chunk CRCs + all five scanline filters, lossless round-trip;
+  every colour type incl. palette and grey+alpha, depths 1-16,
+  Adam7 interlace).
 - Round 6 added PROGRESSIVE JPEG (SOF2, spectral selection +
-  successive approximation) to the native codec — both directions,
-  bit-identical to the baseline path on the same quantized
-  coefficients.
-- Remaining COMPRESSED formats (subsampled JPEG, MP4 / ...) need
-  Pillow / ffmpeg, which are NOT in this container; those payloads
+  successive approximation) and CHROMA SUBSAMPLING (4:2:0 / 4:2:2 /
+  any T.81 sampling factors, interleaved or one-scan-per-component)
+  to the native codec — both directions, bit-identical across scan
+  layouts on the same quantized coefficients.  The common crawl
+  JPEG shapes (progressive AND/OR 4:2:0) all decode natively now.
+- Remaining COMPRESSED formats (arithmetic-coded JPEG, MP4 / ...)
+  need Pillow / ffmpeg, which are NOT in this container; those payloads
   either raise ``NotImplementedError`` (``strict=True``) or flow
   through as a clearly-marked deterministic fake
   (payload-digest-seeded) so the Spark-side schema / partitioning /
@@ -131,9 +133,9 @@ def decode_image(data: bytes):
     """Decode an image payload to an (h, w[, c]) uint8 array, or
     return None if the format needs an external codec or the payload
     is malformed (truncated header, 16-bit PNM, ...).  Baseline AND
-    progressive JPEG (operators/jpeg.py) plus full PNG
-    (operators/png.py) decode natively; WebP / subsampled JPEG
-    remain gated."""
+    progressive JPEG at any sampling factors (operators/jpeg.py)
+    plus full PNG (operators/png.py) decode natively; WebP /
+    arithmetic-coded JPEG remain gated."""
     if data[:2] in (b"P6", b"P5"):
         try:
             return _parse_pnm(data)
@@ -388,8 +390,9 @@ def decode_image_features(
                     oks.append(True)
                 elif strict:
                     raise NotImplementedError(
-                        "compressed image decode requires Pillow (not in container); "
-                        "supported without it: PPM/PGM/BMP"
+                        "image format needs Pillow (not in container); decoded "
+                        "natively: JPEG (baseline/progressive, any sampling), "
+                        "PNG, PPM/PGM/BMP"
                     )
                 else:
                     feats.append(

@@ -677,6 +677,113 @@ def test_progressive_jpeg_flows_through_multimodal(spark):
     assert row["features"][0] == 16.0 and row["features"][1] == 24.0
 
 
+def test_jpeg_chroma_subsampling_roundtrip():
+    """4:2:0 / 4:2:2 encode+decode (round 6): dims exact at odd
+    sizes, luma near-lossless on smooth content, chroma within
+    box-downsample + nearest-upsample error.  Greyscale ignores the
+    subsampling argument (single component has no chroma)."""
+    from confidential_storm_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:37, 0:53]
+    img = np.stack(
+        [(xx * 4 + yy * 2) % 256, (xx * 3 + 40) % 256, (yy * 5 + 90) % 256], -1
+    ).astype(np.uint8)
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 10 * np.log10(255**2 / mse)
+
+    for sub, floor in (("444", 40.0), ("422", 30.0), ("420", 30.0)):
+        for ri in (0, 3):
+            dec = decode_baseline_jpeg(
+                encode_baseline_jpeg(img, 90, restart_interval=ri, subsampling=sub)
+            )
+            assert dec.shape == img.shape, (sub, ri)
+            assert psnr(img, dec) > floor, (sub, ri)
+    g = (xx * 7 % 256).astype(np.uint8)
+    assert np.array_equal(
+        decode_baseline_jpeg(encode_baseline_jpeg(g, 90, subsampling="420")),
+        decode_baseline_jpeg(encode_baseline_jpeg(g, 90)),
+    )
+    with pytest.raises(ValueError):
+        encode_baseline_jpeg(img, 90, subsampling="411")
+
+
+def test_jpeg_subsampled_progressive_bit_identical():
+    """Progressive == baseline pixel-for-pixel at every subsampling:
+    the scan layout reorders the same quantized coefficients, so
+    SOF2 + 4:2:0 (the dominant crawl-JPEG shape) must decode
+    bit-identically to SOF0 + 4:2:0."""
+    from confidential_storm_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    for (h, w) in [(37, 53), (16, 16), (23, 9), (40, 48)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for sub in ("444", "422", "420"):
+            base = decode_baseline_jpeg(
+                encode_baseline_jpeg(img, 85, subsampling=sub)
+            )
+            prog = decode_baseline_jpeg(
+                encode_progressive_jpeg(img, 85, subsampling=sub)
+            )
+            assert np.array_equal(base, prog), (h, w, sub)
+
+
+def test_jpeg_noninterleaved_scans_bit_identical():
+    """Baseline one-scan-per-component (T.81 A.2.2, ns=1 scans) is a
+    pure re-layout of the interleaved scan: same quantized
+    coefficients, bit-identical decode — with and without restart
+    intervals (which count data units, not MCUs, in non-interleaved
+    scans) and at every subsampling."""
+    from confidential_storm_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    rng = np.random.default_rng(13)
+    for trial in range(6):
+        h, w = int(rng.integers(8, 60)), int(rng.integers(8, 60))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        sub = ("444", "422", "420")[trial % 3]
+        ri = (0, 5)[trial % 2]
+        inter = decode_baseline_jpeg(
+            encode_baseline_jpeg(img, 85, restart_interval=ri, subsampling=sub)
+        )
+        multi = decode_baseline_jpeg(
+            encode_baseline_jpeg(
+                img, 85, restart_interval=ri, subsampling=sub, interleave=False
+            )
+        )
+        assert np.array_equal(inter, multi), (h, w, sub, ri)
+
+
+def test_jpeg_subsampled_flows_through_multimodal(spark):
+    """decode_image handles 4:2:0 payloads (progressive and baseline)
+    transparently in the mapInPandas feature stage."""
+    from confidential_storm_spark.operators.jpeg import encode_progressive_jpeg
+    from confidential_storm_spark.operators.multimodal import (
+        decode_image,
+        decode_image_features,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 18, 3), dtype=np.uint8)
+    payload = encode_progressive_jpeg(img, quality=85, subsampling="420")
+    arr = decode_image(payload)
+    assert arr is not None and arr.shape == (24, 18, 3)
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    row = decode_image_features(df).collect()[0]
+    assert row["decode_ok"]
+    assert row["features"][0] == 18.0 and row["features"][1] == 24.0
+
+
 def test_codec_fuzz_only_documented_exceptions():
     """Fuzz contract: mutated valid streams and random blobs behind
     valid magics raise ValueError/NotImplementedError ONLY — decoders
@@ -694,7 +801,15 @@ def test_codec_fuzz_only_documented_exceptions():
 
     rng = random.Random(42)
     img = np.zeros((8, 8), np.uint8)
-    seeds = [encode_png(img), encode_baseline_jpeg(img), encode_progressive_jpeg(img)]
+    rgb = np.arange(8 * 12 * 3, dtype=np.uint8).reshape(8, 12, 3)
+    seeds = [
+        encode_png(img),
+        encode_baseline_jpeg(img),
+        encode_progressive_jpeg(img),
+        encode_baseline_jpeg(rgb, subsampling="420"),
+        encode_baseline_jpeg(rgb, subsampling="422", interleave=False),
+        encode_progressive_jpeg(rgb, subsampling="420"),
+    ]
     for trial in range(1500):
         base = bytearray(seeds[trial % len(seeds)])
         for _ in range(rng.randint(1, 8)):

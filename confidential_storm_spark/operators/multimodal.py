@@ -22,7 +22,14 @@ Codec coverage is honest about the container:
   to the native codec — both directions, bit-identical across scan
   layouts on the same quantized coefficients.  The common crawl
   JPEG shapes (progressive AND/OR 4:2:0) all decode natively now.
-- Remaining COMPRESSED formats (arithmetic-coded JPEG, MP4 / ...)
+- MP4/MOV containers DEMUX natively (``operators/mp4.py``, ISO
+  14496-12 box + sample-table parsing): typed metadata, durations,
+  codec fourccs, and byte-exact coded access units with timestamps
+  and keyframe flags — everything a pipeline does before pixel
+  decode.  Only the codec bitstream decode itself (H.264/AV1/AAC)
+  still needs ffmpeg.
+- Remaining COMPRESSED formats (arithmetic-coded JPEG, WebP, codec
+  bitstreams inside MP4)
   need Pillow / ffmpeg, which are NOT in this container; those payloads
   either raise ``NotImplementedError`` (``strict=True``) or flow
   through as a clearly-marked deterministic fake
@@ -59,6 +66,7 @@ __all__ = [
     "resize_images",
     "decode_audio_features",
     "sample_video_frames",
+    "demux_video_samples",
 ]
 
 # canonical media metadata struct
@@ -215,14 +223,40 @@ def sniff_media(data: bytes) -> tuple[str, str, int | None, int | None, int | No
                 return ("image", "image/png", img.shape[1], img.shape[0], None)
             return unknown
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-            with wave.open(io.BytesIO(data)) as wf:
-                dur = int(wf.getnframes() * 1000 / wf.getframerate())
+            try:
+                with wave.open(io.BytesIO(data)) as wf:
+                    dur = int(wf.getnframes() * 1000 / wf.getframerate())
+            except wave.Error:
+                # stdlib wave only takes PCM; G.711 mu-law/A-law WAVs
+                # (1 byte/sample) fall back to the chunk walk
+                parsed = _wav_fmt_chunks(data)
+                if not parsed or parsed[0] not in (6, 7):
+                    raise
+                _code, nch, sr, _bits, frames = parsed
+                dur = int(len(frames) / max(nch, 1) * 1000 / sr)
             return ("audio", "audio/wav", None, None, dur)
         if data[:9] == b"YUV4MPEG2":
             w, h, fps, pos, chroma = _y4m_header(data)
             n = _y4m_frame_count(data)
             dur = int(n * 1000 / fps) if fps else None
             return ("video", "video/x-yuv4mpeg", w, h, dur)
+        if data[4:8] == b"ftyp":  # ISO BMFF (MP4/MOV) — container demux
+            from .mp4 import parse_mp4
+
+            info = parse_mp4(data)
+            vid = next(
+                (t for t in info["tracks"] if t["handler"] == "vide"), None
+            )
+            if vid is not None:
+                return ("video", "video/mp4", vid["width"], vid["height"],
+                        vid["duration_ms"] or info["duration_ms"])
+            aud = next(
+                (t for t in info["tracks"] if t["handler"] == "soun"), None
+            )
+            if aud is not None:
+                return ("audio", "audio/mp4", None, None,
+                        aud["duration_ms"] or info["duration_ms"])
+            return ("video", "video/mp4", None, None, info["duration_ms"])
     except Exception:
         return unknown
     return unknown
@@ -552,11 +586,162 @@ def sample_video_frames(
     return df.select(id_col, payload_col).mapInPandas(sample, schema=out_schema)
 
 
+def demux_video_samples(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    n_samples: int = 4,
+    keyframes_only: bool = False,
+    strict: bool = False,
+) -> DataFrame:
+    """Extract N uniformly-spaced CODED access units per video
+    payload (one output row per sample) — the container-demux stage a
+    training pipeline runs before any pixel decode.
+
+    REAL for ISO BMFF (MP4/MOV): sample bytes, decode timestamps and
+    keyframe flags come straight from the stts/stsz/stsc/stco/stss
+    tables (``operators/mp4.py``), byte-exact for hashing / dedup /
+    handing to an external decoder.  ``keyframes_only=True`` samples
+    only sync samples — the frames a decoder can decode standalone.
+    y4m payloads demux too (every uncompressed frame is its own
+    keyframe sample).  Other containers: strict raises, otherwise a
+    deterministic digest row marked ``demux_ok=false``.
+
+    Scale: the sample-table parse touches only the moov box and the
+    selected byte ranges; payloads stream through mapInPandas in
+    Arrow batches, never materializing more than one batch per task.
+    """
+    out_schema = (
+        f"{id_col} long, sample_idx int, dts_ms long, keyframe boolean, "
+        "codec string, sample binary, demux_ok boolean"
+    )
+
+    def picks_of(n_avail: int) -> list[int]:
+        if n_avail <= 0:
+            return []
+        xs = np.linspace(0, n_avail - 1, min(n_samples, n_avail))
+        return sorted({int(round(x)) for x in xs})
+
+    def demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4 import extract_mp4_samples, mp4_sample_table
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                data = bytes(p)
+                if data[4:8] == b"ftyp":
+                    try:
+                        table = mp4_sample_table(data)
+                        idx_pool = (
+                            np.flatnonzero(table["keyframe"])
+                            if keyframes_only
+                            else np.arange(len(table["sizes"]))
+                        )
+                        chosen = [int(idx_pool[i]) for i in picks_of(len(idx_pool))]
+                        for i, dts, key, blob in extract_mp4_samples(data, chosen):
+                            rows.append(
+                                (mid, i, dts, key, table["codec"], blob, True)
+                            )
+                        continue
+                    except NotImplementedError:
+                        if strict:
+                            raise
+                    except ValueError:
+                        pass  # malformed: fall through to the fake row
+                elif data[:9] == b"YUV4MPEG2":
+                    try:
+                        _w, _h, fps, _pos, _chroma = _y4m_header(data)
+                        planes = list(_y4m_frames(data))
+                    except (ValueError, IndexError):
+                        planes = []
+                    if planes:
+                        for i in picks_of(len(planes)):
+                            dts = int(i * 1000 / fps) if fps else 0
+                            rows.append(
+                                (mid, i, dts, True, "y4m ",
+                                 encode_ppm(planes[i][:, :, None]), True)
+                            )
+                        continue
+                elif strict:
+                    raise NotImplementedError(
+                        "container demux supports ISO BMFF (MP4/MOV) and y4m; "
+                        "this payload needs ffmpeg (not in container)"
+                    )
+                rows.append(
+                    (mid, 0, 0, False, None,
+                     hashlib.md5(data).digest(), False)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sample_idx", "dts_ms", "keyframe", "codec",
+                         "sample", "demux_ok"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(demux, schema=out_schema)
+
+
+def _g711_luts() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry mu-law / A-law -> int16 expansion tables (ITU-T
+    G.711) — telephony WAVs (format codes 7 / 6) decode natively."""
+    b = np.arange(256, dtype=np.int64)
+    # mu-law
+    u = ~b & 0xFF
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    mulaw = np.where(u & 0x80, -mag, mag)
+    # A-law
+    a = b ^ 0x55
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    # A-law sign convention is inverted vs mu-law: bit 7 SET (after
+    # the 0x55 toggle) marks a POSITIVE sample (CCITT G.711 Table 2)
+    alaw = np.where(a & 0x80, mag, -mag)
+    return mulaw.astype(np.int16), alaw.astype(np.int16)
+
+
+_MULAW_LUT, _ALAW_LUT = _g711_luts()
+
+
+def _wav_fmt_chunks(data: bytes):
+    """(format_code, channels, sample_rate, bits, data_bytes) from a
+    RIFF/WAVE chunk walk, or None if fmt/data chunks are missing —
+    the fallback for formats the stdlib ``wave`` module rejects."""
+    pos, fmt, frames = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            code, nch, sr = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            fmt = (code, nch, sr, bits)
+        elif cid == b"data":
+            frames = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or frames is None:
+        return None
+    return (*fmt, frames)
+
+
 def _wav_mono(data: bytes) -> tuple[int, np.ndarray]:
-    """PCM WAV -> (sample_rate, mono float64 in [-1, 1]); channels
-    averaged."""
+    """PCM / mu-law / A-law WAV -> (sample_rate, mono float64 in
+    [-1, 1]); channels averaged.  G.711 companded streams (format
+    codes 7 / 6 — the telephony corpus shapes) expand through the
+    precomputed LUTs; everything else goes through stdlib ``wave``."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a PCM WAV")
+    parsed = _wav_fmt_chunks(data)
+    if parsed and parsed[0] in (6, 7):
+        code, nch, sr, _bits, frames = parsed
+        lut = _ALAW_LUT if code == 6 else _MULAW_LUT
+        x = lut[np.frombuffer(frames, dtype=np.uint8)].astype(np.float64) / 32768.0
+        if nch > 1:
+            x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+        return sr, x
     with wave.open(io.BytesIO(data)) as wf:
         sr, nf, sw, nch = (
             wf.getframerate(), wf.getnframes(), wf.getsampwidth(), wf.getnchannels()

@@ -827,3 +827,89 @@ def test_codec_fuzz_only_documented_exceptions():
                 dec(prefix + blob)
             except (ValueError, NotImplementedError):
                 pass
+
+
+def _g711_ref_decode(b: int, law: str) -> int:
+    """Transliteration of the canonical CCITT g711.c expanders — the
+    independent oracle for the vectorized LUTs."""
+    if law == "ulaw":
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+    a = b ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def _g711_wav(frames: bytes, code: int, sr: int = 8000, nch: int = 1) -> bytes:
+    """Hand-rolled RIFF container with a G.711 fmt chunk (format 7 =
+    mu-law, 6 = A-law) — stdlib wave refuses to write these."""
+    import struct as st
+
+    fmt = st.pack("<HHIIHH", code, nch, sr, sr * nch, nch, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + st.pack("<I", len(fmt)) + fmt
+        + b"data" + st.pack("<I", len(frames)) + frames
+    )
+    return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+def test_g711_luts_match_reference_decoder():
+    from confidential_storm_spark.operators.multimodal import _ALAW_LUT, _MULAW_LUT
+
+    for b in range(256):
+        assert int(_MULAW_LUT[b]) == _g711_ref_decode(b, "ulaw"), ("ulaw", b)
+        assert int(_ALAW_LUT[b]) == _g711_ref_decode(b, "alaw"), ("alaw", b)
+
+
+def test_g711_wav_decodes_natively():
+    """mu-law / A-law WAVs (telephony format codes 7 / 6) expand
+    through _wav_mono instead of dying in stdlib wave: a companded
+    sine comes back as the same sine within companding error, and
+    sniff_media reports the real duration."""
+    from confidential_storm_spark.operators.multimodal import (
+        _MULAW_LUT,
+        _ALAW_LUT,
+        _wav_mono,
+        sniff_media,
+    )
+
+    sr = 8000
+    t = np.arange(sr // 2) / sr
+    x16 = (np.sin(2 * np.pi * 440.0 * t) * 0.5 * 32767).astype(np.int16)
+    for code, lut in ((7, _MULAW_LUT), (6, _ALAW_LUT)):
+        # nearest-LUT companding as the test-side encoder
+        enc = np.abs(x16.astype(np.int64)[:, None] - lut[None, :]).argmin(1)
+        wavb = _g711_wav(enc.astype(np.uint8).tobytes(), code, sr)
+        got_sr, y = _wav_mono(wavb)
+        assert got_sr == sr and len(y) == len(x16)
+        err = np.abs(y - x16 / 32768.0)
+        assert float(err.max()) < 0.04, code  # companding quantization only
+        media_type, mime, _, _, dur = sniff_media(wavb)
+        assert (media_type, mime, dur) == ("audio", "audio/wav", 500)
+
+
+def test_g711_wav_flows_through_spectral_features(spark):
+    from confidential_storm_spark.operators.multimodal import (
+        _MULAW_LUT,
+        audio_spectral_features,
+    )
+
+    sr = 8000
+    t = np.arange(sr // 2) / sr
+    x16 = (np.sin(2 * np.pi * 1000.0 * t) * 0.5 * 32767).astype(np.int16)
+    enc = np.abs(x16.astype(np.int64)[:, None] - _MULAW_LUT[None, :]).argmin(1)
+    wavb = _g711_wav(enc.astype(np.uint8).tobytes(), 7, sr)
+    df = spark.createDataFrame([(1, bytearray(wavb))], "media_id long, payload binary")
+    row = audio_spectral_features(df, strict=True).collect()[0]
+    assert row["decode_ok"]
+    # 1 kHz tone: centroid lands near the tone within companding noise
+    assert 800 < row["spectral_centroid_hz"] < 1400

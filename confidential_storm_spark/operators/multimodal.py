@@ -571,7 +571,9 @@ def sample_video_frames(
                         oks.append(True)
                 elif strict:
                     raise NotImplementedError(
-                        "non-y4m video needs ffmpeg (not in container)"
+                        "pixel frames need ffmpeg for non-y4m video (not in "
+                        "container); MP4 coded samples demux natively via "
+                        "demux_video_samples"
                     )
                 else:
                     for i in range(n_frames):

@@ -43,16 +43,22 @@ def main() -> None:
     spark = get_spark()
     out = {}
     for name in names:
+        # "query:1" = single pass (for the heavy tail where a warm
+        # re-run would double an already-long measurement)
+        passes = 2
+        if ":" in name:
+            name, p = name.rsplit(":", 1)
+            passes = int(p)
         fn = QUERIES[name].builder
         times = []
-        for _ in range(2):
+        for _ in range(passes):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             times.append(round(time.perf_counter() - t0, 2))
             del df
             gc.collect()
-        out[name] = {"cold": times[0], "warm": times[1], "rows": n}
+        out[name] = {"cold": times[0], "warm": times[-1], "rows": n}
         print(json.dumps({name: out[name]}), flush=True)
     print(json.dumps({"sf_dir": sf_dir, "results": out}))
 

@@ -227,13 +227,19 @@ def sniff_media(data: bytes) -> tuple[str, str, int | None, int | None, int | No
                 with wave.open(io.BytesIO(data)) as wf:
                     dur = int(wf.getnframes() * 1000 / wf.getframerate())
             except wave.Error:
-                # stdlib wave only takes PCM; G.711 mu-law/A-law WAVs
-                # (1 byte/sample) fall back to the chunk walk
+                # stdlib wave only takes PCM; G.711 mu-law/A-law
+                # (1 byte/sample) and IMA ADPCM (blocked nibbles) fall
+                # back to the chunk walk
                 parsed = _wav_fmt_chunks(data)
-                if not parsed or parsed[0] not in (6, 7):
+                if not parsed or parsed[0] not in (6, 7, 0x11):
                     raise
-                _code, nch, sr, _bits, frames = parsed
-                dur = int(len(frames) / max(nch, 1) * 1000 / sr)
+                code, nch, sr, _bits, ba, frames = parsed
+                if code == 0x11:
+                    spb = (ba - 4 * nch) * 2 // max(nch, 1) + 1
+                    n = (len(frames) // ba) * spb
+                else:
+                    n = len(frames) // max(nch, 1)
+                dur = int(n * 1000 / sr)
             return ("audio", "audio/wav", None, None, dur)
         if data[:9] == b"YUV4MPEG2":
             w, h, fps, pos, chroma = _y4m_header(data)
@@ -493,17 +499,10 @@ def decode_audio_features(
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     data = bytes(p)
-                    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-                        raise ValueError("not a PCM WAV")
-                    with wave.open(io.BytesIO(data)) as wf:
-                        sr, nf, sw = wf.getframerate(), wf.getnframes(), wf.getsampwidth()
-                        raw = wf.readframes(nf)
-                    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sw]
-                    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
-                    if sw == 1:
-                        x -= 128.0
-                    scale = float(1 << (8 * sw - 1))
-                    x /= scale
+                    # PCM via stdlib wave; G.711 / IMA ADPCM via the
+                    # chunk walk — all three land in mono float64
+                    sr, x = _wav_mono(data)
+                    nf = len(x)
                     zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
                     rows.append(
                         (mid, sr, int(nf * 1000 / sr), float(np.sqrt(np.mean(x**2))),
@@ -708,10 +707,75 @@ def _g711_luts() -> tuple[np.ndarray, np.ndarray]:
 _MULAW_LUT, _ALAW_LUT = _g711_luts()
 
 
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_adpcm_decode(frames: bytes, nch: int, block_align: int) -> np.ndarray:
+    """IMA/DVI ADPCM (WAV format 0x11) -> int16 samples, channels
+    interleaved.  Blocks are independent (4-byte per-channel header:
+    int16 predictor + step index; then 4-bit nibbles in 4-byte
+    per-channel interleave groups), so a huge payload could decode
+    blocks in parallel — here sequential per block, vectorized nibble
+    unpack."""
+    if block_align <= 4 * nch:
+        raise ValueError("ADPCM block_align too small")
+    out: list[np.ndarray] = []
+    for bstart in range(0, len(frames) - (4 * nch) + 1, block_align):
+        block = frames[bstart : bstart + block_align]
+        preds = np.empty(nch, dtype=np.int64)
+        idxs = np.empty(nch, dtype=np.int64)
+        for c in range(nch):
+            preds[c] = int.from_bytes(block[4 * c : 4 * c + 2], "little", signed=True)
+            idxs[c] = min(max(block[4 * c + 2], 0), 88)
+        chans: list[list[int]] = [[int(preds[c])] for c in range(nch)]
+        body = block[4 * nch :]
+        nib = np.frombuffer(body, dtype=np.uint8)
+        nibbles = np.empty(nib.size * 2, dtype=np.uint8)
+        nibbles[0::2] = nib & 0x0F          # low nibble first
+        nibbles[1::2] = nib >> 4
+        # per-channel nibble streams: 4-byte (8-nibble) groups rotate
+        # across channels
+        for c in range(nch):
+            groups = nibbles.reshape(-1, 8)[c::nch] if nch > 1 else nibbles.reshape(1, -1)
+            pred, idx = int(preds[c]), int(idxs[c])
+            ch = chans[c]
+            for n in groups.ravel():
+                step = int(_IMA_STEPS[idx])
+                delta = step >> 3
+                if n & 1:
+                    delta += step >> 2
+                if n & 2:
+                    delta += step >> 1
+                if n & 4:
+                    delta += step
+                pred = pred - delta if n & 8 else pred + delta
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + int(_IMA_INDEX[n & 7])))
+                ch.append(pred)
+        n_samp = min(len(ch) for ch in chans)
+        inter = np.empty(n_samp * nch, dtype=np.int16)
+        for c in range(nch):
+            inter[c::nch] = np.asarray(chans[c][:n_samp], dtype=np.int16)
+        out.append(inter)
+    if not out:
+        raise ValueError("no ADPCM blocks")
+    return np.concatenate(out)
+
+
 def _wav_fmt_chunks(data: bytes):
-    """(format_code, channels, sample_rate, bits, data_bytes) from a
-    RIFF/WAVE chunk walk, or None if fmt/data chunks are missing —
-    the fallback for formats the stdlib ``wave`` module rejects."""
+    """(format_code, channels, sample_rate, bits, block_align,
+    data_bytes) from a RIFF/WAVE chunk walk, or None if fmt/data
+    chunks are missing — the fallback for formats the stdlib ``wave``
+    module rejects."""
     pos, fmt, frames = 12, None, None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -719,8 +783,9 @@ def _wav_fmt_chunks(data: bytes):
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
             code, nch, sr = struct.unpack("<HHI", body[:8])
+            block_align = struct.unpack("<H", body[12:14])[0]
             bits = struct.unpack("<H", body[14:16])[0]
-            fmt = (code, nch, sr, bits)
+            fmt = (code, nch, sr, bits, block_align)
         elif cid == b"data":
             frames = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -738,9 +803,15 @@ def _wav_mono(data: bytes) -> tuple[int, np.ndarray]:
         raise ValueError("not a PCM WAV")
     parsed = _wav_fmt_chunks(data)
     if parsed and parsed[0] in (6, 7):
-        code, nch, sr, _bits, frames = parsed
+        code, nch, sr, _bits, _ba, frames = parsed
         lut = _ALAW_LUT if code == 6 else _MULAW_LUT
         x = lut[np.frombuffer(frames, dtype=np.uint8)].astype(np.float64) / 32768.0
+        if nch > 1:
+            x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+        return sr, x
+    if parsed and parsed[0] == 0x11:  # IMA/DVI ADPCM
+        code, nch, sr, _bits, ba, frames = parsed
+        x = _ima_adpcm_decode(frames, nch, ba).astype(np.float64) / 32768.0
         if nch > 1:
             x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
         return sr, x

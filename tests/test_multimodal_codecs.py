@@ -913,3 +913,147 @@ def test_g711_wav_flows_through_spectral_features(spark):
     assert row["decode_ok"]
     # 1 kHz tone: centroid lands near the tone within companding noise
     assert 800 < row["spectral_centroid_hz"] < 1400
+
+
+def _ima_ref_decode_block(block: bytes, nch: int):
+    """Scalar transliteration of the IMA ADPCM reference decoder
+    (IMA Digital Audio Compatibility Project algorithm) — the
+    independent oracle for _ima_adpcm_decode."""
+    from confidential_storm_spark.operators.multimodal import _IMA_INDEX, _IMA_STEPS
+
+    chans = []
+    for c in range(nch):
+        pred = int.from_bytes(block[4 * c : 4 * c + 2], "little", signed=True)
+        idx = min(max(block[4 * c + 2], 0), 88)
+        chans.append({"pred": pred, "idx": idx, "out": [pred]})
+    body = block[4 * nch :]
+    # 4-byte groups rotate across channels
+    for g in range(len(body) // 4):
+        ch = chans[g % nch]
+        for byte in body[g * 4 : g * 4 + 4]:
+            for n in (byte & 0x0F, byte >> 4):
+                step = int(_IMA_STEPS[ch["idx"]])
+                delta = step >> 3
+                if n & 1:
+                    delta += step >> 2
+                if n & 2:
+                    delta += step >> 1
+                if n & 4:
+                    delta += step
+                p = ch["pred"] - delta if n & 8 else ch["pred"] + delta
+                ch["pred"] = max(-32768, min(32767, p))
+                ch["idx"] = max(0, min(88, ch["idx"] + int(_IMA_INDEX[n & 7])))
+                ch["out"].append(ch["pred"])
+    n_samp = min(len(c["out"]) for c in chans)
+    out = np.empty(n_samp * nch, dtype=np.int16)
+    for c in range(nch):
+        out[c::nch] = np.asarray(chans[c]["out"][:n_samp], dtype=np.int16)
+    return out
+
+
+def _adpcm_wav(blocks: bytes, nch: int, sr: int, block_align: int) -> bytes:
+    import struct as st
+
+    spb = (block_align - 4 * nch) * 2 // nch + 1
+    fmt = st.pack("<HHIIHH", 0x11, nch, sr, sr * block_align // spb, block_align, 4)
+    fmt += st.pack("<HH", 2, spb)  # cbSize + samples_per_block
+    body = (
+        b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+        + b"data" + st.pack("<I", len(blocks)) + blocks
+    )
+    return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+@pytest.mark.parametrize("nch", [1, 2])
+def test_ima_adpcm_matches_reference_decoder(nch):
+    from confidential_storm_spark.operators.multimodal import _ima_adpcm_decode
+
+    rng = np.random.default_rng(17)
+    block_align = 4 * nch + 8 * nch * 3  # 3 interleave groups/channel
+    blocks = b""
+    want = []
+    for _ in range(4):
+        block = bytearray(rng.integers(0, 256, block_align, dtype=np.uint8).tobytes())
+        for c in range(nch):
+            block[4 * c + 2] = rng.integers(0, 89)  # valid step index
+            block[4 * c + 3] = 0
+        blocks += bytes(block)
+        want.append(_ima_ref_decode_block(bytes(block), nch))
+    got = _ima_adpcm_decode(blocks, nch, block_align)
+    assert np.array_equal(got, np.concatenate(want))
+
+
+def _ima_encode_mono(x16: np.ndarray, block_align: int) -> bytes:
+    """Test-side IMA ADPCM encoder (mono): same step machinery run
+    forward, nibble chosen by the standard quantizer."""
+    from confidential_storm_spark.operators.multimodal import _IMA_INDEX, _IMA_STEPS
+
+    spb = (block_align - 4) * 2 + 1
+    out = b""
+    pos = 0
+    idx = 0  # carried across blocks like real encoders
+    while pos < len(x16):
+        chunk = x16[pos : pos + spb]
+        pos += spb
+        pred = int(chunk[0])
+        block = int(pred).to_bytes(2, "little", signed=True) + bytes([idx, 0])
+        nibbles = []
+        for s in chunk[1:]:
+            step = int(_IMA_STEPS[idx])
+            diff = int(s) - pred
+            n = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                n |= 4
+                diff -= step
+            if diff >= step >> 1:
+                n |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                n |= 1
+            # decoder-mirror update
+            delta = step >> 3
+            if n & 1:
+                delta += step >> 2
+            if n & 2:
+                delta += step >> 1
+            if n & 4:
+                delta += step
+            pred = pred - delta if n & 8 else pred + delta
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + int(_IMA_INDEX[n & 7])))
+            nibbles.append(n)
+        while len(nibbles) < spb - 1:
+            nibbles.append(0)
+        packed = bytes(
+            (nibbles[i] & 0x0F) | (nibbles[i + 1] << 4)
+            for i in range(0, len(nibbles), 2)
+        )
+        out += block + packed
+    return out
+
+
+def test_ima_adpcm_wav_end_to_end():
+    """An ADPCM-companded sine decodes back to the same sine within
+    ADPCM tracking error; sniff_media reports the true duration from
+    the block math."""
+    from confidential_storm_spark.operators.multimodal import _wav_mono, sniff_media
+
+    sr = 8000
+    t = np.arange(4096) / sr
+    x16 = (np.sin(2 * np.pi * 440.0 * t) * 0.4 * 32767).astype(np.int16)
+    block_align = 4 + 512  # 1025 samples/block
+    spb = (block_align - 4) * 2 + 1
+    n_blocks = -(-len(x16) // spb)
+    enc = _ima_encode_mono(x16, block_align)
+    wavb = _adpcm_wav(enc, 1, sr, block_align)
+    got_sr, y = _wav_mono(wavb)
+    assert got_sr == sr
+    n = min(len(y), len(x16))
+    err = np.abs(y[:n] - x16[:n] / 32768.0)
+    # skip the first-block step-ramp transient (idx starts at 0 with
+    # step 7 against a full-slope sine); converged error is tiny
+    assert float(err[64:].max()) < 0.03
+    mt, mime, _, _, dur = sniff_media(wavb)
+    assert (mt, mime) == ("audio", "audio/wav")
+    assert dur == int(n_blocks * spb * 1000 / sr)

@@ -194,3 +194,54 @@ def test_demux_y4m_payloads(spark):
     assert out["keyframe"].all()
     assert sorted(out["sample_idx"]) == [0, 2, 4]
     assert out[out["sample_idx"] == 2]["dts_ms"].iloc[0] == 80  # 2/25 s
+
+
+# ---------------------------------------------------------------------------
+# property-based: mux -> demux is the identity on sample content
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@st.composite
+def _track_specs(draw):
+    n = draw(st.integers(min_value=1, max_value=24))
+    sizes = draw(st.lists(st.integers(1, 64), min_size=n, max_size=n))
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    samples = [bytes(rng.integers(0, 256, s, dtype=np.uint8)) for s in sizes]
+    deltas = draw(st.lists(st.integers(1, 5000), min_size=n, max_size=n))
+    spc = draw(st.integers(1, n))
+    timescale = draw(st.integers(1, 90000))
+    sync = draw(
+        st.one_of(
+            st.none(),
+            st.lists(st.integers(1, n), min_size=0, max_size=n, unique=True),
+        )
+    )
+    return dict(
+        samples=samples, handler="vide", codec="avc1", timescale=timescale,
+        deltas=deltas, width=draw(st.integers(1, 4096)),
+        height=draw(st.integers(1, 4096)), sync=sync, samples_per_chunk=spc,
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(_track_specs())
+def test_mux_demux_identity_property(spec):
+    """For ANY track spec (sizes, deltas, chunking, sync set,
+    timescale), demuxing the muxed stream returns byte-exact samples,
+    the cumulative-delta DTS sequence, and exactly the sync set."""
+    mp4 = build_mp4([spec])
+    t = mp4_sample_table(mp4)
+    n = len(spec["samples"])
+    assert len(t["sizes"]) == n
+    got = extract_mp4_samples(mp4, range(n))
+    assert [b for _, _, _, b in got] == spec["samples"]
+    dts = 0
+    for i, d in enumerate(spec["deltas"]):
+        assert int(t["dts_ms"][i]) == dts * 1000 // spec["timescale"]
+        dts += d
+    if spec["sync"] is None:
+        assert t["keyframe"].all()
+    else:
+        assert set(np.flatnonzero(t["keyframe"]) + 1) == set(spec["sync"])

@@ -23,7 +23,7 @@ import re
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -197,6 +197,59 @@ def minhash_signature(
     return minhash_from_shingles(shingles(text, shingle_n), num_hashes, seed)
 
 
+def _band_tuples(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(_id, band, band_hash) LSH tuples from a signature relation.
+
+    band key = the band's signature slice rendered as a string —
+    deterministic and reproducible by the SQL oracle (Spark's hash()
+    is murmur3 and has no DuckDB twin).  The banded relation carries
+    ONLY (id, band, band_hash): shuffling the shingle arrays through
+    a bucket join + distinct costs ~60x more than joining them back
+    onto the (tiny) candidate set afterwards."""
+    return sigs.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            F.transform(
+                                F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.band_hash")
+
+
+def _shingled_sigs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_n: int,
+    seed: int,
+) -> DataFrame:
+    """(_id, _sh, _sig): distinct shingle hashes + minhash signature
+    per doc, localCheckpointed (every consumer reuses the UDF output
+    at least twice — banding and verification)."""
+    sh_df = _spread(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id"
+    ).select(
+        "_id",
+        shingles_udf(F.col(text_col), shingle_n).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    return sh_df.withColumn(
+        "_sig", minhash_from_shingles(F.col("_sh"), num_hashes, seed)
+    ).localCheckpoint(eager=False)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -230,44 +283,14 @@ def minhash_lsh_pairs(
     shipped one.
     """
     rows_per_band = num_hashes // bands
-    sh_df = _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id").select(
-        "_id",
-        shingles_udf(F.col(text_col), shingle_n).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
-    sigs = sh_df.withColumn("_sig", minhash_from_shingles(F.col("_sh"), num_hashes, seed))
-    # Materialize signatures before the self-join — both sides would
+    # Signatures materialize before the self-join — both sides would
     # re-run the shingle pipeline otherwise.  (localCheckpoint, not
     # cache(): Spark's columnar cache encodes large array columns
     # ~10x slower than row serialization.)  At cluster scale this is
     # where signatures would be persisted to a table anyway.
-    sigs = sigs.localCheckpoint(eager=False)
+    sigs = _shingled_sigs(df, text_col, id_col, num_hashes, shingle_n, seed)
 
-    # band key = the band's signature slice rendered as a string —
-    # deterministic and reproducible by the SQL oracle (Spark's hash()
-    # is murmur3 and has no DuckDB twin).  The banded relation carries
-    # ONLY (id, band, band_hash): shuffling the shingle arrays through
-    # the self-join + distinct costs ~60x more than joining them back
-    # onto the (tiny) candidate set afterwards.
-    banded = sigs.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "-",
-                            F.transform(
-                                F.slice("_sig", b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.band_hash")
+    banded = _band_tuples(sigs, bands, rows_per_band)
 
     if max_bucket_size is not None:
         hot = (
@@ -307,6 +330,95 @@ def minhash_lsh_pairs(
     return (
         verified.filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_minhash_against_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicates of a NEW batch against a frozen corpus's
+    standing band index (``sources.writers.write_minhash_band_index``)
+    — the recurring-ingest near-dup shape: at 100 TB the corpus is
+    never re-signed per ingest; each batch computes only ITS OWN
+    signatures and probes the persisted (band, band_hash, doc_id)
+    relation.
+
+    Returns (new_id, corpus_id, jaccard) for every batch/corpus pair
+    at or above the threshold.  Scale: the probe join is batch-bands
+    x index-bucket — linear in batch size because the index's hot
+    buckets were capped AT WRITE (one degenerate boilerplate bucket
+    would otherwise fan every batch doc out against millions of
+    corpus docs); verification re-shingles ONLY the matched corpus
+    candidates (the index stays signature-free and the shingle
+    universe is never stored).
+
+    The index's build dials (K/bands/shingle_n/seed) are persisted
+    beside it and must match the probe's — probing with a different
+    permutation family silently finds nothing, so a mismatch raises.
+    """
+    params = {
+        r["name"]: r["value"]
+        for r in spark.read.parquet(f"{index_path}/params").collect()
+    }
+    want = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_n": shingle_n,
+        "seed": seed,
+    }
+    got = {k: int(params[k]) for k in want}
+    if got != want:
+        raise ValueError(
+            f"minhash band index at {index_path} was built with {got}, "
+            f"probe asked for {want}"
+        )
+
+    rows_per_band = num_hashes // bands
+    sigs = _shingled_sigs(batch, text_col, id_col, num_hashes, shingle_n, seed)
+    probe = _band_tuples(sigs, bands, rows_per_band)
+    index = spark.read.parquet(f"{index_path}/bands").select(
+        F.col("doc_id").alias("_corpus_id"), "band", "band_hash"
+    )
+    cand = (
+        probe.join(index, ["band", "band_hash"])
+        .select(F.col("_id").alias("new_id"), F.col("_corpus_id").alias("corpus_id"))
+        .distinct()
+    )
+    corpus_sh = (
+        cand.select("corpus_id")
+        .distinct()
+        .join(
+            corpus.select(F.col(id_col).alias("corpus_id"), F.col(text_col)),
+            "corpus_id",
+        )
+        .select("corpus_id", shingles_udf(F.col(text_col), shingle_n).alias("sh_b"))
+    )
+    verified = (
+        cand.join(sigs.select(F.col("_id").alias("new_id"), F.col("_sh").alias("sh_a")), "new_id")
+        .join(corpus_sh, "corpus_id")
+        .withColumn("_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter").cast("double")
+                / F.greatest(F.size("sh_a") + F.size("sh_b") - F.col("_inter"), F.lit(1)),
+                6,
+            ),
+        )
+    )
+    return (
+        verified.filter(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "corpus_id", "jaccard")
     )
 
 

@@ -1234,6 +1234,113 @@ ORDER BY id_a, id_b
 """
 
 
+MH_INC_BATCH_MOD = 10  # docs with doc_id % 10 == 0 play the "new batch"
+
+
+def _mhband_index_path(sf_dir: str) -> str:
+    return _index_cache_path(
+        sf_dir,
+        "mhband",
+        MINHASH_K,
+        MINHASH_BANDS,
+        SHINGLE_N,
+        MINHASH_MAX_BUCKET,
+        MH_INC_BATCH_MOD,
+        table="documents",
+    )
+
+
+def _mhband_artifact(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from ..sources.writers import write_minhash_band_index
+
+    path = _mhband_index_path(sf_dir)
+    if not os.path.exists(f"{path}/bands/_SUCCESS"):
+        corpus = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % MH_INC_BATCH_MOD != 0
+        )
+        write_minhash_band_index(
+            corpus,
+            path,
+            num_hashes=MINHASH_K,
+            bands=MINHASH_BANDS,
+            shingle_n=SHINGLE_N,
+            max_bucket_size=MINHASH_MAX_BUCKET,
+        )
+    return path
+
+
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurring-ingest near-dup: the 10% "new batch" probes the
+    frozen 90% corpus's STANDING band index — the corpus is never
+    re-signed (its banded relation is a persisted artifact, hot
+    buckets capped at write); the batch signs itself and joins on
+    (band, band_hash); verification re-shingles only the matched
+    corpus candidates.  This is the 100 TB shape: per-ingest cost is
+    linear in the batch, not the corpus."""
+    from ..operators.dedup import incremental_minhash_against_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _mhband_artifact(spark, sf_dir)
+    return incremental_minhash_against_index(
+        spark,
+        docs.filter(F.col("doc_id") % MH_INC_BATCH_MOD == 0),
+        path,
+        docs.filter(F.col("doc_id") % MH_INC_BATCH_MOD != 0),
+        num_hashes=MINHASH_K,
+        bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N,
+        jaccard_threshold=NEARDUP_THRESHOLD,
+    ).orderBy("new_id", "corpus_id")
+
+
+def _minhash_incremental_sql() -> str:
+    r = MINHASH_K // MINHASH_BANDS
+    perms = _perm_params(MINHASH_K, seed=42)
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(_sh, x -> (x * {a} + {b}) % 2147483647))" for a, b in perms
+    )
+    bands = ", ".join(str(b) for b in range(MINHASH_BANDS))
+    return f"""
+WITH corpus AS (
+  SELECT doc_id AS _id, {shingles_sql("text", SHINGLE_N)} AS _sh FROM documents
+  WHERE doc_id % {MH_INC_BATCH_MOD} <> 0
+),
+batch AS (
+  SELECT doc_id AS _id, {shingles_sql("text", SHINGLE_N)} AS _sh FROM documents
+  WHERE doc_id % {MH_INC_BATCH_MOD} = 0
+),
+csig AS (SELECT _id, _sh, [{sig_exprs}] AS _sig FROM corpus WHERE len(_sh) > 0),
+bsig AS (SELECT _id, _sh, [{sig_exprs}] AS _sig FROM batch WHERE len(_sh) > 0),
+cbanded AS (
+  SELECT _id, _sh, band,
+         array_to_string(list_slice(_sig, band * {r} + 1, band * {r} + {r}), '-') AS band_hash
+  FROM csig, (SELECT unnest([{bands}]) AS band)
+),
+hot AS (SELECT band, band_hash FROM cbanded
+        GROUP BY band, band_hash HAVING COUNT(*) > {MINHASH_MAX_BUCKET}),
+cidx AS (SELECT * FROM cbanded ANTI JOIN hot USING (band, band_hash)),
+bbanded AS (
+  SELECT _id, _sh, band,
+         array_to_string(list_slice(_sig, band * {r} + 1, band * {r} + {r}), '-') AS band_hash
+  FROM bsig, (SELECT unnest([{bands}]) AS band)
+),
+cand AS (
+  SELECT DISTINCT b._id AS new_id, c._id AS corpus_id, b._sh AS sh_a, c._sh AS sh_b
+  FROM bbanded b JOIN cidx c ON b.band = c.band AND b.band_hash = c.band_hash
+),
+j AS (
+  SELECT new_id, corpus_id,
+         ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+               GREATEST(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)), 1), 6) AS jaccard
+  FROM cand
+)
+SELECT new_id, corpus_id, jaccard FROM j WHERE jaccard >= {NEARDUP_THRESHOLD}
+ORDER BY new_id, corpus_id
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -2195,6 +2302,12 @@ QUERIES["dedup_incremental"] = QueryDef(
     dedup_incremental,
     _dedup_incremental_sql(),
     "new-batch survivors vs frozen corpus (anti-join on digest index)",
+    "training-data",
+)
+QUERIES["dedup_minhash_incremental"] = QueryDef(
+    dedup_minhash_incremental,
+    _minhash_incremental_sql(),
+    "new-batch near-dups vs frozen corpus's standing band index",
     "training-data",
 )
 QUERIES["dedup_span_fraction"] = QueryDef(
@@ -4026,6 +4139,451 @@ QUERIES["q17_small_quantity"] = QueryDef(
 )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H wave III: the six remaining query shapes (Q2/Q9/Q11/Q16/Q20/Q21),
+# completing all 22.  The driver's synthetic schema has no PARTSUPP table
+# and no l_commitdate/l_receiptdate, so each query keeps the ORIGINAL's
+# join/subquery topology while substituting observable columns:
+#   - the (part, supplier) offer relation <- DISTINCT (l_partkey, l_suppkey)
+#     from lineitem (Q2/Q16/Q20's partsupp role)
+#   - supply cost <- MIN(l_extendedprice) per pair (Q2; MIN of exact
+#     2-decimal doubles is order-independent, so cross-engine exact)
+#   - part cost for profit <- 60% of p_retailprice (Q9)
+#   - lateness <- l_shipdate > o_orderdate + 60 days (Q21, same proxy Q4
+#     already uses for its EXISTS leg)
+# Money stays on the exact-DECIMAL contract throughout (sum in decimal,
+# round on the grid, cast to double last).
+
+Q2_SIZE_MAX, Q2_TYPE, Q2_REGION = 15, "ECONOMY", "EUROPE"
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) in
+    one region offering it at the MINIMUM price — the correlated-min
+    subquery over a derived (part, supplier) offer relation.  The
+    offer relation aggregates lineitem once (shuffle on the pair
+    key); both dimension filters (part size/type, region via
+    nation->region) broadcast into it BEFORE the per-part min, so the
+    correlated subquery becomes a per-part MIN WINDOW over the
+    aggregated offers — one partkey-keyed window, never a self-join
+    or a second fact scan, and ties all surface exactly like the SQL
+    original.  MIN over exact 2-decimal doubles needs no decimal
+    detour: min is order-independent."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= Q2_SIZE_MAX) & (F.col("p_type") == Q2_TYPE)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q2_REGION)
+    rsupp = (
+        supp.join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = (
+        li.join(F.broadcast(part.select("p_partkey", "p_name")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(rsupp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("l_extendedprice").alias("offer_price"))
+    )
+    per_part_min = F.min("offer_price").over(Window.partitionBy("p_partkey"))
+    return (
+        eligible.withColumn("_min_price", per_part_min)
+        .filter(F.col("offer_price") == F.col("_min_price"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "offer_price")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+Q2_SQL = f"""
+WITH eligible AS (
+  SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
+         MIN(l.l_extendedprice) AS offer_price
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+   AND p.p_size <= {Q2_SIZE_MAX} AND p.p_type = '{Q2_TYPE}'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = '{Q2_REGION}'
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, e.p_partkey, e.p_name, e.offer_price
+FROM eligible e
+WHERE e.offer_price = (SELECT MIN(offer_price) FROM eligible e2
+                       WHERE e2.p_partkey = e.p_partkey)
+ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, e.p_partkey
+"""
+
+
+Q9_PART_PATTERN = "%red%"
+Q9_COST_FRACTION_SQL = "CAST(0.6 AS DECIMAL(2,1))"
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year over
+    parts matching a name pattern — the 5-way star (fact -> part,
+    supplier -> nation, orders) where every dimension leg broadcasts
+    and the only big-big join is fact->orders on orderkey.  The part
+    name filter prunes the fact rows FIRST (broadcast hash join on
+    the ~13% matching parts).  Profit = disc price - 60% of
+    p_retailprice x quantity (no PARTSUPP cost column in this
+    schema); both terms stay in exact DECIMAL (retailprice and
+    quantity sit on 2-decimal / integer grids), so the per-group sum
+    is bit-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(Q9_PART_PATTERN)
+    ).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cost = (
+        _price_dec("p_retailprice")
+        * F.expr(Q9_COST_FRACTION_SQL)
+        * F.col("l_quantity").cast("decimal(4,0)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(_disc_price_dec() - cost), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n.n_name AS nation, YEAR(o.o_orderdate) AS o_year,
+       CAST(ROUND(SUM({DISC_PRICE_DEC_SQL}
+                 - CAST(p.p_retailprice AS DECIMAL(18,2)) * {Q9_COST_FRACTION_SQL}
+                   * CAST(l_quantity AS DECIMAL(4,0))), 2) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '{Q9_PART_PATTERN}'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2 ORDER BY 1, 2 DESC
+"""
+
+
+Q11_NATION = "NATION_3"
+Q11_MEAN_MULT_SQL = "CAST(1.6 AS DECIMAL(2,1))"
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value from one nation's
+    suppliers exceeds a threshold fraction of that nation's total —
+    the global-scalar-threshold pattern (HAVING > scalar subquery).
+    The original's FRACTION is spec-divided by SF so selectivity is
+    scale-invariant; the data-adaptive equivalent here keeps parts
+    with value > 1.6 x the MEAN part value, phrased multiplicatively
+    (value x n_parts > 1.6 x total) so no division ever leaves the
+    exact-decimal grid.  One per-part decimal rollup; the grand
+    total re-aggregates the SAME relation (never a second fact scan)
+    into one row that joins back as a broadcast nested loop; the >
+    compare happens IN DECIMAL on exactly-representable products
+    (value decimal(18,2) x count decimal(10,0) vs total
+    decimal(28,2) x 1.6), bit-identical cross-engine — rounding only
+    the released column."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == Q11_NATION
+    ).select("n_nationkey")
+    pv = (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(_disc_price_dec()), 2)
+            .cast("decimal(18,2)")
+            .alias("_value_dec")
+        )
+        # pv feeds BOTH the threshold agg and the released rows: without
+        # materialization the plan re-runs the fact scan + join + rollup
+        # per branch.  The checkpointed relation is one row per part —
+        # ~1000x under the fact table at any SF.
+        .localCheckpoint(eager=False)
+    )
+    threshold = pv.agg(
+        (
+            F.sum("_value_dec").cast("decimal(28,2)") * F.expr(Q11_MEAN_MULT_SQL)
+        ).alias("_threshold"),
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("_n_parts"),
+    )
+    return (
+        pv.join(
+            F.broadcast(threshold),
+            F.col("_value_dec") * F.col("_n_parts") > F.col("_threshold"),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("_value_dec").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH pv AS (
+  SELECT l.l_partkey,
+         CAST(ROUND(SUM({DISC_PRICE_DEC_SQL}), 2) AS DECIMAL(18,2)) AS value_dec
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = '{Q11_NATION}'
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(value_dec) AS DECIMAL(28,2)) * {Q11_MEAN_MULT_SQL} AS threshold,
+         CAST(COUNT(*) AS DECIMAL(10,0)) AS n_parts
+  FROM pv
+)
+SELECT pv.l_partkey AS p_partkey, CAST(pv.value_dec AS DOUBLE) AS part_value
+FROM pv, tot
+WHERE pv.value_dec * tot.n_parts > tot.threshold
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+Q16_SIZES = (5, 10, 15, 20)
+Q16_EXCL_BRAND = "Brand#13"
+Q16_EXCL_SUPP_PATTERN = "%5"
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many DISTINCT suppliers offer each
+    (brand, type, size) bucket, excluding a supplier blacklist — the
+    NOT-IN anti-join + count-distinct pattern.  The offer relation is
+    DISTINCT (partkey, suppkey) from lineitem (one pair-keyed
+    shuffle); the blacklist (name-pattern suppliers) broadcasts as a
+    LEFT ANTI join — the null-safe NOT IN rewrite, safe here because
+    suppkey is non-null; part attributes broadcast.  countDistinct
+    shuffles once more on the 3-attr group key."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    pairs = li.distinct()
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(*Q16_SIZES) & (F.col("p_brand") != Q16_EXCL_BRAND)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excl = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like(Q16_EXCL_SUPP_PATTERN)
+    ).select(F.col("s_suppkey").alias("_xk"))
+    return (
+        pairs.join(F.broadcast(excl), F.col("_xk") == F.col("l_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = f"""
+WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem)
+SELECT p.p_brand, p.p_type, p.p_size, COUNT(DISTINCT ps.sk) AS supplier_cnt
+FROM ps
+JOIN part p ON p.p_partkey = ps.pk
+WHERE p.p_size IN {Q16_SIZES}
+  AND p.p_brand <> '{Q16_EXCL_BRAND}'
+  AND ps.sk NOT IN (SELECT s_suppkey FROM supplier
+                    WHERE s_name LIKE '{Q16_EXCL_SUPP_PATTERN}')
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+Q20_PART_PATTERN = "small%"
+Q20_YEAR_START, Q20_YEAR_END = "1997-01-01", "1998-01-01"
+Q20_SHARE = 0.3
+Q20_NATION = "NATION_7"
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who DOMINATED some
+    qualifying part's shipped volume in a year — the nested
+    semi-join chain (suppliers IN pairs-over-threshold IN
+    name-matched parts).  The shipped rollup shuffles once on the
+    (part, supplier) pair; per-part totals reuse the same relation;
+    the threshold compare (share x total) is exact: integer-valued
+    quantity sums stay exact in double and both engines evaluate the
+    identical product.  The surviving supplier set is tiny ->
+    broadcast LEFT SEMI into the nation-filtered supplier dim."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q20_YEAR_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q20_YEAR_END).cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(Q20_PART_PATTERN)
+    ).select("p_partkey")
+    shipped = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+    )
+    part_total = F.sum("_qty").over(Window.partitionBy("l_partkey"))
+    dominant = (
+        shipped.withColumn("_total", part_total)
+        .filter(F.col("_qty") > F.lit(Q20_SHARE) * F.col("_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == Q20_NATION
+    ).select("n_nationkey")
+    return (
+        supp.join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(dominant), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = f"""
+WITH shipped AS (
+  SELECT l.l_partkey AS pk, l.l_suppkey AS sk, SUM(l.l_quantity) AS qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '{Q20_PART_PATTERN}'
+  WHERE l.l_shipdate >= TIMESTAMP '{Q20_YEAR_START}'
+    AND l.l_shipdate <  TIMESTAMP '{Q20_YEAR_END}'
+  GROUP BY 1, 2
+)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = '{Q20_NATION}'
+WHERE s.s_suppkey IN (
+  SELECT sh.sk FROM shipped sh
+  WHERE sh.qty > {Q20_SHARE} * (SELECT SUM(qty) FROM shipped sh2
+                                WHERE sh2.pk = sh.pk))
+ORDER BY s.s_name
+"""
+
+
+Q21_LATE_DAYS = 60
+Q21_TOP_N = 20
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on
+    multi-supplier finalized orders.  The textbook form is an EXISTS
+    + NOT-EXISTS double self-join of the fact table; re-expressed
+    Spark-first as ONE pass: per-(order, supplier) late flags, then
+    per-order counts (suppliers, late suppliers) as ORDER-KEYED
+    WINDOWS over the aggregated flags, then the filter
+    `late AND n_supp >= 2 AND n_late == 1` — semantically identical
+    (sole-late <=> exists another supplier AND no OTHER late one)
+    but the fact table is scanned once and no self-join ever
+    materializes.  Lateness proxies to
+    shipdate > orderdate + 60 days (no receipt/commit dates in this
+    schema, same proxy as Q4).  Top-N runs as TakeOrdered with a
+    total tiebreak."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    lo = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("_is_late"))
+    )
+    per_order = Window.partitionBy("l_orderkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lo.withColumn("_n_supp", F.count(F.lit(1)).over(per_order))
+        .withColumn("_n_late", F.sum("_is_late").over(per_order))
+        .filter(
+            (F.col("_is_late") == 1) & (F.col("_n_supp") >= 2) & (F.col("_n_late") == 1)
+        )
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(Q21_TOP_N)
+    )
+
+
+Q21_SQL = f"""
+WITH lo AS (
+  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+         MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+  GROUP BY 1, 2
+),
+po AS (SELECT ok, COUNT(*) AS n_supp, SUM(is_late) AS n_late FROM lo GROUP BY 1)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM lo
+JOIN po ON po.ok = lo.ok
+JOIN supplier s ON s.s_suppkey = lo.sk
+WHERE lo.is_late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT {Q21_TOP_N}
+"""
+
+
+QUERIES["q2_min_cost_supplier"] = QueryDef(
+    q2_min_cost_supplier,
+    Q2_SQL,
+    "TPC-H Q2 shape: correlated min-price supplier per part",
+    "relational",
+)
+QUERIES["q9_product_profit"] = QueryDef(
+    q9_product_profit,
+    Q9_SQL,
+    "TPC-H Q9 shape: 5-way star profit by nation and year",
+    "relational",
+)
+QUERIES["q11_important_parts"] = QueryDef(
+    q11_important_parts,
+    Q11_SQL,
+    "TPC-H Q11 shape: global scalar threshold (HAVING > subquery)",
+    "relational",
+)
+QUERIES["q16_supplier_variety"] = QueryDef(
+    q16_supplier_variety,
+    Q16_SQL,
+    "TPC-H Q16 shape: NOT-IN anti-join + count-distinct buckets",
+    "relational",
+)
+QUERIES["q20_dominant_suppliers"] = QueryDef(
+    q20_dominant_suppliers,
+    Q20_SQL,
+    "TPC-H Q20 shape: nested semi-join chain over shipped volume",
+    "relational",
+)
+QUERIES["q21_waiting_suppliers"] = QueryDef(
+    q21_waiting_suppliers,
+    Q21_SQL,
+    "TPC-H Q21 shape: sole-late-supplier single-pass anti/semi form",
+    "relational",
+)
+
+
 _PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 _PROFILE_NUMERIC = ["event_id", "user_id", "value"]
 
@@ -4085,6 +4643,7 @@ def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
             ks=PQ_KS,
         )
     _neardup_pairs_indexed(spark, sf_dir)
+    _mhband_artifact(spark, sf_dir)
 
 
 # Names the driver's 50-row correctness gate has ALREADY certified

@@ -125,6 +125,64 @@ def incremental_dedup_against_index(
     )
 
 
+def write_minhash_band_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+) -> None:
+    """Persist the corpus's banded minhash-LSH relation — the standing
+    near-dup index incremental ingest probes
+    (``operators.dedup.incremental_minhash_against_index``).
+
+    Layout: ``{path}/bands`` holds (doc_id, band, band_hash)
+    partitioned by band (a probe shuffles on the same composite key;
+    band partitioning keeps each band's buckets in their own files);
+    ``{path}/params`` records the build dials so a probe with a
+    different permutation family fails loudly instead of silently
+    matching nothing.  Hot buckets (> ``max_bucket_size`` docs) are
+    dropped AT WRITE: a boilerplate band shared by millions of corpus
+    docs would otherwise fan every future batch doc out against all
+    of them — the same deterministic cap (and the same recall
+    reasoning: a true pair still surfaces through its other bands)
+    the self-join operator applies per run, amortized into the
+    artifact."""
+    from ..operators.dedup import _band_tuples, _shingled_sigs
+
+    sigs = _shingled_sigs(docs, text_col, id_col, num_hashes, shingle_n, seed)
+    banded = _band_tuples(sigs, bands, num_hashes // bands)
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
+    (
+        banded.select(F.col("_id").alias("doc_id"), "band", "band_hash")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(f"{path}/bands")
+    )
+    spark = docs.sparkSession
+    params = [
+        ("num_hashes", num_hashes),
+        ("bands", bands),
+        ("shingle_n", shingle_n),
+        ("seed", seed),
+        ("max_bucket_size", -1 if max_bucket_size is None else max_bucket_size),
+    ]
+    spark.createDataFrame(params, "name string, value long").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/params")
+
+
 def write_bloom_index(
     docs: DataFrame,
     path: str,

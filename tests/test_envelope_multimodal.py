@@ -186,7 +186,7 @@ def test_multimodal_plumbing(spark):
     assert all(len(r["frame"]) == 16 and not r["decoded_ok"] for r in frames)
 
     # worker-side NotImplementedError arrives wrapped in PythonException
-    with pytest.raises(Exception, match="requires Pillow"):
+    with pytest.raises(Exception, match="needs Pillow"):
         decode_image_features(media, strict=True).collect()
-    with pytest.raises(Exception, match="needs ffmpeg"):
+    with pytest.raises(Exception, match="need ffmpeg"):
         sample_video_frames(media, strict=True).collect()

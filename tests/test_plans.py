@@ -348,3 +348,80 @@ def test_profile_is_single_scan(spark, sf_dir):
 
     plan = _plan(q_profile_events(spark, sf_dir))
     assert plan.count("FileScan") == 1, plan
+
+
+def test_q2_single_fact_scan_window_min(spark, sf_dir):
+    """The correlated-min subquery must compile to a partkey-keyed
+    window over the aggregated offers — one lineitem scan, no
+    self-join, every dimension leg broadcast."""
+    from confidential_storm_spark.plans.queries import q2_min_cost_supplier
+
+    plan = _plan(q2_min_cost_supplier(spark, sf_dir))
+    assert plan.count("FileScan parquet") == len(
+        [s for s in plan.split("FileScan parquet")[1:]]
+    )  # sanity: splitter counts scans
+    assert len([s for s in plan.split("FileScan parquet")[1:] if "lineitem.parquet" in s]) == 1
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
+    # part filter reaches the part scan
+    assert any("p_size" in s[:200] for s in plan.split("PushedFilters")[1:])
+
+
+def test_q9_star_broadcasts_dimensions(spark, sf_dir):
+    """Part/supplier/nation legs broadcast; the part name pattern is
+    pushed to the scan as a contains filter; the fact scan prunes to
+    the 6 needed columns."""
+    from confidential_storm_spark.plans.queries import q9_product_profit
+
+    plan = _plan(q9_product_profit(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "StringContains(p_name" in plan
+    read = [s[:400] for s in plan.split("ReadSchema")[1:] if "l_partkey" in s[:400]]
+    assert read and all("l_tax" not in r and "l_returnflag" not in r for r in read)
+
+
+def test_q11_threshold_is_broadcast_scalar_over_checkpoint(spark, sf_dir):
+    """The global threshold joins back as a 1-row broadcast nested
+    loop; the per-part rollup is checkpointed so the fact subtree
+    never evaluates twice."""
+    from confidential_storm_spark.plans.queries import q11_important_parts
+
+    plan = _plan(q11_important_parts(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert len([s for s in plan.split("FileScan parquet")[1:] if "lineitem.parquet" in s]) == 0
+
+
+def test_q16_blacklist_is_broadcast_anti_join(spark, sf_dir):
+    """NOT IN over non-null suppkeys must compile to a broadcast LEFT
+    ANTI join, and the size/brand filters reach the part scan."""
+    from confidential_storm_spark.plans.queries import q16_supplier_variety
+
+    plan = _plan(q16_supplier_variety(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert any("p_size" in s[:300] for s in plan.split("PushedFilters")[1:])
+
+
+def test_q20_dominance_is_window_single_scan(spark, sf_dir):
+    """Per-part totals come from a window over the shipped rollup —
+    one fact scan, ship-date range pushed, the dominant set broadcast
+    LEFT SEMI into the supplier dim."""
+    from confidential_storm_spark.plans.queries import q20_dominant_suppliers
+
+    plan = _plan(q20_dominant_suppliers(spark, sf_dir))
+    assert len([s for s in plan.split("FileScan parquet")[1:] if "lineitem.parquet" in s]) == 1
+    assert "Window" in plan and "LeftSemi" in plan
+    assert any("l_shipdate" in s[:300] for s in plan.split("PushedFilters")[1:])
+
+
+def test_q21_sole_late_is_single_pass(spark, sf_dir):
+    """The textbook EXISTS/NOT-EXISTS double self-join must NOT
+    appear: one lineitem scan, order-keyed windows over the
+    aggregated flags, top-N as TakeOrdered."""
+    from confidential_storm_spark.plans.queries import q21_waiting_suppliers
+
+    plan = _plan(q21_waiting_suppliers(spark, sf_dir))
+    assert len([s for s in plan.split("FileScan parquet")[1:] if "lineitem.parquet" in s]) == 1
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert any("o_orderstatus" in s[:300] for s in plan.split("PushedFilters")[1:])

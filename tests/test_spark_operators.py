@@ -375,3 +375,46 @@ def test_redact_pii_synthetic(spark):
     assert got[2] == ("server at <IPV4> down", 0, 1, 0)
     assert got[3] == ("call <PHONE> today", 0, 0, 1)
     assert got[4][0] == "clean text with numbers 42 and 7"
+
+
+def test_incremental_minhash_matches_self_join_cross_pairs(spark, sf_dir, tmp_path):
+    """The standing-index probe must find EXACTLY the batch x corpus
+    pairs the full self-join finds (cap off on both sides so the
+    bucket populations are comparable), and the index's persisted
+    dials must reject a mismatched probe."""
+    from confidential_storm_spark.operators.dedup import (
+        incremental_minhash_against_index,
+        minhash_lsh_pairs,
+    )
+    from confidential_storm_spark.sources.writers import write_minhash_band_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter("doc_id % 10 = 0")
+    corpus = docs.filter("doc_id % 10 <> 0")
+    idx = str(tmp_path / "mhband")
+    write_minhash_band_index(corpus, idx, max_bucket_size=None)
+
+    inc = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in incremental_minhash_against_index(
+            spark, batch, idx, corpus, jaccard_threshold=0.2
+        ).collect()
+    }
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(
+            docs, jaccard_threshold=0.2, max_bucket_size=None
+        ).collect()
+    }
+    cross = {
+        (a, b, j) if a in batch_ids else (b, a, j)
+        for (a, b, j) in full
+        if (a in batch_ids) != (b in batch_ids)
+    }
+    assert inc == cross
+
+    with pytest.raises(ValueError, match="was built with"):
+        incremental_minhash_against_index(
+            spark, batch, idx, corpus, num_hashes=8, bands=4
+        ).collect()

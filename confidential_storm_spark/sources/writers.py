@@ -135,6 +135,7 @@ def write_minhash_band_index(
     shingle_n: int = 3,
     seed: int = 42,
     max_bucket_size: int | None = 1000,
+    include_signatures: bool = False,
 ) -> None:
     """Persist the corpus's banded minhash-LSH relation — the standing
     near-dup index incremental ingest probes
@@ -145,7 +146,11 @@ def write_minhash_band_index(
     band partitioning keeps each band's buckets in their own files);
     ``{path}/params`` records the build dials so a probe with a
     different permutation family fails loudly instead of silently
-    matching nothing.  Hot buckets (> ``max_bucket_size`` docs) are
+    matching nothing.  ``include_signatures=True`` adds
+    ``{path}/sigs`` (doc_id, K minhash longs) — the sidecar the
+    STREAMING ingest path verifies against (signature-estimate
+    Jaccard, no text fetch; K longs per doc, fixed-width forever).
+    Hot buckets (> ``max_bucket_size`` docs) are
     dropped AT WRITE: a boilerplate band shared by millions of corpus
     docs would otherwise fan every future batch doc out against all
     of them — the same deterministic cap (and the same recall
@@ -155,6 +160,11 @@ def write_minhash_band_index(
     from ..operators.dedup import _band_tuples, _shingled_sigs
 
     sigs = _shingled_sigs(docs, text_col, id_col, num_hashes, shingle_n, seed)
+    if include_signatures:
+        # _shingled_sigs is already checkpointed; both writes reuse it
+        sigs.select(F.col("_id").alias("doc_id"), F.col("_sig").alias("sig")).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/sigs")
     banded = _band_tuples(sigs, bands, num_hashes // bands)
     if max_bucket_size is not None:
         hot = (

@@ -50,6 +50,8 @@ __all__ = [
     "span_dup_fraction_sql",
     "incremental_dedup",
     "incremental_dedup_sql",
+    "edit_distance_pairs",
+    "edit_distance_pairs_sql",
 ]
 
 # ASCII word-character split: Java regex \W and DuckDB's RE2 \W are
@@ -1249,4 +1251,127 @@ fresh AS (SELECT b.* FROM b ANTI JOIN corpus USING (digest))
 SELECT digest, MIN({id_col}) AS survivor_id,
        CAST(COUNT(*) AS BIGINT) AS n_copies
 FROM fresh GROUP BY digest
+"""
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 6,
+    prefix_len: int | None = 64,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Edit-distance near-dup pairs over a SHORT field — titles, names,
+    URLs, or a fixed prefix of the body (``prefix_len``).  Full-body
+    near-dup at scale is minhash's job (:func:`minhash_lsh_pairs`);
+    Levenshtein is the right tool where the field is tens of bytes and
+    the corruption model is typos/OCR noise rather than block edits.
+
+    Exact blocking, no recall loss: two strings within edit distance d
+    differ in length by at most d, so with length buckets of width
+    w = max(d, 1) every qualifying pair lands in the same or adjacent
+    buckets.  Candidates are the union of two equi-joins (same-bucket
+    with id_a < id_b, and bucket b -> b+1), each a plain shuffle join
+    on the bucket id — never all-pairs.  A |len difference| <= d guard
+    prunes before the DP, and the Levenshtein itself runs JVM-side
+    with Spark's banded threshold form (O(len*d), not O(len^2)).
+
+    ``max_bucket_size`` drops degenerate length buckets (same
+    broadcast anti-join shape as the minhash hot-bucket cap) — with
+    byte-length blocking buckets grow linearly with corpus size, so at
+    warehouse scale a second blocking key (e.g. a simhash band) or the
+    cap bounds the quadratic within-bucket term.
+
+    Unicode caveat, load-bearing for the oracle: Spark's levenshtein
+    counts CHARACTERS while DuckDB's counts BYTES, so the DuckDB twin
+    is exact only on ASCII fields (the synthetic corpus is ASCII; real
+    pipelines should normalize first — see functions.text).
+
+    Returns (id_a, id_b, dist) with id_a < id_b, dist <= max_dist.
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    w = max(max_dist, 1)
+    field = F.col(text_col) if prefix_len is None else F.substring(F.col(text_col), 1, prefix_len)
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        field.alias("_f"),
+        F.length(field).alias("_len"),
+        (F.length(field) / w).cast("long").alias("_b"),
+    )
+    if max_bucket_size is not None:
+        hot = (
+            keyed.groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("_b")
+        )
+        keyed = keyed.join(F.broadcast(hot), ["_b"], "left_anti")
+    keyed = keyed.localCheckpoint(eager=False)  # both join arms reuse it
+
+    l, r = keyed.alias("l"), keyed.alias("r")
+    proj = [
+        F.least("l._id", "r._id").alias("id_a"),
+        F.greatest("l._id", "r._id").alias("id_b"),
+        F.col("l._f").alias("_fa"),
+        F.col("r._f").alias("_fb"),
+        F.abs(F.col("l._len") - F.col("r._len")).alias("_dlen"),
+    ]
+    same = l.join(
+        r,
+        (F.col("l._b") == F.col("r._b")) & (F.col("l._id") < F.col("r._id")),
+    ).select(*proj)
+    # adjacent buckets hold distinct ids by construction, so the two
+    # arms are disjoint and no distinct() is needed; emit the pair in
+    # canonical id order
+    adj = l.join(r, F.col("l._b") + 1 == F.col("r._b")).select(*proj)
+    cand = same.unionByName(adj)
+    return (
+        cand.filter(F.col("_dlen") <= max_dist)
+        .withColumn("dist", F.levenshtein("_fa", "_fb", max_dist))
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+def edit_distance_pairs_sql(
+    max_dist: int = 6,
+    prefix_len: int | None = 64,
+    max_bucket_size: int | None = None,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`edit_distance_pairs` (ASCII fields only —
+    DuckDB's levenshtein is byte-based, Spark's character-based)."""
+    w = max(max_dist, 1)
+    f = text_col if prefix_len is None else f"substr({text_col}, 1, {prefix_len})"
+    cap = (
+        ""
+        if max_bucket_size is None
+        else f"""
+hot AS (SELECT _b FROM keyed GROUP BY _b HAVING COUNT(*) > {max_bucket_size}),
+keyedc AS (SELECT * FROM keyed ANTI JOIN hot USING (_b)),"""
+    )
+    src = "keyed" if max_bucket_size is None else "keyedc"
+    return f"""
+WITH keyed AS (
+  SELECT {id_col} AS _id, {f} AS _f, length({f}) AS _len,
+         CAST(length({f}) // {w} AS BIGINT) AS _b
+  FROM {table}
+),{cap}
+cand AS (
+  SELECT l._id AS id_a, r._id AS id_b, l._f AS fa, r._f AS fb,
+         abs(l._len - r._len) AS dlen
+  FROM {src} l JOIN {src} r ON l._b = r._b AND l._id < r._id
+  UNION ALL
+  SELECT least(l._id, r._id), greatest(l._id, r._id), l._f, r._f,
+         abs(l._len - r._len)
+  FROM {src} l JOIN {src} r ON l._b + 1 = r._b
+)
+SELECT id_a, id_b, levenshtein(fa, fb) AS dist
+FROM cand
+WHERE dlen <= {max_dist} AND levenshtein(fa, fb) <= {max_dist}
+ORDER BY id_a, id_b
 """

@@ -2195,6 +2195,32 @@ def _dedup_incremental_sql() -> str:
     return incremental_dedup_sql(INCR_SPLIT) + " ORDER BY survivor_id"
 
 
+EDIT_MAX_DIST, EDIT_PREFIX = 6, 64  # short-field matching: the 64-char "title" prefix
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs on the 64-char title prefix —
+    the typo/OCR-noise matching shape for SHORT fields (titles, names,
+    URLs); full-body near-dup is minhash's job.  Exact length-bucket
+    blocking (no recall loss), banded-threshold Levenshtein JVM-side.
+
+    Reference: beyond-reference training-data op (the reference
+    engine has no dedup family at all)."""
+    from ..operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        load_table(spark, sf_dir, "documents"),
+        max_dist=EDIT_MAX_DIST,
+        prefix_len=EDIT_PREFIX,
+    ).orderBy("id_a", "id_b")
+
+
+def _dedup_edit_distance_sql() -> str:
+    from ..operators.dedup import edit_distance_pairs_sql
+
+    return edit_distance_pairs_sql(max_dist=EDIT_MAX_DIST, prefix_len=EDIT_PREFIX)
+
+
 def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc duplicated-span fraction (Lee et al. 2021 doc-level
     filter metric; the per-doc aggregation of dedup_spans)."""
@@ -2308,6 +2334,12 @@ QUERIES["dedup_minhash_incremental"] = QueryDef(
     dedup_minhash_incremental,
     _minhash_incremental_sql(),
     "new-batch near-dups vs frozen corpus's standing band index",
+    "training-data",
+)
+QUERIES["dedup_edit_distance"] = QueryDef(
+    dedup_edit_distance,
+    _dedup_edit_distance_sql(),
+    "edit-distance near-dup pairs on the title prefix (length-bucket blocked)",
     "training-data",
 )
 QUERIES["dedup_span_fraction"] = QueryDef(

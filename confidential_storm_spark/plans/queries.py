@@ -2195,6 +2195,92 @@ def _dedup_incremental_sql() -> str:
     return incremental_dedup_sql(INCR_SPLIT) + " ORDER BY survivor_id"
 
 
+BPE_N_MERGES = 16
+_BPE_MEMO: dict[tuple[str, int], tuple[list[tuple[str, str]], DataFrame]] = {}
+
+
+def _bpe_trained(spark: SparkSession, sf_dir: str):
+    """Train once per (corpus, n_merges) within the session — both BPE
+    registry queries consume the same trajectory (the tokenizer is a
+    standing artifact in a real pipeline; here a session memo)."""
+    from ..operators.bpe import bpe_train, pretoken_type_counts
+
+    key = (sf_dir, BPE_N_MERGES)
+    if key not in _BPE_MEMO:
+        types = pretoken_type_counts(load_table(spark, sf_dir, "documents"))
+        _BPE_MEMO[key] = bpe_train(types, BPE_N_MERGES)
+    return _BPE_MEMO[key]
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iteration-0 adjacent-symbol pair counts over the pretoken type
+    table — the statistic the first BPE merge maximizes (top 50)."""
+    from ..operators.bpe import _adjacent_pairs, _chars, pretoken_type_counts
+
+    types = pretoken_type_counts(load_table(spark, sf_dir, "documents"))
+    return (
+        types.select(
+            F.explode(_adjacent_pairs(_chars(F.col("token")))).alias("p"), "n"
+        )
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("n").alias("pair_n"))
+        .orderBy(F.desc("pair_n"), "left", "right")
+        .limit(50)
+    )
+
+
+def _bpe_pair_counts_sql() -> str:
+    from ..operators.bpe import pair_counts_sql
+
+    return pair_counts_sql(top_k=50)
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge list (rank, left, right) — certified
+    end-to-end against an UNROLLED per-iteration DuckDB twin (the
+    k-means-trajectory-oracle scheme), so the driver gate checks the
+    whole deterministic training trajectory, not just one statistic."""
+    merges, _ = _bpe_trained(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
+        "merge_rank int, left string, right string",
+    ).orderBy("merge_rank")
+
+
+def _bpe_merges_sql() -> str:
+    from ..operators.bpe import bpe_train_sql
+
+    return bpe_train_sql(BPE_N_MERGES)
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source subword budget after segmenting the corpus with the
+    learned tokenizer — encode-side certification: the final
+    segmentation table joins back onto the corpus pretokens
+    (broadcast; the vocabulary is tiny by construction)."""
+    from ..functions.text import bpe_tokens
+
+    _, seg = _bpe_trained(spark, sf_dir)
+    doc_toks = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(bpe_tokens(F.col("text"))).alias("token")
+    )
+    return (
+        doc_toks.join(F.broadcast(seg), "token")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pretokens"),
+            F.sum(F.size("syms")).alias("total_subwords"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_encode_stats_sql() -> str:
+    from ..operators.bpe import bpe_train_sql
+
+    return bpe_train_sql(BPE_N_MERGES, stats=True)
+
+
 EDIT_MAX_DIST, EDIT_PREFIX = 6, 64  # short-field matching: the 64-char "title" prefix
 
 
@@ -2334,6 +2420,24 @@ QUERIES["dedup_minhash_incremental"] = QueryDef(
     dedup_minhash_incremental,
     _minhash_incremental_sql(),
     "new-batch near-dups vs frozen corpus's standing band index",
+    "training-data",
+)
+QUERIES["bpe_pair_counts"] = QueryDef(
+    bpe_pair_counts,
+    _bpe_pair_counts_sql(),
+    "iteration-0 BPE pair counts over the pretoken type table",
+    "training-data",
+)
+QUERIES["bpe_merges"] = QueryDef(
+    bpe_merges,
+    _bpe_merges_sql(),
+    "learned BPE merge list vs unrolled per-iteration trajectory oracle",
+    "training-data",
+)
+QUERIES["bpe_encode_stats"] = QueryDef(
+    bpe_encode_stats,
+    _bpe_encode_stats_sql(),
+    "per-source subword budget under the learned BPE tokenizer",
     "training-data",
 )
 QUERIES["dedup_edit_distance"] = QueryDef(

@@ -2281,6 +2281,32 @@ def _bpe_encode_stats_sql() -> str:
     return bpe_train_sql(BPE_N_MERGES, stats=True)
 
 
+def quality_probe_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier scores: hashed bag-of-words linear
+    probe, full-batch preconditioned GD run ON the cluster, certified
+    against an unrolled per-iteration DuckDB trajectory twin — the
+    training arithmetic is bit-exact cross-engine by the decimal-sum
+    contract (see operators/quality_model.py)."""
+    from ..operators.quality_model import (
+        hashed_tf_features,
+        linear_probe_scores,
+        linear_probe_train,
+        rule_labels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = hashed_tf_features(docs)
+    labels = rule_labels(docs)
+    w = linear_probe_train(feats, labels)
+    return linear_probe_scores(feats, labels, w).orderBy("doc_id")
+
+
+def _quality_probe_sql() -> str:
+    from ..operators.quality_model import quality_probe_sql
+
+    return quality_probe_sql()
+
+
 EDIT_MAX_DIST, EDIT_PREFIX = 6, 64  # short-field matching: the 64-char "title" prefix
 
 
@@ -2420,6 +2446,12 @@ QUERIES["dedup_minhash_incremental"] = QueryDef(
     dedup_minhash_incremental,
     _minhash_incremental_sql(),
     "new-batch near-dups vs frozen corpus's standing band index",
+    "training-data",
+)
+QUERIES["quality_probe_scores"] = QueryDef(
+    quality_probe_scores,
+    _quality_probe_sql(),
+    "trained linear-probe quality scores vs unrolled GD trajectory oracle",
     "training-data",
 )
 QUERIES["bpe_pair_counts"] = QueryDef(

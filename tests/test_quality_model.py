@@ -1,0 +1,135 @@
+"""Linear-probe quality classifier: layout-invariance (the decimal
+determinism claim), numpy reference differential, DuckDB trajectory
+twin on a tiny corpus, separation sanity, and plan pins.
+"""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from confidential_storm_spark.operators.quality_model import (
+    PRECOND_EPS,
+    hashed_tf_features,
+    linear_probe_scores,
+    linear_probe_train,
+    quality_probe_sql,
+    rule_labels,
+)
+
+# prose-like (stopword-heavy, long) vs junk-like docs
+_PROSE = (
+    "the cat is in the hat and the dog is of the house and it is a fine day "
+    "to sit in the sun and read a book of tales and the wind is soft "
+    "and the rain is far away and it is good to rest in the shade of a tree"
+)
+_JUNK = "zxqv kjhg wqpo 4829 @@@@ zzzz qqqq glorp blarg snix"
+_CORPUS = [(i, _PROSE + f" extra{i}") for i in range(10)] + [
+    (100 + i, _JUNK + f" junk{i}") for i in range(10)
+]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_training_is_partition_layout_invariant(spark):
+    # the determinism claim: decimal sums make the trajectory EXACTLY
+    # identical under any partitioning — not approximately
+    docs = _mk(spark, _CORPUS)
+    ws = []
+    for nparts in (1, 7):
+        d = docs.repartition(nparts)
+        w = linear_probe_train(
+            hashed_tf_features(d, dim=64), rule_labels(d), dim=64, n_iters=6
+        )
+        ws.append(w)
+    assert ws[0] == ws[1]  # bit-identical, == on floats intended
+
+
+def _ref_train_numpy(docs, dim, n_iters, lr):
+    """Dense numpy replica of the preconditioned squared-loss GD."""
+    from confidential_storm_spark.functions.text import STOPWORDS
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % dim
+
+    import re
+
+    X = np.zeros((len(docs), dim + 1))
+    y = np.zeros(len(docs))
+    for i, (_, text) in enumerate(docs):
+        toks = [w for w in re.split(r"[^a-zA-Z0-9_]+", text.lower()) if w]
+        for w in toks:
+            X[i, bucket(w)] += 1.0 / len(toks)
+        X[i, dim] = 1.0
+        n_stop = sum(1 for w in toks if w in STOPWORDS)
+        sw = round(n_stop / max(len(toks), 1), 6)
+        y[i] = 1.0 if (sw >= 0.10 and len(toks) >= 40) else 0.0
+    n = float(len(docs))
+    h = (X * X).sum(axis=0) / n
+    w = np.zeros(dim + 1)
+    for _ in range(n_iters):
+        r = X @ w - y
+        g = X.T @ r / n
+        w = w - lr * (g / (h + PRECOND_EPS))
+    return w
+
+
+def test_weights_match_numpy_reference(spark):
+    docs = _mk(spark, _CORPUS)
+    w = linear_probe_train(
+        hashed_tf_features(docs, dim=64), rule_labels(docs), dim=64, n_iters=6
+    )
+    ref = _ref_train_numpy(_CORPUS, 64, 6, 0.1)
+    # numpy sums in float order -> tolerance, not equality
+    assert np.allclose(np.array(w), ref, rtol=1e-9, atol=1e-12)
+
+
+def test_scores_match_duckdb_trajectory_twin(spark, tmp_path):
+    docs = _mk(spark, _CORPUS)
+    pq = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.parquet(pq)
+    feats, labels = hashed_tf_features(docs, dim=64), rule_labels(docs)
+    w = linear_probe_train(feats, labels, dim=64, n_iters=5)
+    got = [
+        (r.doc_id, r.y, r.score)
+        for r in linear_probe_scores(feats, labels, w).orderBy("doc_id").collect()
+    ]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'")
+    oracle = [
+        tuple(x) for x in con.sql(quality_probe_sql(dim=64, n_iters=5)).fetchall()
+    ]
+    assert got == oracle  # bit-exact incl. the 6-decimal report grid
+
+
+def test_probe_separates_obvious_classes(spark):
+    docs = _mk(spark, _CORPUS)
+    feats, labels = hashed_tf_features(docs, dim=64), rule_labels(docs)
+    # the rule itself must split the corpus as designed
+    ys = {r.doc_id: r.y for r in labels.collect()}
+    assert all(ys[i] == 1.0 for i, _ in _CORPUS[:10])
+    assert all(ys[i] == 0.0 for i, _ in _CORPUS[10:])
+    w = linear_probe_train(feats, labels, dim=64)
+    scores = {
+        r.doc_id: r.score for r in linear_probe_scores(feats, labels, w).collect()
+    }
+    worst_pos = min(scores[i] for i, _ in _CORPUS[:10])
+    best_neg = max(scores[i] for i, _ in _CORPUS[10:])
+    assert worst_pos > best_neg  # fully separable here
+
+
+def test_training_plan_is_jvm_only(spark):
+    docs = _mk(spark, _CORPUS)
+    feats, labels = hashed_tf_features(docs, dim=32), rule_labels(docs)
+    w = linear_probe_train(feats, labels, dim=32, n_iters=2)
+    plan = (
+        linear_probe_scores(feats, labels, w)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -2281,6 +2281,22 @@ def _bpe_encode_stats_sql() -> str:
     return bpe_train_sql(BPE_N_MERGES, stats=True)
 
 
+def events_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust profile of events.value (median / trimmed mean
+    / MAD / exact-rank quartiles) — outlier-resistant column profiling
+    with NO engine percentile functions (exact rank selection on the
+    decimal grid; see operators/robust.py)."""
+    from ..operators.robust import robust_stats
+
+    return robust_stats(load_table(spark, sf_dir, "events"))
+
+
+def _events_robust_stats_sql() -> str:
+    from ..operators.robust import robust_stats_sql
+
+    return robust_stats_sql()
+
+
 def quality_probe_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality classifier scores: hashed bag-of-words linear
     probe, full-batch preconditioned GD run ON the cluster, certified
@@ -2446,6 +2462,12 @@ QUERIES["dedup_minhash_incremental"] = QueryDef(
     dedup_minhash_incremental,
     _minhash_incremental_sql(),
     "new-batch near-dups vs frozen corpus's standing band index",
+    "training-data",
+)
+QUERIES["events_robust_stats"] = QueryDef(
+    events_robust_stats,
+    _events_robust_stats_sql(),
+    "robust per-type value profile (median/trimmed mean/MAD/IQR, exact ranks)",
     "training-data",
 )
 QUERIES["quality_probe_scores"] = QueryDef(

@@ -9,10 +9,13 @@ split on ``\\W+``, lowercase, drop empties
 
 from __future__ import annotations
 
+import unicodedata
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "words",
@@ -20,6 +23,8 @@ __all__ = [
     "bigram_cross_entropy_sql",
     "clean_text",
     "clean_text_sql",
+    "nfc_lower",
+    "nfc_lower_sql",
     "explode_words",
     "token_count",
     "quality_features",
@@ -98,6 +103,40 @@ def clean_text_sql(col: str = "text") -> str:
     for pat, rep in _CLEAN_STEPS:
         out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
     return out
+
+
+# ---------------------------------------------------------------------------
+# Unicode canonicalization for dedup keys
+# ---------------------------------------------------------------------------
+
+
+def nfc_lower(text: Column) -> Column:
+    """Unicode-canonical dedup key: NFC normalization + lowercase.
+
+    Visually identical strings differ at the byte level in any real
+    crawl (precomposed vs combining accents: 'é' U+00E9 vs 'e'+U+0301)
+    — exact dedup on raw bytes misses those copies.  NFC is the
+    canonical composition both Python's unicodedata and DuckDB's
+    utf8proc (``nfc_normalize``) implement; lower() (NOT casefold —
+    casefold's ß→ss expansion has no SQL twin) matches the engines'
+    unicode-aware lower.  Spark has no NFC builtin, so this is an
+    Arrow-batched UDF; it belongs BEFORE the md5 in a dedup key, a
+    map stage fused into the scan-side of the digest shuffle.
+    (UDF built at call time — module import stays session-free.)"""
+
+    @pandas_udf("string")
+    def _nfc(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: unicodedata.normalize("NFC", t).lower() if t is not None else None
+        )
+
+    return _nfc(text)
+
+
+def nfc_lower_sql(col: str = "text") -> str:
+    """DuckDB twin (utf8proc NFC; identical on every assigned
+    codepoint both libraries' Unicode versions share)."""
+    return f"lower(nfc_normalize({col}))"
 
 
 def explode_words(df: DataFrame, text_col: str = "text", out_col: str = "word") -> DataFrame:

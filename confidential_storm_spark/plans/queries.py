@@ -1080,6 +1080,31 @@ SELECT md5(text) AS digest, MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
 FROM documents GROUP BY md5(text) ORDER BY digest
 """
 
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-canonical exact dedup: the digest key is
+    nfc_lower(clean_text(text)) — NFC composition + lowercase over the
+    cleaned text, so byte-distinct-but-visually-identical copies
+    (combining vs precomposed accents, case variants, whitespace
+    noise) collapse.  Same one-shuffle digest plan as dedup_exact;
+    the normalization is a scan-side map stage."""
+    from ..functions.text import clean_text, nfc_lower
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_norm", nfc_lower(clean_text(F.col("text")))
+    )
+    return exact_dedup(docs, text_col="_norm").orderBy("digest")
+
+
+def _dedup_normalized_sql() -> str:
+    from ..functions.text import clean_text_sql, nfc_lower_sql
+
+    k = nfc_lower_sql(clean_text_sql("text"))
+    return f"""
+SELECT md5({k}) AS digest, MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5({k}) ORDER BY digest
+"""
+
+
 NEARDUP_THRESHOLD = 0.2
 MINHASH_K, MINHASH_BANDS, SHINGLE_N = 32, 16, 3  # K=32/b=16 (r=2): recall 0.885 -> 0.965 vs exact at sf1 for +20% time (measured sweep, PLANS.md)
 MINHASH_MAX_BUCKET = 1000  # operator default: band buckets holding > this many docs are dropped
@@ -2462,6 +2487,12 @@ QUERIES["dedup_minhash_incremental"] = QueryDef(
     dedup_minhash_incremental,
     _minhash_incremental_sql(),
     "new-batch near-dups vs frozen corpus's standing band index",
+    "training-data",
+)
+QUERIES["dedup_normalized"] = QueryDef(
+    dedup_normalized,
+    _dedup_normalized_sql(),
+    "unicode-canonical exact dedup (NFC + lower + clean_text digest)",
     "training-data",
 )
 QUERIES["events_robust_stats"] = QueryDef(

@@ -12,7 +12,7 @@ so queries prune to matching buckets at scan time.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -26,6 +26,8 @@ __all__ = [
     "ivf_write_index",
     "ivf_topk",
     "ivf_topk_indexed",
+    "hard_negatives",
+    "hard_negatives_sql",
 ]
 
 
@@ -319,3 +321,88 @@ def lsh_ann_topk(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int = 5,
+    query_mod: int = 101,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector (the deterministic ``id % query_mod == 0`` sample), the
+    top-k most-similar vectors with a DIFFERENT label — the negatives
+    that actually teach an embedding model (random negatives are too
+    easy; same-label neighbors are positives).
+
+    Plan shape at scale: the query sample is tiny by construction and
+    BROADCASTS (nested-loop with the label-mismatch predicate — the
+    corpus streams through one scan, queries replicated per task);
+    ranking is a window PARTITIONED BY query — per-query top-k, no
+    global sort.  Cosines round at 1e-6 BEFORE ranking so the
+    (cosine DESC, id ASC) tie-break is reproducible cross-engine.
+
+    Returns (query_id, neg_id, cosine, rank), rank 1..k.
+    """
+    v = F.col("_v")
+    qv = F.col("_qv")
+    q = df.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+        F.col(label_col).alias("_ql"),
+    )
+    c = df.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.col(label_col).alias("_l"),
+    )
+    dot = F.aggregate(F.zip_with(v, qv, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
+    vn = F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
+    qn = F.sqrt(F.aggregate(qv, F.lit(0.0), lambda s, x: s + x * x))
+    scored = (
+        c.join(F.broadcast(q), F.col("_l") != F.col("_ql"))
+        .withColumn("cosine", F.round(dot / (vn * qn), 6))
+        .select("query_id", "neg_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def hard_negatives_sql(
+    k: int = 5,
+    query_mod: int = 101,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin of :func:`hard_negatives`."""
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS query_id, CAST({vec_col} AS DOUBLE[]) AS qv, {label_col} AS ql
+  FROM {table} WHERE {id_col} % {query_mod} = 0
+),
+c AS (
+  SELECT {id_col} AS neg_id, CAST({vec_col} AS DOUBLE[]) AS v, {label_col} AS l
+  FROM {table}
+),
+s AS (
+  SELECT query_id, neg_id,
+         ROUND(list_cosine_similarity(v, qv), 6) AS cosine
+  FROM c JOIN q ON c.l <> q.ql
+),
+r AS (
+  SELECT query_id, neg_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neg_id) AS rank
+  FROM s
+)
+SELECT query_id, neg_id, cosine, rank FROM r WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

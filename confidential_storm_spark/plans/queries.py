@@ -1080,6 +1080,27 @@ SELECT md5(text) AS digest, MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
 FROM documents GROUP BY md5(text) ORDER BY digest
 """
 
+KNN_HARD_K, KNN_QUERY_MOD = 5, 101
+
+
+def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per query vector, the top-5
+    most-similar CROSS-LABEL vectors (broadcast nested-loop on the
+    label-mismatch predicate + per-query window; see
+    operators/similarity.py::hard_negatives)."""
+    from ..operators.similarity import hard_negatives
+
+    return hard_negatives(
+        load_table(spark, sf_dir, "embeddings"), k=KNN_HARD_K, query_mod=KNN_QUERY_MOD
+    )
+
+
+def _knn_hard_negatives_sql() -> str:
+    from ..operators.similarity import hard_negatives_sql
+
+    return hard_negatives_sql(k=KNN_HARD_K, query_mod=KNN_QUERY_MOD)
+
+
 def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-canonical exact dedup: the digest key is
     nfc_lower(clean_text(text)) — NFC composition + lowercase over the
@@ -2487,6 +2508,12 @@ QUERIES["dedup_minhash_incremental"] = QueryDef(
     dedup_minhash_incremental,
     _minhash_incremental_sql(),
     "new-batch near-dups vs frozen corpus's standing band index",
+    "training-data",
+)
+QUERIES["knn_hard_negatives"] = QueryDef(
+    knn_hard_negatives,
+    _knn_hard_negatives_sql(),
+    "contrastive hard negatives: per-query top-5 cross-label neighbors",
     "training-data",
 )
 QUERIES["dedup_normalized"] = QueryDef(

@@ -47,6 +47,7 @@ __all__ = [
     "rule_labels",
     "linear_probe_train",
     "linear_probe_scores",
+    "quality_score_expr",
     "quality_probe_sql",
 ]
 
@@ -295,3 +296,66 @@ SELECT m.doc_id, l.y, ROUND(m.pred, 6) AS score
 FROM mf m JOIN labels l USING (doc_id)
 ORDER BY doc_id"""
     )
+
+
+def quality_score_expr(weights: list[float], text_col: str = "text") -> F.Column:
+    """The trained model as ONE stateless column expression — score a
+    row WITHOUT the feature relation: re-derive the hashed tf features
+    inline (words -> md5 bucket -> counts via sorted-run fold) and
+    fold v·w in DECIMAL.  Being a pure per-row expression it runs
+    identically in batch and Structured Streaming (no state, no
+    shuffle — model application at ingest is a map stage), and scores
+    match :func:`linear_probe_scores` bit-for-bit.
+
+    Shape note: per-row bucket counts come from sorting the row's
+    bucket array and folding adjacent runs — O(t log t) per doc
+    JVM-side, no explode/groupBy (which a stream would pay state for).
+    """
+    from ..functions.text import words
+
+    dim = len(weights) - 1
+    wmap = _wmap(weights)
+    buckets = F.transform(
+        words(F.col(text_col)),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long") % dim,
+    )
+    srt = F.array_sort(buckets)
+    tot = F.size(srt).cast("double")
+    # fold adjacent runs of the sorted bucket array into (bucket, cnt)
+    # pairs, then score each run as (cnt/tot)·w[bucket] in DECIMAL
+    runs = F.aggregate(
+        srt,
+        F.expr("CAST(array() AS array<struct<b: bigint, c: bigint>>)"),
+        lambda acc, b: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1)["b"] == b),
+            F.concat(
+                F.slice(acc, 1, (F.size(acc) - 1).cast("int")),
+                F.array(
+                    F.struct(
+                        b.alias("b"),
+                        (F.element_at(acc, -1)["c"] + 1).alias("c"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(b.alias("b"), F.lit(1).cast("bigint").alias("c"))))
+        ),
+    )
+    tf_dec = F.aggregate(
+        runs,
+        F.lit(0).cast(_DEC),
+        lambda acc, r: (
+            acc
+            + (
+                (r["c"].cast("double") / tot) * F.element_at(wmap, r["b"])
+            ).cast(_DEC)
+        ).cast(_DEC),
+    )
+    # the bias joins the DECIMAL sum BEFORE the double cast — exactly
+    # where linear_probe_scores adds its bias-feature term, so the two
+    # paths agree bit-for-bit (adding two doubles post-cast would not)
+    bias_dec = (F.lit(1.0) * F.lit(weights[dim])).cast(_DEC)
+    total = F.when(F.size(srt) == 0, bias_dec).otherwise(
+        (tf_dec + bias_dec).cast(_DEC)
+    )
+    return F.round(total.cast("double"), 6)

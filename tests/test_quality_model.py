@@ -133,3 +133,65 @@ def test_training_plan_is_jvm_only(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_score_expr_matches_feature_path_bit_for_bit(spark):
+    docs = _mk(spark, _CORPUS)
+    feats, labels = hashed_tf_features(docs, dim=64), rule_labels(docs)
+    w = linear_probe_train(feats, labels, dim=64, n_iters=4)
+    from confidential_storm_spark.operators.quality_model import quality_score_expr
+
+    via_feats = {
+        r.doc_id: r.score
+        for r in linear_probe_scores(feats, labels, w).collect()
+    }
+    via_expr = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", quality_score_expr(w).alias("s")).collect()
+    }
+    assert via_feats == via_expr  # == on floats intended (bit-exact claim)
+
+
+def test_score_expr_streams_statelessly(spark, tmp_path):
+    # train in batch, score a stream: the expression is a pure map,
+    # so availableNow micro-batches reproduce the batch scores exactly
+    from confidential_storm_spark.operators.quality_model import quality_score_expr
+
+    docs = _mk(spark, _CORPUS)
+    w = linear_probe_train(hashed_tf_features(docs, dim=64), rule_labels(docs), dim=64, n_iters=3)
+    src = str(tmp_path / "stream_src")
+    docs.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("doc_id", quality_score_expr(w).alias("s"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("qscores")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r.s for r in spark.sql("select * from qscores").collect()}
+    batch = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", quality_score_expr(w).alias("s")).collect()
+    }
+    assert got == batch
+
+
+def test_score_expr_handles_empty_and_null_text(spark):
+    from confidential_storm_spark.operators.quality_model import quality_score_expr
+
+    docs = _mk(spark, _CORPUS)
+    w = linear_probe_train(hashed_tf_features(docs, dim=64), rule_labels(docs), dim=64, n_iters=2)
+    edge = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.s for r in edge.select("doc_id", quality_score_expr(w).alias("s")).collect()}
+    bias = round(w[-1], 6)
+    assert out[1] == bias and out[2] == bias
+    # null text -> null words array -> score stays null (caller filters)
+    assert out[3] is None or out[3] == bias

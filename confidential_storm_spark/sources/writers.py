@@ -39,6 +39,8 @@ __all__ = [
     "write_orc",
     "read_orc",
     "write_jsonl",
+    "write_bpe_vocab",
+    "read_bpe_vocab",
 ]
 
 
@@ -384,3 +386,34 @@ def write_jsonl(
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def write_bpe_vocab(
+    spark: SparkSession,
+    path: str,
+    merges: list[tuple[str, str]],
+    segmentation: DataFrame | None = None,
+) -> None:
+    """Persist a trained BPE tokenizer as a standing artifact:
+    ``{path}/merges`` (merge_rank, left, right — the model itself,
+    rank order IS the apply order) and optionally
+    ``{path}/segmentation`` (token -> syms for the training corpus's
+    full vocabulary — the zero-recompute encode map for corpus text;
+    unseen text applies the merges via ``operators.bpe.bpe_encode``).
+
+    A tokenizer is trained once and read by every downstream job
+    (token budgeting, packing, contamination checks), so it belongs
+    next to the digest/band/bloom indexes as a persisted relation,
+    not a driver-side pickle."""
+    spark.createDataFrame(
+        [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
+        "merge_rank int, left string, right string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/merges")
+    if segmentation is not None:
+        segmentation.write.mode("overwrite").parquet(f"{path}/segmentation")
+
+
+def read_bpe_vocab(spark: SparkSession, path: str) -> list[tuple[str, str]]:
+    """The merge list back in apply order."""
+    rows = spark.read.parquet(f"{path}/merges").orderBy("merge_rank").collect()
+    return [(r["left"], r["right"]) for r in rows]

@@ -157,3 +157,24 @@ def test_training_loop_plan_is_jvm_only(spark):
     _, seg = bpe_train(pretoken_type_counts(df), 3)
     plan = seg._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_artifact_roundtrip(spark, tmp_path):
+    from confidential_storm_spark.sources.writers import read_bpe_vocab, write_bpe_vocab
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(_CORPUS)], "doc_id long, text string")
+    merges, seg = bpe_train(pretoken_type_counts(df), 10)
+    path = str(tmp_path / "bpe_vocab")
+    write_bpe_vocab(spark, path, merges, segmentation=seg)
+    assert read_bpe_vocab(spark, path) == merges
+    # the persisted segmentation is the corpus encode map, byte-equal
+    stored = {
+        r["token"]: list(r["syms"])
+        for r in spark.read.parquet(f"{path}/segmentation").collect()
+    }
+    live = {r["token"]: list(r["syms"]) for r in seg.collect()}
+    assert stored == live
+    # encode-with-read-back-merges == encode-with-live-merges
+    a = bpe_encode(df, read_bpe_vocab(spark, path)).select("doc_id", "bpe_toks").collect()
+    b = bpe_encode(df, merges).select("doc_id", "bpe_toks").collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))

@@ -6,9 +6,10 @@ columns are all heavy-tailed).
 Engine-portable by construction: no percentile_approx, no engine
 `percentile`/`quantile_cont` (their interpolation arithmetic is a
 cross-engine float hazard).  Quantiles are EXACT rank selections —
-row_number over a per-key sort, pick the middle row(s), average the
-two middles in DECIMAL (the input grid is 2-decimal, so every
-statistic lives on an exact 6-decimal grid end-to-end).  Duplicate
+row_number over a per-key sort, pick the middle row(s); the one-or-two
+middles are combined as an exact DECIMAL SUM cast to double and
+divided by the count (one deterministic IEEE divide — never AVG, and
+never interpolation between engine-computed fractions).  Duplicate
 values make tie order irrelevant: selection is by position in a
 value-ordered sequence, and equal values are interchangeable.
 
@@ -33,8 +34,8 @@ _TRIM = 0.1  # fraction trimmed from EACH end (floor(n*_TRIM) rows)
 
 
 def _median_on(df: DataFrame, key: str, val_dec: str) -> DataFrame:
-    """(key, med): exact median of a DECIMAL column — avg of the one
-    or two middle positions, computed in decimal (exact)."""
+    """(key, med): exact median of a DECIMAL column — the one or two
+    middle positions, exact-decimal-summed then IEEE-divided."""
     w = Window.partitionBy(key).orderBy(val_dec)
     ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
         "_n", F.count(F.lit(1)).over(Window.partitionBy(key))
@@ -60,8 +61,8 @@ def robust_stats(
     quartiles: position floor((n+3)/4) and floor((3n+1)/4) of the
     sorted values — a fixed-position convention, no interpolation).
 
-    All sums/averages run in DECIMAL; outputs cast to double on the
-    report grid."""
+    Sums run in DECIMAL; the only divisions are single deterministic
+    IEEE ops; outputs cast to double on the report grid."""
     vdec = f"_v"
     base = df.select(F.col(key), F.col(val).cast(_DEC).alias(vdec))
 

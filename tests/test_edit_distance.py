@@ -10,7 +10,10 @@ engineered to straddle bucket boundaries.
 import pytest
 from pyspark.sql import functions as F
 
-from confidential_storm_spark.operators.dedup import edit_distance_pairs
+from confidential_storm_spark.operators.dedup import (
+    edit_distance_pairs,
+    edit_distance_pairs_segments,
+)
 
 
 def _brute(spark_rows, max_dist):
@@ -45,12 +48,19 @@ _ROWS = (
 
 
 @pytest.mark.parametrize("max_dist", [0, 1, 3, 7])
-def test_blocking_is_lossless_vs_brute_force(spark, max_dist):
+@pytest.mark.parametrize("form", ["length", "segment"])
+def test_blocking_is_lossless_vs_brute_force(spark, max_dist, form):
     df = spark.createDataFrame(_ROWS, "doc_id long, text string")
-    got = {
-        (r.id_a, r.id_b, r.dist)
-        for r in edit_distance_pairs(df, max_dist=max_dist, prefix_len=None).collect()
-    }
+    fn = (
+        (lambda d: edit_distance_pairs(d, max_dist=max_dist, prefix_len=None))
+        if form == "length"
+        else (
+            lambda d: edit_distance_pairs_segments(
+                d, max_dist=max_dist, prefix_len=None, max_seg_df=None
+            )
+        )
+    )
+    got = {(r.id_a, r.id_b, r.dist) for r in fn(df).collect()}
     assert got == _brute(_ROWS, max_dist)
 
 
@@ -97,3 +107,26 @@ def test_plan_has_no_cartesian_and_no_python_stage(spark):
     explained = edit_distance_pairs(df, max_dist=3, prefix_len=None)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in explained
     assert "BatchEvalPython" not in explained and "ArrowEvalPython" not in explained
+
+
+def test_segment_cap_keeps_pairs_reachable_via_cold_segments(spark):
+    # 40 strings sharing a hot PREFIX segment but unique tails: the
+    # cap drops the hot key; the one true near-dup pair (distinct
+    # tails differing by one char) survives via its cold segments
+    rows = [(i, "commonprefixx" + f"tail{i:04d}xxxx") for i in range(40)]
+    rows += [(100, "zzdistinctaa" + "uniquetailZZZ"), (101, "zzdistinctaa" + "uniquetailZZY")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_pairs_segments(
+            df, max_dist=2, prefix_len=None, max_seg_df=10
+        ).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_pairs_segments(
+            df, max_dist=2, prefix_len=None, max_seg_df=None
+        ).collect()
+    }
+    assert (100, 101) in capped
+    assert capped <= uncapped

@@ -2343,6 +2343,27 @@ def _events_robust_stats_sql() -> str:
     return robust_stats_sql()
 
 
+_QUALITY_MEMO: dict[str, list[float]] = {}
+
+
+def _quality_weights(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Train the probe once per corpus within the session (the model
+    is a standing artifact in a real pipeline; here a session memo
+    shared by the scores and deciles queries)."""
+    from ..operators.quality_model import (
+        hashed_tf_features,
+        linear_probe_train,
+        rule_labels,
+    )
+
+    if sf_dir not in _QUALITY_MEMO:
+        docs = load_table(spark, sf_dir, "documents")
+        _QUALITY_MEMO[sf_dir] = linear_probe_train(
+            hashed_tf_features(docs), rule_labels(docs)
+        )
+    return _QUALITY_MEMO[sf_dir]
+
+
 def quality_probe_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality classifier scores: hashed bag-of-words linear
     probe, full-batch preconditioned GD run ON the cluster, certified
@@ -2352,15 +2373,83 @@ def quality_probe_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality_model import (
         hashed_tf_features,
         linear_probe_scores,
-        linear_probe_train,
         rule_labels,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     feats = hashed_tf_features(docs)
     labels = rule_labels(docs)
-    w = linear_probe_train(feats, labels)
+    w = _quality_weights(spark, sf_dir)
     return linear_probe_scores(feats, labels, w).orderBy("doc_id")
+
+
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum planning: the corpus bucketed into score deciles of
+    the TRAINED quality probe — per decile, doc count and the score
+    envelope (the relation a data-mixing scheduler samples from).
+
+    Scale shape: scores come from the stateless scoring expression
+    (one map pass, no feature relation); the global decile rank is
+    the two-pass partitioned rank-range scan (operators/ranks.py —
+    range-partition the score SPECTRUM, per-partition cumsum, one
+    collected offset row per partition), then a per-score-class
+    window for tie-break ranks.  No global single-partition window
+    anywhere; decile = (rank-1)*10 // n in pure integer arithmetic
+    (exact cross-engine)."""
+    from ..operators.quality_model import quality_score_expr
+    from ..operators.ranks import attach_rank_ranges
+
+    w = _quality_weights(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("doc_id"), quality_score_expr(w).alias("score")
+    ).localCheckpoint(eager=False)
+    n = scored.count()
+    spectrum = scored.groupBy("score").agg(F.count(F.lit(1)).alias("_m"))
+    ranged = attach_rank_ranges(
+        spectrum, count_col="score", size_col="_m", start_col="_start"
+    )
+    cls_w = Window.partitionBy("score").orderBy("doc_id")
+    ranked = (
+        scored.join(ranged, "score")
+        .withColumn("_rank", F.col("_start") + F.row_number().over(cls_w))
+        # integer `div`, never double division: (rank-1)*10/n as a
+        # double can round UP across a decile boundary at large n
+        .withColumn("decile", F.expr(f"((_rank - 1) * 10L) div {n}"))
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_score"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _quality_deciles_sql() -> str:
+    from ..operators.quality_model import quality_probe_sql
+
+    return f"""
+WITH scores AS ({quality_probe_sql()}),
+r AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM scores
+)
+SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS decile,
+       COUNT(*)::BIGINT AS n_docs,
+       CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_score,
+       MIN(score) AS min_score,
+       MAX(score) AS max_score
+FROM r GROUP BY 1 ORDER BY decile
+"""
 
 
 def _quality_probe_sql() -> str:
@@ -2532,6 +2621,12 @@ QUERIES["events_robust_stats"] = QueryDef(
     events_robust_stats,
     _events_robust_stats_sql(),
     "robust per-type value profile (median/trimmed mean/MAD/IQR, exact ranks)",
+    "training-data",
+)
+QUERIES["quality_deciles"] = QueryDef(
+    quality_deciles,
+    _quality_deciles_sql(),
+    "curriculum deciles over trained quality scores (two-pass global ranks)",
     "training-data",
 )
 QUERIES["quality_probe_scores"] = QueryDef(

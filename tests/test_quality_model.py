@@ -195,3 +195,23 @@ def test_score_expr_handles_empty_and_null_text(spark):
     assert out[1] == bias and out[2] == bias
     # null text -> null words array -> score stays null (caller filters)
     assert out[3] is None or out[3] == bias
+
+
+def test_quality_deciles_partition_and_order(spark, tmp_path):
+    # build via the registry function against a tiny parquet corpus
+    import confidential_storm_spark.plans.queries as Q
+
+    docs = _mk(spark, _CORPUS + [(200 + i, f"filler words {i} alpha beta") for i in range(30)])
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = Q.quality_deciles(spark, sf).collect()
+    assert [r["decile"] for r in out] == sorted({r["decile"] for r in out})
+    assert set(r["decile"] for r in out) <= set(range(10))
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    # decile 0 holds the TOP scores: envelopes weakly decrease
+    for a, b in zip(out, out[1:]):
+        assert a["min_score"] >= b["max_score"]
+    Q._QUALITY_MEMO.clear()

@@ -248,7 +248,7 @@ def bpe_train_sql(
     n_merges: int,
     table: str = "documents",
     text_col: str = "text",
-    stats: bool = False,
+    stats: bool | str = False,
 ) -> str:
     """UNROLLED DuckDB twin of :func:`bpe_train` — one (pairs, best,
     words) CTE triple per iteration, the k-means-trajectory-oracle
@@ -279,9 +279,10 @@ def bpe_train_sql(
   FROM w{i - 1} w CROSS JOIN b{i} b)"""
         )
     if stats:
+        group = stats if isinstance(stats, str) else "source"
         parts.append(
             f"""doc_toks AS (
-  SELECT source, unnest({bpe_tokens_sql(text_col)}) AS token FROM {table})"""
+  SELECT {group} AS grp, unnest({bpe_tokens_sql(text_col)}) AS token FROM {table})"""
         )
         parts.append(
             f"seg AS (SELECT token, len(string_split(s, chr(3))) AS n_sym FROM w{n_merges})"
@@ -289,11 +290,12 @@ def bpe_train_sql(
         return (
             "WITH "
             + ",\n".join(parts)
-            + """
-SELECT d.source, COUNT(*)::BIGINT AS n_pretokens,
-       SUM(seg.n_sym)::BIGINT AS total_subwords
+            + f"""
+SELECT d.grp AS {group}, COUNT(*)::BIGINT AS n_pretokens,
+       SUM(seg.n_sym)::BIGINT AS total_subwords,
+       ROUND(CAST(SUM(seg.n_sym) AS DOUBLE) / COUNT(*), 6) AS fertility
 FROM doc_toks d JOIN seg USING (token)
-GROUP BY d.source ORDER BY d.source"""
+GROUP BY d.grp ORDER BY {group}"""
         )
     union = "\nUNION ALL\n".join(
         f'SELECT {i} AS merge_rank, l AS "left", r AS "right" FROM b{i}'

@@ -2299,32 +2299,53 @@ def _bpe_merges_sql() -> str:
     return bpe_train_sql(BPE_N_MERGES)
 
 
-def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source subword budget after segmenting the corpus with the
-    learned tokenizer — encode-side certification: the final
-    segmentation table joins back onto the corpus pretokens
-    (broadcast; the vocabulary is tiny by construction)."""
+def _bpe_group_stats(spark: SparkSession, sf_dir: str, group: str) -> DataFrame:
     from ..functions.text import bpe_tokens
 
     _, seg = _bpe_trained(spark, sf_dir)
     doc_toks = load_table(spark, sf_dir, "documents").select(
-        "source", F.explode(bpe_tokens(F.col("text"))).alias("token")
+        group, F.explode(bpe_tokens(F.col("text"))).alias("token")
     )
     return (
         doc_toks.join(F.broadcast(seg), "token")
-        .groupBy("source")
+        .groupBy(group)
         .agg(
             F.count(F.lit(1)).alias("n_pretokens"),
             F.sum(F.size("syms")).alias("total_subwords"),
+            F.round(
+                F.sum(F.size("syms")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("fertility"),
         )
-        .orderBy("source")
+        .orderBy(group)
     )
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source subword budget + fertility after segmenting the
+    corpus with the learned tokenizer — encode-side certification: the
+    final segmentation table joins back onto the corpus pretokens
+    (broadcast; the vocabulary is tiny by construction)."""
+    return _bpe_group_stats(spark, sf_dir, "source")
 
 
 def _bpe_encode_stats_sql() -> str:
     from ..operators.bpe import bpe_train_sql
 
     return bpe_train_sql(BPE_N_MERGES, stats=True)
+
+
+def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subwords per pretoken) PER LANGUAGE — the
+    dial that exposes a tokenizer trained on the wrong mixture
+    (minority languages over-fragment).  Same plan as
+    bpe_encode_stats grouped by lang."""
+    return _bpe_group_stats(spark, sf_dir, "lang")
+
+
+def _bpe_fertility_sql() -> str:
+    from ..operators.bpe import bpe_train_sql
+
+    return bpe_train_sql(BPE_N_MERGES, stats="lang")
 
 
 def events_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2650,7 +2671,13 @@ QUERIES["bpe_merges"] = QueryDef(
 QUERIES["bpe_encode_stats"] = QueryDef(
     bpe_encode_stats,
     _bpe_encode_stats_sql(),
-    "per-source subword budget under the learned BPE tokenizer",
+    "per-source subword budget + fertility under the learned BPE tokenizer",
+    "training-data",
+)
+QUERIES["bpe_fertility"] = QueryDef(
+    bpe_fertility,
+    _bpe_fertility_sql(),
+    "tokenizer fertility per language (over-fragmentation dial)",
     "training-data",
 )
 QUERIES["dedup_edit_distance"] = QueryDef(

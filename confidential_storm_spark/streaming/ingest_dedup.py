@@ -41,7 +41,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["neardup_ingest_stream", "signature_estimate", "process_ingest_batch"]
+__all__ = [
+    "neardup_ingest_stream",
+    "signature_estimate",
+    "process_ingest_batch",
+    "process_curated_batch",
+    "curated_ingest_stream",
+]
 
 
 def signature_estimate(sig_a, sig_b) -> F.Column:
@@ -182,6 +188,81 @@ def neardup_ingest_stream(
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
         process_ingest_batch(batch, index_path, survivors_path, **dials)
+
+    writer = docs.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def process_curated_batch(
+    batch: DataFrame,
+    weights: list[float],
+    index_path: str,
+    survivors_path: str,
+    rejects_path: str | None = None,
+    min_score: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **dials,
+) -> None:
+    """One micro-batch of the FULL curation pipeline: trained-model
+    quality gate, then near-dedup against the self-maintaining index.
+
+    The quality gate is the stateless scoring expression of the
+    trained linear probe (train in batch, score every stream —
+    ``operators.quality_model.quality_score_expr``): a pure per-row
+    predicate, codegen-fused with the batch scan, zero state.  Docs
+    under ``min_score`` are (optionally) appended to ``rejects_path``
+    WITH their scores — the audit trail a curation pipeline keeps so
+    threshold changes can be replayed without re-scoring.
+
+    Only quality survivors reach the (more expensive) signing + index
+    probe, so the model gate also acts as the cost filter — the
+    production ordering (cheap predicate first, index probe second).
+    """
+    from ..operators.quality_model import quality_score_expr
+
+    scored = batch.withColumn("_q", quality_score_expr(weights, text_col))
+    if rejects_path is not None:
+        (
+            scored.filter((F.col("_q") < min_score) | F.col("_q").isNull())
+            .select(id_col, F.col("_q").alias("quality_score"))
+            .write.mode("append")
+            .parquet(rejects_path)
+        )
+    passed = scored.filter(F.col("_q") >= min_score).drop("_q")
+    process_ingest_batch(
+        passed, index_path, survivors_path, text_col=text_col, id_col=id_col, **dials
+    )
+
+
+def curated_ingest_stream(
+    docs: DataFrame,
+    weights: list[float],
+    index_path: str,
+    survivors_path: str,
+    checkpoint_dir: str,
+    rejects_path: str | None = None,
+    min_score: float = 0.0,
+    trigger_available_now: bool = True,
+    **dials,
+):
+    """Quality-gate + near-dedup curation as one streaming pipeline.
+    Returns the started StreamingQuery."""
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        process_curated_batch(
+            batch,
+            weights,
+            index_path,
+            survivors_path,
+            rejects_path=rejects_path,
+            min_score=min_score,
+            **dials,
+        )
 
     writer = docs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

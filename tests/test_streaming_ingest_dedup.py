@@ -128,3 +128,71 @@ def test_ingest_batch_replay_matches_stream(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(f"{index}/sigs").select("doc_id").collect()
     }
     assert idx_ids == survivors
+
+
+def test_curated_ingest_gates_quality_then_dedups(spark, tmp_path):
+    from confidential_storm_spark.operators.quality_model import (
+        hashed_tf_features,
+        linear_probe_train,
+        quality_score_expr,
+        rule_labels,
+    )
+    from confidential_storm_spark.streaming.ingest_dedup import curated_ingest_stream
+
+    prose = (
+        "the cat is in the hat and the dog is of the house and it is a fine "
+        "day to sit in the sun and read a book of tales and the wind is soft "
+        "and the rain is far away and it is good to rest in the shade"
+    )
+    junk = "zxqv kjhg wqpo 4829 zzzz qqqq glorp blarg snix blix vonk"
+    rows = (
+        [(i, prose + f" variant{i}") for i in range(6)]          # near-dups of each other
+        + [(50 + i, junk + f" junk{i}") for i in range(4)]        # quality rejects
+        + [(100, "a wholly different prose line where the cat and the dog sit "
+                 "in the sun and it is a good day to read of tales and the "
+                 "wind is in the trees and all is soft and fine and calm")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # train on the same mix (prose label-1, junk label-0)
+    w = linear_probe_train(hashed_tf_features(docs, dim=64), rule_labels(docs), dim=64)
+    scores = {
+        r.doc_id: r.s for r in docs.select("doc_id", quality_score_expr(w).alias("s")).collect()
+    }
+    thr = (max(scores[i] for i in range(50, 54)) + min(scores[0], scores[100])) / 2
+
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = curated_ingest_stream(
+        stream,
+        w,
+        str(tmp_path / "index"),
+        str(tmp_path / "survivors"),
+        str(tmp_path / "ckpt"),
+        rejects_path=str(tmp_path / "rejects"),
+        min_score=thr,
+        **DIALS,
+    )
+    q.awaitTermination(240)
+
+    surv = {r.doc_id for r in spark.read.parquet(str(tmp_path / "survivors")).collect()}
+    rej = {
+        r.doc_id: r.quality_score
+        for r in spark.read.parquet(str(tmp_path / "rejects")).collect()
+    }
+    # every junk doc rejected WITH its score recorded
+    assert set(range(50, 54)) <= set(rej)
+    assert all(rej[i] < thr for i in rej)
+    # no junk survived; the distinct prose doc survived
+    assert not (set(range(50, 54)) & surv) and 100 in surv
+    # the 6 near-dup prose variants collapsed (>=1 but < 6 survive)
+    n_prose = len(surv & set(range(6)))
+    assert 1 <= n_prose < 6
+    # quality gate ran BEFORE dedup: rejects never reached the index
+    idx_ids = {r.doc_id for r in spark.read.parquet(str(tmp_path / "index/sigs")).collect()}
+    assert not (idx_ids & set(range(50, 54)))
+    assert idx_ids == surv

@@ -48,6 +48,8 @@ __all__ = [
     "shared_span_pairs_sql",
     "span_dup_fraction",
     "span_dup_fraction_sql",
+    "span_rewrite",
+    "span_rewrite_sql",
     "incremental_dedup",
     "incremental_dedup_sql",
     "edit_distance_pairs",
@@ -1620,4 +1622,159 @@ SELECT c.id_a, c.id_b, levenshtein(a._f, b._f) AS dist
 FROM cand c JOIN keyed a ON a._id = c.id_a JOIN keyed b ON b._id = c.id_b
 WHERE levenshtein(a._f, b._f) <= {max_dist}
 ORDER BY id_a, id_b
+"""
+
+
+def span_rewrite(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_n: int = 5,
+) -> DataFrame:
+    """Span-level dedup as an actual REWRITE (the output Lee et al.
+    2021 train on, not just the filter metric): every ``span_n``-word
+    run that also occurs in another document is CUT from every doc
+    except the span's canonical owner (min doc id), and the doc's
+    text is rebuilt from the surviving words.
+
+    Deterministic semantics (mirrored exactly in the DuckDB twin):
+
+    - the unit is the ``words()`` normalization; rebuilt text is the
+      kept words joined by single spaces (span dedup operates on the
+      canonical token stream — raw-byte fidelity is not a goal of
+      this operator, the survivors keep their original rows);
+    - an occurrence (doc, pos) is duplicated iff its span hash occurs
+      in >= 2 distinct docs AND doc != min(doc) over that hash;
+    - a word position is removed iff covered by any duplicated
+      occurrence; within-doc-only repeats are NOT cut (that is the
+      repetition filter's job, `text.repetition_signals`).
+
+    Scale: strictly LINEAR — unlike the pair queries there is no
+    self-join anywhere: occurrences join the (hash -> owner, df>=2)
+    relation (one shuffle), covered positions explode +/- span_n wide,
+    and the rebuild is one groupBy over (doc, pos).  No caps needed.
+
+    Returns (doc_id, n_words, n_removed, text_clean).
+    """
+    ws = words(F.col(text_col))
+    base = df.select(F.col(id_col).alias("_id"), ws.alias("_ws")).localCheckpoint(
+        eager=False
+    )
+
+    # position-aware span occurrences (1-based word positions)
+    occ = base.filter(F.size("_ws") >= span_n).select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_ws") - span_n + 1),
+                lambda i: F.struct(
+                    i.alias("p"),
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(" ", F.slice(F.col("_ws"), i, span_n))),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("long")
+                    .alias("h"),
+                ),
+            )
+        ).alias("o"),
+    ).select("_id", F.col("o.p").alias("_p"), F.col("o.h").alias("_h"))
+    occ = occ.localCheckpoint(eager=False)  # read twice (owners + coverage)
+
+    owners = (
+        occ.select("_id", "_h")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.min("_id").alias("_owner"), F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= 2)
+        .select("_h", "_owner")
+    )
+
+    covered = (
+        occ.join(owners, "_h")
+        .filter(F.col("_id") != F.col("_owner"))
+        .select(
+            "_id", F.explode(F.sequence(F.col("_p"), F.col("_p") + span_n - 1)).alias("_j")
+        )
+        .distinct()
+    )
+
+    positions = base.select(
+        "_id", F.posexplode("_ws").alias("_j0", "_w")
+    ).withColumn("_j", F.col("_j0") + 1)
+
+    kept_agg = (
+        positions.join(covered, ["_id", "_j"], "left_anti")
+        .groupBy("_id")
+        .agg(
+            F.count(F.col("_w")).alias("_n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("_j"), F.col("_w")))),
+                    lambda s: s["_w"],
+                ),
+            ).alias("text_clean"),
+        )
+    )
+    # rebuild FROM the base relation: fully-covered docs (every word
+    # cut) and empty docs must still appear, with text_clean = ''
+    return (
+        base.select("_id", F.size("_ws").alias("n_words"))
+        .join(kept_agg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_words",
+            (F.col("n_words") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def span_rewrite_sql(
+    span_n: int = 5,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`span_rewrite`."""
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {id_col} AS _id, {words_sql(text_col)} AS ws FROM {table}
+),
+occ AS MATERIALIZED (
+  SELECT _id, u.p AS p,
+         CAST('0x' || substr(md5(array_to_string(ws[u.p : u.p + {span_n} - 1], ' ')), 1, 15) AS BIGINT) AS h
+  FROM base, UNNEST(range(1, len(ws) - {span_n} + 2)) AS u(p)
+  WHERE len(ws) >= {span_n}
+),
+owners AS (
+  SELECT h, MIN(_id) AS owner FROM (SELECT DISTINCT _id, h FROM occ)
+  GROUP BY h HAVING COUNT(*) >= 2
+),
+covered AS (
+  SELECT DISTINCT o._id, u.j
+  FROM occ o JOIN owners w USING (h), UNNEST(range(o.p, o.p + {span_n})) AS u(j)
+  WHERE o._id <> w.owner
+),
+positions AS (
+  SELECT _id, len(ws) AS n_words, u.j AS j, ws[u.j] AS w
+  FROM base, UNNEST(range(1, len(ws) + 1)) AS u(j)
+),
+kept AS (
+  SELECT p.* FROM positions p ANTI JOIN covered c ON p._id = c._id AND p.j = c.j
+)
+SELECT b._id AS {id_col}, len(b.ws) AS n_words,
+       len(b.ws) - COUNT(k.j)::BIGINT AS n_removed,
+       COALESCE(string_agg(k.w, ' ' ORDER BY k.j), '') AS text_clean
+FROM base b LEFT JOIN kept k ON b._id = k._id
+GROUP BY b._id, len(b.ws)
+ORDER BY {id_col}
 """

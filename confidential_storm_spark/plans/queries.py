@@ -2511,6 +2511,23 @@ def _dedup_edit_distance_sql() -> str:
     )
 
 
+def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup as the actual corpus REWRITE (Lee et al.
+    2021's training output): cross-doc duplicated 5-word spans cut
+    from every non-canonical doc, text rebuilt from surviving words.
+    Strictly linear — no self-join anywhere (see
+    operators/dedup.py::span_rewrite)."""
+    from ..operators.dedup import span_rewrite
+
+    return span_rewrite(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _dedup_span_rewrite_sql() -> str:
+    from ..operators.dedup import span_rewrite_sql
+
+    return span_rewrite_sql()
+
+
 def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc duplicated-span fraction (Lee et al. 2021 doc-level
     filter metric; the per-doc aggregation of dedup_spans)."""
@@ -2684,6 +2701,12 @@ QUERIES["dedup_edit_distance"] = QueryDef(
     dedup_edit_distance,
     _dedup_edit_distance_sql(),
     "edit-distance near-dup pairs on the title prefix (length-bucket blocked)",
+    "training-data",
+)
+QUERIES["dedup_span_rewrite"] = QueryDef(
+    dedup_span_rewrite,
+    _dedup_span_rewrite_sql(),
+    "span-level dedup rewrite: duplicated spans cut, text rebuilt",
     "training-data",
 )
 QUERIES["dedup_span_fraction"] = QueryDef(

@@ -99,3 +99,53 @@ def test_shared_span_pairs_capped_sql_twin_matches(spark):
     }
     assert got_uncapped == oracle_uncapped
     assert len(got_uncapped) == 30 * 29 // 2 + 1
+
+
+def test_span_rewrite_semantics(spark):
+    from confidential_storm_spark.operators.dedup import span_rewrite
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),       # owner: keeps all
+        (2, "intro words alpha beta gamma delta epsilon tail piece"),
+        (3, "alpha beta gamma delta epsilon"),            # fully covered
+        (4, "completely unrelated text with six words"),  # untouched
+        (5, ""),                                          # empty passthrough
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.n_removed, r.text_clean) for r in span_rewrite(df, span_n=5).collect()}
+    assert got[1] == (6, 0, "alpha beta gamma delta epsilon zeta")   # min-id owner keeps
+    assert got[2] == (9, 5, "intro words tail piece")                # interior span cut
+    assert got[3] == (5, 5, "")                                      # fully-covered doc survives as a row
+    assert got[4] == (6, 0, "completely unrelated text with six words")
+    assert got[5] == (0, 0, "")
+
+
+def test_span_rewrite_within_doc_repeats_not_cut(spark):
+    from confidential_storm_spark.operators.dedup import span_rewrite
+
+    # the span repeats INSIDE one doc only -> cross-doc rule leaves it
+    rows = [(1, "one two three four five and one two three four five")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = span_rewrite(df, span_n=5).collect()[0]
+    assert r["n_removed"] == 0
+
+
+def test_span_rewrite_untouched_docs_roundtrip_words(spark):
+    from confidential_storm_spark.functions.text import words
+    from confidential_storm_spark.operators.dedup import span_rewrite
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = span_rewrite(docs)
+    base = docs.select("doc_id", F.concat_ws(" ", words(F.col("text"))).alias("w"))
+    joined = out.join(base, "doc_id")
+    # every zero-removal doc reconstructs its full word stream exactly
+    assert joined.filter((F.col("n_removed") == 0) & (F.col("text_clean") != F.col("w"))).count() == 0
+    # and removals are consistent: n_words - n_removed == rebuilt word count
+    assert (
+        joined.filter(
+            F.size(F.split(F.col("text_clean"), " ")) - F.when(F.col("text_clean") == "", 1).otherwise(0)
+            != F.col("n_words") - F.col("n_removed")
+        ).count()
+        == 0
+    )

@@ -52,6 +52,7 @@ __all__ = [
     "span_rewrite_sql",
     "incremental_dedup",
     "incremental_dedup_sql",
+    "cross_set_neardup_pairs",
     "edit_distance_pairs",
     "edit_distance_pairs_sql",
     "edit_distance_pairs_segments",
@@ -1778,3 +1779,69 @@ FROM base b LEFT JOIN kept k ON b._id = k._id
 GROUP BY b._id, len(b.ws)
 ORDER BY {id_col}
 """
+
+
+def cross_set_neardup_pairs(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two sets (never within either):
+    the fuzzy-decontamination / corpus-overlap shape — e.g. corpus =
+    training docs, probe = an eval benchmark; any returned corpus doc
+    is an eval leak the exact n-gram contamination check
+    (operators/contamination.py) can miss under light paraphrase.
+
+    Same banded minhash machinery as :func:`minhash_lsh_pairs`, but
+    the join is corpus-bands x probe-bands (linear in each side, no
+    self-join term) with the hot-bucket cap on the corpus side.
+    Returns (corpus_id, probe_id, jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    csig = _shingled_sigs(corpus, text_col, id_col, num_hashes, shingle_n, seed)
+    psig = _shingled_sigs(probe, text_col, id_col, num_hashes, shingle_n, seed)
+    cband = _band_tuples(csig, bands, rows_per_band)
+    if max_bucket_size is not None:
+        hot = (
+            cband.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "band_hash")
+        )
+        cband = cband.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
+    pband = _band_tuples(psig, bands, rows_per_band)
+    cand = (
+        pband.withColumnRenamed("_id", "probe_id")
+        .join(cband.withColumnRenamed("_id", "corpus_id"), ["band", "band_hash"])
+        .select("corpus_id", "probe_id")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            csig.select(F.col("_id").alias("corpus_id"), F.col("_sh").alias("sh_a")),
+            "corpus_id",
+        )
+        .join(
+            psig.select(F.col("_id").alias("probe_id"), F.col("_sh").alias("sh_b")),
+            "probe_id",
+        )
+        .withColumn("_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter").cast("double")
+                / F.greatest(F.size("sh_a") + F.size("sh_b") - F.col("_inter"), F.lit(1)),
+                6,
+            ),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= jaccard_threshold).select(
+        "corpus_id", "probe_id", "jaccard"
+    )

@@ -1387,6 +1387,90 @@ ORDER BY new_id, corpus_id
 """
 
 
+DECON_EVAL_MOD = 9  # docs with doc_id % 9 == 0 play the "eval benchmark"
+# (9 is coprime to the generator's 10-copy near-dup groups, so eval
+#  docs DO have train-side near-dups and the gate result is non-empty)
+
+
+def text_decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination: training docs near-duplicate to any
+    eval-benchmark doc — the leak class exact n-gram contamination
+    misses under paraphrase.  Per leaked train doc: how many eval
+    docs it matches and the worst-case overlap.  Cross-set banded
+    minhash (no self-join term; hot-bucket cap on the train side —
+    see operators/dedup.py::cross_set_neardup_pairs)."""
+    from ..operators.dedup import cross_set_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = cross_set_neardup_pairs(
+        docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0),
+        docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0),
+        num_hashes=MINHASH_K,
+        bands=MINHASH_BANDS,
+        shingle_n=SHINGLE_N,
+        jaccard_threshold=NEARDUP_THRESHOLD,
+        max_bucket_size=MINHASH_MAX_BUCKET,
+    )
+    return (
+        pairs.groupBy("corpus_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("corpus_id")
+    )
+
+
+def _text_decontaminate_sql() -> str:
+    r = MINHASH_K // MINHASH_BANDS
+    perms = _perm_params(MINHASH_K, seed=42)
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(_sh, x -> (x * {a} + {b}) % 2147483647))" for a, b in perms
+    )
+    bands = ", ".join(str(b) for b in range(MINHASH_BANDS))
+    return f"""
+WITH corpus AS (
+  SELECT doc_id AS _id, {shingles_sql("text", SHINGLE_N)} AS _sh FROM documents
+  WHERE doc_id % {DECON_EVAL_MOD} <> 0
+),
+probe AS (
+  SELECT doc_id AS _id, {shingles_sql("text", SHINGLE_N)} AS _sh FROM documents
+  WHERE doc_id % {DECON_EVAL_MOD} = 0
+),
+csig AS (SELECT _id, _sh, [{sig_exprs}] AS _sig FROM corpus WHERE len(_sh) > 0),
+psig AS (SELECT _id, _sh, [{sig_exprs}] AS _sig FROM probe WHERE len(_sh) > 0),
+cband AS (
+  SELECT _id, band,
+         array_to_string(list_slice(_sig, band * {r} + 1, band * {r} + {r}), '-') AS band_hash
+  FROM csig, (SELECT unnest([{bands}]) AS band)
+),
+hot AS (SELECT band, band_hash FROM cband
+        GROUP BY band, band_hash HAVING COUNT(*) > {MINHASH_MAX_BUCKET}),
+cidx AS (SELECT * FROM cband ANTI JOIN hot USING (band, band_hash)),
+pband AS (
+  SELECT _id, band,
+         array_to_string(list_slice(_sig, band * {r} + 1, band * {r} + {r}), '-') AS band_hash
+  FROM psig, (SELECT unnest([{bands}]) AS band)
+),
+cand AS (
+  SELECT DISTINCT c._id AS corpus_id, p._id AS probe_id
+  FROM pband p JOIN cidx c ON p.band = c.band AND p.band_hash = c.band_hash
+),
+j AS (
+  SELECT cand.corpus_id, cand.probe_id,
+         ROUND(CAST(len(list_intersect(a._sh, b._sh)) AS DOUBLE) /
+               GREATEST(len(a._sh) + len(b._sh) - len(list_intersect(a._sh, b._sh)), 1), 6) AS jaccard
+  FROM cand
+  JOIN csig a ON a._id = cand.corpus_id
+  JOIN psig b ON b._id = cand.probe_id
+)
+SELECT corpus_id, COUNT(*)::BIGINT AS n_eval_matches,
+       MAX(jaccard) AS max_jaccard
+FROM j WHERE jaccard >= {NEARDUP_THRESHOLD}
+GROUP BY corpus_id ORDER BY corpus_id
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -2635,6 +2719,12 @@ QUERIES["dedup_incremental"] = QueryDef(
     dedup_incremental,
     _dedup_incremental_sql(),
     "new-batch survivors vs frozen corpus (anti-join on digest index)",
+    "training-data",
+)
+QUERIES["text_decontaminate_neardup"] = QueryDef(
+    text_decontaminate_neardup,
+    _text_decontaminate_sql(),
+    "fuzzy decontamination: train docs near-dup to the eval split",
     "training-data",
 )
 QUERIES["dedup_minhash_incremental"] = QueryDef(

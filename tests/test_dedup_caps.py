@@ -276,3 +276,37 @@ def test_minhash_bucket_cap_sql_twin_matches(spark):
     oracle_uncapped = {tuple(t) for t in con.execute(_minhash_sql()).fetchall()}
     assert uncapped == oracle_uncapped
     assert len(uncapped) == N_DOCS * (N_DOCS - 1) // 2 + 1
+
+
+def test_cross_set_neardup_is_batch_x_corpus_only(spark):
+    from confidential_storm_spark.operators.dedup import (
+        cross_set_neardup_pairs,
+        minhash_lsh_pairs,
+    )
+
+    # two identical doc families split across the sets + within-set dups
+    rows = [(i, f"shared phrase words alpha beta gamma {i % 3}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = df.filter("doc_id % 2 = 0")
+    probe = df.filter("doc_id % 2 = 1")
+    cross = {
+        (r.corpus_id, r.probe_id)
+        for r in cross_set_neardup_pairs(
+            corpus, probe, jaccard_threshold=0.5, max_bucket_size=None
+        ).collect()
+    }
+    # oracle: full self-join pairs restricted to cross-set membership
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            df, jaccard_threshold=0.5, max_bucket_size=None
+        ).collect()
+    }
+    expect = {
+        (a, b) if a % 2 == 0 else (b, a)
+        for a, b in full
+        if (a % 2) != (b % 2)
+    }
+    assert cross == expect
+    # and strictly no within-set pair leaked through
+    assert all((c % 2 == 0) and (p % 2 == 1) for c, p in cross)

@@ -5,18 +5,31 @@ columns are all heavy-tailed).
 
 Engine-portable by construction: no percentile_approx, no engine
 `percentile`/`quantile_cont` (their interpolation arithmetic is a
-cross-engine float hazard).  Quantiles are EXACT rank selections —
-row_number over a per-key sort, pick the middle row(s); the one-or-two
-middles are combined as an exact DECIMAL SUM cast to double and
-divided by the count (one deterministic IEEE divide — never AVG, and
-never interpolation between engine-computed fractions).  Duplicate
-values make tie order irrelevant: selection is by position in a
-value-ordered sequence, and equal values are interchangeable.
+cross-engine float hazard).  Quantiles are EXACT rank selections;
+the one-or-two middles are combined as an exact DECIMAL SUM cast to
+double and divided once (deterministic IEEE — never AVG, and never
+interpolation between engine-computed fractions).
 
-Scale: windows are PARTITION-KEYED (per event_type), never global —
-each key sorts independently; with K keys and N rows the shuffle is
-the same groupBy-shaped exchange any per-key aggregate pays.  MAD
-runs the same machinery once more over |x - median(key)|.
+Scale shape — SPECTRUM-based, not sort-based: the input lives on a
+fixed decimal grid (2 decimals), so the per-key VALUE SPECTRUM
+(value -> count) is bounded by the grid, not the corpus.  One
+groupBy (map-side combinable) reduces N rows to at most
+|grid| x |keys| spectrum rows; every rank statistic then reads the
+spectrum's per-key cumulative counts — a window over partitions of
+AT MOST grid size.  The naive alternative (row_number over a per-key
+sort) degenerates when keys ≪ cores: K=5 event types means 5 tasks
+each sorting N/5 rows — at 100 TB that is 5 tasks sorting 20 TB.
+The spectrum form's only N-sized operation is the combinable count.
+
+Rank selection on a spectrum: a value row with cumulative count
+``cum`` and count ``c`` covers sorted positions [cum-c+1, cum]; the
+statistic at position p is the row covering p, and weighted sums
+(trimmed mean) clip each row's coverage to the kept rank interval.
+Results are IDENTICAL to the sort-based form (selection by position
+is selection by position), which is exactly what the DuckDB twin
+still computes — the oracle runs the INDEPENDENT row_number
+algorithm, so the gate certifies the spectrum rewrite against a
+different algorithm, not a transliteration.
 
 Reference: beyond-reference profiling op (the reference engine has
 no statistics layer).
@@ -33,23 +46,30 @@ _DEC = "decimal(18,2)"
 _TRIM = 0.1  # fraction trimmed from EACH end (floor(n*_TRIM) rows)
 
 
-def _median_on(df: DataFrame, key: str, val_dec: str) -> DataFrame:
-    """(key, med): exact median of a DECIMAL column — the one or two
-    middle positions, exact-decimal-summed then IEEE-divided."""
-    w = Window.partitionBy(key).orderBy(val_dec)
-    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy(key))
+def _with_cum(spec: DataFrame, key: str, val: str, cnt: str) -> DataFrame:
+    """Spectrum + per-key cumulative count and total (windows over
+    grid-bounded partitions; values are distinct within a key, so the
+    default RANGE frame equals ROWS)."""
+    w = Window.partitionBy(key).orderBy(val)
+    return spec.withColumn("_cum", F.sum(cnt).over(w)).withColumn(
+        "_n", F.sum(cnt).over(Window.partitionBy(key))
     )
-    mid = ranked.filter(
-        (F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
-        | (F.col("_rn") == F.floor((F.col("_n") + 2) / 2))
-    )
-    # one row when n is odd (both positions coincide), two when even.
-    # exact-decimal SUM cast to double, then an IEEE divide — NOT
-    # AVG(): DuckDB's AVG on decimals returns a float-summed double,
-    # which breaks the exactness contract
-    return mid.groupBy(key).agg(
-        (F.sum(val_dec).cast("double") / F.count(F.lit(1))).alias("med")
+
+
+def _median_of_spectrum(spec: DataFrame, key: str, val: str, cnt: str) -> DataFrame:
+    """(key, med): exact median off a (key, val, cnt) spectrum — the
+    two middle positions' values, decimal-summed, one IEEE divide."""
+    s = _with_cum(spec, key, val, cnt)
+    lo = F.col("_cum") - F.col(cnt) + 1
+    p1 = F.floor((F.col("_n") + 1) / 2)
+    p2 = F.floor((F.col("_n") + 2) / 2)
+    wgt = p1.between(lo, F.col("_cum")).cast("long") + p2.between(
+        lo, F.col("_cum")
+    ).cast("long")
+    return (
+        s.filter(wgt > 0)
+        .groupBy(key)
+        .agg((F.sum(F.col(val) * wgt).cast("double") / F.lit(2.0)).alias("med"))
     )
 
 
@@ -58,49 +78,65 @@ def robust_stats(
 ) -> DataFrame:
     """Per-key robust profile: n, median, trimmed mean (10% each
     end), MAD (median absolute deviation), IQR bounds (exact rank
-    quartiles: position floor((n+3)/4) and floor((3n+1)/4) of the
-    sorted values — a fixed-position convention, no interpolation).
+    quartiles: positions floor((n+3)/4) and floor((3n+1)/4) — a
+    fixed-position convention, no interpolation).
 
     Sums run in DECIMAL; the only divisions are single deterministic
     IEEE ops; outputs cast to double on the report grid."""
-    vdec = f"_v"
-    base = df.select(F.col(key), F.col(val).cast(_DEC).alias(vdec))
-
-    w = Window.partitionBy(key).orderBy(vdec)
-    ranked = base.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy(key))
+    spec = (
+        df.select(F.col(key), F.col(val).cast(_DEC).alias("_v"))
+        .groupBy(key, "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)  # read by med/trim/quart/dev
     )
+    s = _with_cum(spec, key, "_v", "_c")
+    lo = F.col("_cum") - F.col("_c") + 1
 
-    med = _median_on(base, key, vdec)
+    med = _median_of_spectrum(spec, key, "_v", "_c")
 
+    # trimmed mean: clip each value row's rank coverage to the kept
+    # interval [t+1, n-t]; weights are exact integers
+    t = F.floor(F.col("_n") * F.lit(_TRIM))
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("_cum"), F.col("_n") - t) - F.greatest(lo, t + 1) + 1,
+    )
     trim = (
-        ranked.withColumn("_k", F.floor(F.col("_n") * F.lit(_TRIM)))
-        .filter((F.col("_rn") > F.col("_k")) & (F.col("_rn") <= F.col("_n") - F.col("_k")))
+        s.withColumn("_w", kept)
+        .filter(F.col("_w") > 0)
         .groupBy(key)
-        .agg((F.sum(vdec).cast("double") / F.count(F.lit(1))).alias("_tm"))
+        .agg(
+            (F.sum(F.col("_v") * F.col("_w")).cast("double") / F.sum("_w")).alias("_tm")
+        )
     )
 
-    quart = ranked.filter(
-        (F.col("_rn") == F.floor((F.col("_n") + 3) / 4))
-        | (F.col("_rn") == F.floor((3 * F.col("_n") + 1) / 4))
-    ).groupBy(key).agg(
-        F.min(vdec).alias("_q1"), F.max(vdec).alias("_q3")
+    pq1 = F.floor((F.col("_n") + 3) / 4)
+    pq3 = F.floor((3 * F.col("_n") + 1) / 4)
+    quart = (
+        s.filter(pq1.between(lo, F.col("_cum")) | pq3.between(lo, F.col("_cum")))
+        .groupBy(key)
+        .agg(F.min("_v").alias("_q1"), F.max("_v").alias("_q3"))
     )
 
-    # deviations live on the half-cent grid (median of 2-decimal
-    # values has <=3 decimals), so they re-enter the rank machinery as
-    # DECIMAL(18,3): the double |v - med| is dyadic (never a .0005
-    # tie), and both engines compute the identical double, so the
-    # 3-decimal cast is deterministic and equal cross-engine
-    dev = base.join(med, key).select(
-        F.col(key),
-        F.abs(F.col(vdec).cast("double") - F.col("med"))
-        .cast("decimal(18,3)")
-        .alias(vdec),
+    # deviation SPECTRUM: |v - med| computed once per distinct value
+    # (identical doubles to the per-row form), re-gridded at the
+    # half-cent DECIMAL(18,3) — a dyadic double never ties on it —
+    # and re-aggregated (two deviations can land on one grid point)
+    dev = (
+        spec.join(med, key)
+        .select(
+            F.col(key),
+            F.abs(F.col("_v").cast("double") - F.col("med"))
+            .cast("decimal(18,3)")
+            .alias("_dv"),
+            "_c",
+        )
+        .groupBy(key, "_dv")
+        .agg(F.sum("_c").alias("_c"))
     )
-    mad = _median_on(dev, key, vdec).withColumnRenamed("med", "_mad")
+    mad = _median_of_spectrum(dev, key, "_dv", "_c").withColumnRenamed("med", "_mad")
 
-    n_df = base.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    n_df = spec.groupBy(key).agg(F.sum("_c").alias("n"))
 
     return (
         n_df.join(med, key)
@@ -123,7 +159,10 @@ def robust_stats(
 def robust_stats_sql(
     table: str = "events", key: str = "event_type", val: str = "value"
 ) -> str:
-    """DuckDB twin — identical rank selections and decimal grid."""
+    """DuckDB twin — deliberately the INDEPENDENT row_number/rank
+    algorithm (not the spectrum), so the oracle certifies the
+    spectrum rewrite against a different computation of the same
+    statistics."""
     return f"""
 WITH base AS (SELECT {key} AS k, CAST({val} AS DECIMAL(18,2)) AS v FROM {table}),
 ranked AS (

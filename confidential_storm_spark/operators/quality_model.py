@@ -375,3 +375,205 @@ def quality_score_expr(weights: list[float], text_col: str = "text") -> F.Column
         (tf_dec + bias_dec).cast(_DEC)
     )
     return F.round(total.cast("double"), 6)
+
+
+LANG_CLASSES = ("de", "en", "es", "fr", "zh")  # the corpus's label set, sorted
+
+
+def _fold_pred_class(wmaps: list) -> list:
+    """One decimal fold per class over the shared per-doc array —
+    classes are few (5), features are the big axis, so the per-class
+    folds share one pass over the row."""
+    return [_fold_pred(wm) for wm in wmaps]
+
+
+def linear_probe_train_multi(
+    feats: DataFrame,
+    labels: DataFrame,
+    classes: tuple[str, ...] = LANG_CLASSES,
+    dim: int = 128,
+    n_iters: int = 6,
+    lr: float = 0.1,
+) -> list[list[float]]:
+    """One-vs-rest multiclass linear probe with SHARED shuffles: every
+    iteration computes ALL classes' residuals in one map stage over
+    the per-doc arrays and aggregates all gradients in ONE
+    explode+groupBy (C extra agg columns, not C extra shuffles).
+    Same decimal-sum bit-exactness as the binary trainer; the Jacobi
+    preconditioner is label-independent and shared.
+
+    ``labels``: (doc_id, y) with y = the class STRING.  Returns
+    W[class][bucket], classes in the given order.
+
+    Not a registry query: the synthetic corpus shares one vocabulary
+    across lang labels (measured: the trained probe converges to the
+    majority class, accuracy 0.436 == the 'en' prior), so a trained
+    language-ID is certified here by pytest on a separable fixture
+    (Spark == DuckDB twin == high accuracy) instead of a decorative
+    driver row."""
+    C = len(classes)
+    docfeat = _docwise_multi(feats, labels)
+    n = float(docfeat.count())
+    h_rows = (
+        feats.groupBy("bucket")
+        .agg(_sum_dec(F.col("v") * F.col("v")).alias("h"))
+        .collect()
+    )
+    h = {row["bucket"]: row["h"] / n for row in h_rows}
+    W = [[0.0] * (dim + 1) for _ in range(C)]
+    for _ in range(n_iters):
+        preds = _fold_pred_class([_wmap(w) for w in W])
+        resid_cols = [
+            (preds[c] - (F.col("y") == classes[c]).cast("double")).alias(f"_r{c}")
+            for c in range(C)
+        ]
+        aggs = [
+            _sum_dec(F.col("f.v") * F.col(f"_r{c}")).alias(f"_g{c}") for c in range(C)
+        ]
+        grad_rows = (
+            docfeat.select(F.explode("fs").alias("f"), *resid_cols)
+            .groupBy(F.col("f.bucket").alias("bucket"))
+            .agg(*aggs)
+            .collect()
+        )
+        g = {row["bucket"]: row for row in grad_rows}
+        for c in range(C):
+            W[c] = [
+                wv
+                - lr
+                * (
+                    ((g[b][f"_g{c}"] if b in g else 0.0) / n)
+                    / (h.get(b, 0.0) + PRECOND_EPS)
+                )
+                for b, wv in enumerate(W[c])
+            ]
+    return W
+
+
+def _docwise_multi(feats: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-doc working set with a STRING class label."""
+    out = (
+        feats.groupBy("doc_id")
+        .agg(F.collect_list(F.struct("bucket", "v")).alias("fs"))
+        .join(labels, "doc_id")
+    )
+    target = feats.sparkSession.sparkContext.defaultParallelism
+    if out.rdd.getNumPartitions() < target:
+        out = out.repartition(target, F.col("doc_id"))
+    return out.localCheckpoint(eager=True)
+
+
+def langid_probe_predict(
+    feats: DataFrame,
+    labels: DataFrame,
+    W: list[list[float]],
+    classes: tuple[str, ...] = LANG_CLASSES,
+) -> DataFrame:
+    """(doc_id, y, pred): argmax-class prediction, ties to the
+    earliest class in ``classes`` order (deterministic; the scores
+    are bit-exact so the argmax reproduces in SQL)."""
+    docfeat = _docwise_multi(feats, labels)
+    preds = _fold_pred_class([_wmap(w) for w in W])
+    pick = F.lit(classes[0])
+    best = preds[0]
+    for c in range(1, len(classes)):
+        better = preds[c] > best
+        pick = F.when(better, F.lit(classes[c])).otherwise(pick)
+        best = F.when(better, preds[c]).otherwise(best)
+    return docfeat.select("doc_id", "y", pick.alias("pred"))
+
+
+def langid_probe_sql(
+    classes: tuple[str, ...] = LANG_CLASSES,
+    dim: int = 128,
+    n_iters: int = 6,
+    lr: float = 0.1,
+    table: str = "documents",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> str:
+    """DuckDB twin of the multiclass trainer + argmax evaluation:
+    the full one-vs-rest trajectory unrolled with one weight COLUMN
+    per class (same decimal contract as the binary twin), finishing
+    in the confusion matrix (lang, pred, n)."""
+    from ..functions.text import words_sql
+
+    ws = words_sql(text_col)
+    C = len(classes)
+    lr_r = repr(lr)
+    cr = range(C)
+    parts = [
+        f"""toks AS MATERIALIZED (
+  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % {dim} AS bucket
+  FROM (SELECT doc_id, unnest({ws}) AS w FROM {table}))""",
+        """counts AS (SELECT doc_id, bucket, COUNT(*)::BIGINT AS cnt
+  FROM toks GROUP BY doc_id, bucket)""",
+        "totals AS (SELECT doc_id, COUNT(*)::BIGINT AS tot FROM toks GROUP BY doc_id)",
+        f"""feats AS MATERIALIZED (
+  SELECT doc_id, bucket, CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS v
+  FROM counts JOIN totals USING (doc_id)
+  UNION ALL SELECT doc_id, {dim}::BIGINT AS bucket, 1.0::DOUBLE AS v FROM {table})""",
+        f"labels AS MATERIALIZED (SELECT doc_id, {label_col} AS y FROM {table})",
+        "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM labels)",
+        """hd AS MATERIALIZED (
+  SELECT bucket, CAST(SUM(CAST(v * v AS DECIMAL(30,15))) AS DOUBLE) / (SELECT n FROM nn) AS h
+  FROM feats GROUP BY bucket)""",
+        "w0 AS (SELECT unnest(range(0, %d)) AS bucket, %s)"
+        % (dim + 1, ", ".join(f"0.0::DOUBLE AS w{c}" for c in cr)),
+    ]
+    for i in range(1, n_iters + 1):
+        psel = ", ".join(
+            f"CAST(SUM(CAST(f.v * w.w{c} AS DECIMAL(30,15))) AS DOUBLE) AS p{c}"
+            for c in cr
+        )
+        parts.append(
+            f"""m{i} AS MATERIALIZED (
+  SELECT f.doc_id, {psel}
+  FROM feats f JOIN w{i - 1} w USING (bucket) GROUP BY f.doc_id)"""
+        )
+        rsel = ", ".join(
+            f"m.p{c} - CASE WHEN l.y = '{classes[c]}' THEN 1.0 ELSE 0.0 END AS r{c}"
+            for c in cr
+        )
+        parts.append(
+            f"r{i} AS (SELECT m.doc_id, {rsel} FROM m{i} m JOIN labels l USING (doc_id))"
+        )
+        gsel = ", ".join(
+            f"CAST(SUM(CAST(f.v * r.r{c} AS DECIMAL(30,15))) AS DOUBLE) AS g{c}"
+            for c in cr
+        )
+        parts.append(
+            f"""g{i} AS MATERIALIZED (
+  SELECT f.bucket, {gsel}
+  FROM feats f JOIN r{i} r USING (doc_id) GROUP BY f.bucket)"""
+        )
+        usel = ", ".join(
+            f"w.w{c} - {lr_r} * ((COALESCE(g.g{c}, 0.0) / (SELECT n FROM nn))"
+            f" / (COALESCE(hd.h, 0.0) + {PRECOND_EPS!r})) AS w{c}"
+            for c in cr
+        )
+        parts.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT w.bucket, {usel}
+  FROM w{i - 1} w LEFT JOIN g{i} g USING (bucket) LEFT JOIN hd USING (bucket))"""
+        )
+    psel = ", ".join(
+        f"CAST(SUM(CAST(f.v * w.w{c} AS DECIMAL(30,15))) AS DOUBLE) AS p{c}" for c in cr
+    )
+    parts.append(
+        f"""mf AS (
+  SELECT f.doc_id, {psel}
+  FROM feats f JOIN w{n_iters} w USING (bucket) GROUP BY f.doc_id)"""
+    )
+    best = "GREATEST(" + ", ".join(f"p{c}" for c in cr) + ")"
+    pick = "CASE " + " ".join(
+        f"WHEN p{c} = {best} THEN '{classes[c]}'" for c in cr
+    ) + " END"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT l.y AS lang, {pick} AS pred, COUNT(*)::BIGINT AS n
+FROM mf m JOIN labels l USING (doc_id)
+GROUP BY 1, 2 ORDER BY lang, pred"""
+    )

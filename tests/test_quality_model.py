@@ -215,3 +215,55 @@ def test_quality_deciles_partition_and_order(spark, tmp_path):
     for a, b in zip(out, out[1:]):
         assert a["min_score"] >= b["max_score"]
     Q._QUALITY_MEMO.clear()
+
+
+def test_multiclass_probe_on_separable_corpus(spark, tmp_path):
+    """Trained multiclass language-ID on a corpus with real lexical
+    signal: near-perfect accuracy AND bit-exact agreement with the
+    unrolled 3-class DuckDB trajectory twin."""
+    import duckdb
+
+    from confidential_storm_spark.operators.quality_model import (
+        hashed_tf_features,
+        langid_probe_predict,
+        langid_probe_sql,
+        linear_probe_train_multi,
+    )
+
+    vocab = {
+        "aa": "der hund läuft schnell durch den wald und über die wiese heute",
+        "bb": "the dog runs quickly through the woods and over the meadow today",
+        "cc": "le chien court vite dans les bois et sur la prairie aujourd'hui",
+    }
+    rows = [
+        (i, vocab[cls] + f" x{i}", cls)
+        for i, cls in enumerate(
+            [c for c in ("aa", "bb", "cc") for _ in range(12)]
+        )
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    classes = ("aa", "bb", "cc")
+    feats = hashed_tf_features(docs, dim=64)
+    labels = docs.select("doc_id", F.col("lang").alias("y"))
+    W = linear_probe_train_multi(feats, labels, classes=classes, dim=64, n_iters=4)
+    pred = langid_probe_predict(feats, labels, W, classes=classes)
+    conf = {
+        (r["lang"], r["pred"]): r["n"]
+        for r in pred.groupBy(F.col("y").alias("lang"), "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # fully separable vocab -> perfect diagonal
+    assert conf == {(c, c): 12 for c in classes}
+
+    pq = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.parquet(pq)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'")
+    oracle = {
+        (r[0], r[1]): r[2]
+        for r in con.sql(
+            langid_probe_sql(classes=classes, dim=64, n_iters=4)
+        ).fetchall()
+    }
+    assert conf == oracle  # trajectory + argmax bit-exact cross-engine

@@ -1404,8 +1404,11 @@ def edit_distance_pairs_segments(
       (own_length, segment_index, segment_text);
     - every string of length M >= k probes with its substrings at
       (l, i, substring) for each hypothetical shorter-length
-      l in [max(k, M-d), M] and start within ±d of segment i's fixed
-      position under l — at most (d+1)^2 (2d+1) probes per string,
+      l in [max(k, M-d), M], with the start offset x = t - p_i bounded
+      by the ALIGNMENT LAW: prefix edits >= |x| and suffix edits >=
+      |Δ - x| (Δ = M - l), so |x| + |Δ - x| <= d gives
+      x in [ceil((Δ-d)/2), floor((Δ+d)/2)] — a width-(d+1) window,
+      half the naive ±d, at most ~(d+1)^3/2 probes per string,
       CONSTANT in corpus size;
     - candidates are the hash equi-join of segments and probes (the
       segment relation is k rows/string — broadcastable far beyond
@@ -1492,8 +1495,16 @@ def edit_distance_pairs_segments(
                                     F.sequence(F.lit(0).cast("long"), F.lit(k - 1).cast("long")),
                                     lambda i: F.transform(
                                         F.sequence(
-                                            F.greatest(F.lit(0).cast("long"), seg_pos(l, i) - d),
-                                            F.least(L - seg_len(l, i), seg_pos(l, i) + d),
+                                            F.greatest(
+                                                F.lit(0).cast("long"),
+                                                seg_pos(l, i)
+                                                - ((F.lit(d) - (L - l)) / 2).cast("long"),
+                                            ),
+                                            F.least(
+                                                L - seg_len(l, i),
+                                                seg_pos(l, i)
+                                                + (((L - l) + d) / 2).cast("long"),
+                                            ),
                                         ),
                                         lambda st: F.struct(
                                             l.alias("l"),
@@ -1607,8 +1618,8 @@ probes AS MATERIALIZED (
     FROM keyed kk,
          UNNEST(range(GREATEST({k}, kk._len - {d}), kk._len + 1)) AS ul(l),
          UNNEST(range(0, {k})) AS ui(i),
-         UNNEST(range(GREATEST(0, {sp} - {d}),
-                      LEAST(kk._len - {sl}, {sp} + {d}) + 1)) AS ust(st)
+         UNNEST(range(GREATEST(0, {sp} - (({d} - (kk._len - l)) // 2)),
+                      LEAST(kk._len - {sl}, {sp} + (((kk._len - l) + {d}) // 2)) + 1)) AS ust(st)
     WHERE kk._len >= {k}
   )
 ),

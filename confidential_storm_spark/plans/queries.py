@@ -4271,6 +4271,78 @@ FROM per_src CROSS JOIN n ORDER BY source
 """
 
 
+def mixture_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture loop CLOSED: the plan's per-source weights executed
+    by the stateless hash filter and audited — per source, planned
+    weight vs realized keep fraction (kept docs/tokens).  Execution is
+    a broadcast of the N-source weight rollup onto the scan plus a
+    pure predicate: no shuffle touches the corpus at any size, and
+    the SAME rows are kept on any cluster layout (md5 acceptance,
+    never rand())."""
+    from ..operators.sampling import hash_accept
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = mixture_weights(spark, sf_dir).select(
+        "source",
+        "tokens",
+        "weight",
+        F.round(F.col("weight") * 1_000_000, 0).cast("long").alias("_thr"),
+    )
+    n_tok = F.size(words(F.col("text")))
+    kept = (
+        docs.join(F.broadcast(plan), "source")
+        .filter(hash_accept(F.col("doc_id"), F.col("_thr")))
+        .groupBy("source", "tokens", "weight")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum(n_tok).alias("kept_tokens"),
+        )
+    )
+    return kept.select(
+        "source",
+        "tokens",
+        "weight",
+        "kept_docs",
+        "kept_tokens",
+        F.round(F.col("kept_tokens").cast("double") / F.col("tokens"), 6).alias(
+            "realized_frac"
+        ),
+    ).orderBy("source")
+
+
+MIXTURE_EXEC_SQL = f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM(len({words_sql("text")})) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+n AS (SELECT COUNT(*) AS _n FROM per_src),
+plan AS (
+  SELECT source, tokens,
+         ROUND(LEAST(1.0, ({TOKEN_BUDGET}.0 / _n) / tokens), 6) AS weight,
+         CAST(ROUND(ROUND(LEAST(1.0, ({TOKEN_BUDGET}.0 / _n) / tokens), 6) * 1000000, 0) AS BIGINT) AS thr
+  FROM per_src CROSS JOIN n
+),
+kept AS (
+  SELECT d.source, p.tokens, p.weight,
+         COUNT(*)::BIGINT AS kept_docs,
+         CAST(SUM(len({words_sql("text")})) AS BIGINT) AS kept_tokens
+  FROM documents d JOIN plan p USING (source)
+  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < p.thr
+  GROUP BY d.source, p.tokens, p.weight
+)
+SELECT source, tokens, weight, kept_docs, kept_tokens,
+       ROUND(CAST(kept_tokens AS DOUBLE) / tokens, 6) AS realized_frac
+FROM kept ORDER BY source
+"""
+
+QUERIES["mixture_executed"] = QueryDef(
+    mixture_executed,
+    MIXTURE_EXEC_SQL,
+    "mixture plan executed by the stateless hash filter, audited per source",
+    "training-data",
+)
+
+
 QUERIES["shard_assignment"] = QueryDef(
     shard_assignment,
     SHARD_SQL,

@@ -5237,16 +5237,29 @@ _DRIVER_CERTIFIED_PRIOR: frozenset[str] = frozenset(
 )
 
 
-def _registry_order() -> list[str]:
-    """Registry order with never-driver-certified queries first.
+# queries added in the current round, boosted to the head of the
+# never-certified block so the driver's 50-row gate certifies the
+# round's new work the same round it lands (the rest of the block
+# follows in insertion order and rotates forward next round)
+_ROUND_NEW: tuple[str, ...] = ("mixture_executed",)
 
-    Stable within each group (original insertion order), so the
-    rotation is deterministic: round 6 presents the 56 uncovered
-    names at the head; once the driver certifies them, their names
-    move into _DRIVER_CERTIFIED_PRIOR and the next uncovered block
-    rotates forward."""
+
+def _registry_order() -> list[str]:
+    """Registry order: this round's new queries first, then the other
+    never-driver-certified names, then the already-certified block —
+    each group stable in original insertion order, so the rotation is
+    deterministic; once the driver certifies a block its names move
+    into _DRIVER_CERTIFIED_PRIOR and the next uncovered block rotates
+    forward."""
     names = list(QUERIES.keys())
-    return sorted(names, key=lambda n: (n in _DRIVER_CERTIFIED_PRIOR, names.index(n)))
+    return sorted(
+        names,
+        key=lambda n: (
+            n in _DRIVER_CERTIFIED_PRIOR,
+            n not in _ROUND_NEW,
+            names.index(n),
+        ),
+    )
 
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -39,6 +39,7 @@ __all__ = [
     "simhash_sql",
     "simhash_pairs_sql",
     "simhash_neardup_pairs",
+    "hamming_banded_pairs",
     "embedding_neardup_pairs",
     "embedding_neardup_pairs_lsh",
     "embedding_lsh_pairs_sql",
@@ -657,6 +658,64 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 ORDER BY id_a, id_b
 """
+
+
+def hamming_banded_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    approximate: bool = False,
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit fingerprint relation
+    (_id, sig): banded bucket join + exact JVM bit_count(XOR)
+    verification — the shared algebra behind text simhash and image
+    pHash dedup.  Pigeonhole recall guarantee at
+    ``max_hamming <= bands - 1`` (see :func:`simhash_neardup_pairs`);
+    larger thresholds require ``approximate=True``."""
+    if max_hamming > bands - 1 and not approximate:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
+            f"bands-1={bands - 1}; raise bands or pass approximate=True to "
+            "accept partial recall"
+        )
+    bits_per_band = 64 // bands
+    mask = (1 << bits_per_band) - 1
+    sigs = sigs.localCheckpoint(eager=False)  # both join sides reuse it
+    banded = sigs.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.band_val")
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    sh = sigs.select("_id", "sig")
+    return (
+        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def simhash_neardup_pairs(

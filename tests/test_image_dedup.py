@@ -1,0 +1,107 @@
+"""Perceptual image dedup: pHash stability under recompression and
+mild perturbation, separation for unrelated content, and the banded
+Hamming join's equality with brute force.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from confidential_storm_spark.operators.jpeg import encode_baseline_jpeg
+from confidential_storm_spark.operators.multimodal import (
+    encode_ppm,
+    image_neardup_pairs,
+    image_phash,
+    phash64,
+)
+
+
+def _gradient_img(w=48, h=36, seed=1):
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 255, w)[None, :, None]
+    y = np.linspace(0, 128, h)[:, None, None]
+    base = x + y + rng.normal(0, 8, size=(h, w, 1))
+    img = np.clip(np.repeat(base, 3, axis=2) + rng.normal(0, 4, size=(h, w, 3)), 0, 255)
+    return img.astype(np.uint8)
+
+
+def _texture_img(w=48, h=36, seed=9):
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 256, size=(h, w, 3))).astype(np.uint8)
+
+
+def _ham(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_phash_stable_under_jpeg_recompression():
+    img = _gradient_img()
+    from confidential_storm_spark.operators.multimodal import decode_image
+
+    jpg = decode_image(encode_baseline_jpeg(img, quality=85))
+    # measured 4 bits at q85 on the noisy-gradient fixture
+    assert _ham(phash64(img), phash64(jpg)) <= 7
+
+
+def test_phash_stable_under_brightness_and_noise():
+    img = _gradient_img().astype(np.int32)
+    bright = np.clip(img + 10, 0, 255).astype(np.uint8)
+    rng = np.random.default_rng(4)
+    noisy = np.clip(img + rng.normal(0, 3, img.shape), 0, 255).astype(np.uint8)
+    base = phash64(img.astype(np.uint8))
+    # a pure brightness shift only moves the (excluded) DC coefficient;
+    # the residual bits come from 255-clipping — measured <= 6, matched
+    # at the bands=8 / max_hamming<=7 operating point
+    assert _ham(base, phash64(bright)) <= 7
+    assert _ham(base, phash64(noisy)) <= 7
+
+
+def test_phash_separates_unrelated_images():
+    a = phash64(_gradient_img(seed=1))
+    b = phash64(_texture_img(seed=9))
+    c = phash64(_gradient_img(seed=1)[::-1].copy())  # vertical flip
+    assert _ham(a, b) > 10
+    assert _ham(a, c) > 3  # structural change is not a near-dup
+
+
+def test_image_neardup_pairs_match_brute_force(spark):
+    imgs = {
+        1: _gradient_img(seed=1),
+        2: _gradient_img(seed=1),          # exact dup of 1
+        3: _texture_img(seed=9),
+        4: _gradient_img(seed=7),
+        5: _texture_img(seed=11),
+    }
+    rows = [(i, bytearray(encode_ppm(im))) for i, im in imgs.items()]
+    rows.append((6, bytearray(b"not an image at all")))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    hashes = {
+        r.doc_id: r.phash
+        for r in image_phash(df).filter(F.col("decode_ok")).collect()
+    }
+    assert 6 not in hashes  # malformed payload degraded, not failed
+    # python brute force at the pigeonhole-guaranteed threshold
+    ids = sorted(hashes)
+    expect = {
+        (a, b, _ham(hashes[a], hashes[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if _ham(hashes[a], hashes[b]) <= 3
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in image_neardup_pairs(df, max_hamming=3, bands=4).collect()
+    }
+    assert got == expect
+    assert (1, 2, 0) in got  # the exact dup pair surfaced
+
+
+def test_banded_join_guarantee_raises_beyond_pigeonhole(spark):
+    from confidential_storm_spark.operators.dedup import hamming_banded_pairs
+
+    sigs = spark.createDataFrame([(1, 0), (2, 15)], "_id long, sig long")
+    with pytest.raises(ValueError):
+        hamming_banded_pairs(sigs, max_hamming=4, bands=4)
+    # approximate=True is the explicit opt-out
+    hamming_banded_pairs(sigs, max_hamming=4, bands=4, approximate=True).collect()

@@ -726,62 +726,26 @@ def simhash_neardup_pairs(
     bands: int = 4,
     approximate: bool = False,
 ) -> DataFrame:
-    """SimHash near-duplicate pairs: banded bucket join over the 64-bit
-    fingerprint, then exact Hamming verification via JVM
-    ``bit_count(a XOR b)``.  Returns (id_a, id_b, hamming), id_a < id_b.
-
-    Recall guarantee (pigeonhole): a pair within Hamming distance
-    ``bands - 1`` must agree on at least one full band, so with the
-    default ``max_hamming = bands - 1 = 3`` (the classic 64-bit/k=3
-    operating point of Manku et al., WWW'07) the result is EXACTLY all
-    pairs with hamming <= max_hamming.  Asking for ``max_hamming >=
-    bands`` silently loses pairs whose differing bits spread across all
-    bands, so that combination raises unless ``approximate=True`` is
-    passed explicitly."""
+    """SimHash near-duplicate pairs: the generic banded-Hamming join
+    (:func:`hamming_banded_pairs` — shared with image pHash dedup)
+    over the 64-bit text fingerprint.  Returns (id_a, id_b, hamming),
+    id_a < id_b, with the pigeonhole recall guarantee at
+    ``max_hamming <= bands - 1`` (the classic 64-bit/k=3 operating
+    point of Manku et al., WWW'07); ``max_hamming >= bands`` raises
+    unless ``approximate=True`` accepts partial recall."""
     if max_hamming > bands - 1 and not approximate:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
             f"bands-1={bands - 1}; raise bands or pass approximate=True to "
             "accept partial recall"
         )
-    bits_per_band = 64 // bands
-    mask = (1 << bits_per_band) - 1
-    sigs = simhash64(df, text_col, id_col).withColumnRenamed(id_col, "_id")
-    sigs = sigs.localCheckpoint(eager=False)  # UDF output reused by both join sides
-    banded = sigs.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("simhash", b * bits_per_band)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.band_val")
-    cand = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_val") == F.col("r.band_val"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
+    sigs = (
+        simhash64(df, text_col, id_col)
+        .withColumnRenamed(id_col, "_id")
+        .withColumnRenamed("simhash", "sig")
     )
-    sh = sigs.select("_id", "simhash")
-    return (
-        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("simhash", "sim_a"), "id_a")
-        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("simhash", "sim_b"), "id_b")
-        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return hamming_banded_pairs(
+        sigs, max_hamming=max_hamming, bands=bands, approximate=approximate
     )
 
 

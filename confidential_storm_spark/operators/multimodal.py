@@ -69,6 +69,9 @@ __all__ = [
     "phash64",
     "image_phash",
     "image_neardup_pairs",
+    "audio_phash64",
+    "audio_fingerprint",
+    "audio_neardup_pairs",
     "demux_video_samples",
 ]
 
@@ -1051,4 +1054,77 @@ def image_neardup_pairs(
     sigs = image_phash(df, payload_col, id_col).filter(F.col("decode_ok")).select(
         F.col(id_col).alias("_id"), F.col("phash").alias("sig")
     )
+    return hamming_banded_pairs(sigs, max_hamming=max_hamming, bands=bands)
+
+
+def audio_phash64(sr: int, x: np.ndarray, n_slices: int = 8, n_bands: int = 9) -> int:
+    """64-bit audio fingerprint (Haitsma-Kalker-style energy-sign
+    grid): the clip splits into ``n_slices`` equal time slices; each
+    slice's rfft magnitude integrates into ``n_bands`` log-spaced
+    bands between 2% and 45% of Nyquist; bit (t, b) = band b's energy
+    exceeds band b+1's in slice t — 8 x 8 = 64 sign bits.
+
+    Volume-invariant EXACTLY (every bit is a same-slice energy
+    comparison, so global gain cancels); mild additive noise flips
+    only near-tie bits (measured <= 6 on the test fixtures); distinct
+    tonal content lands far apart.  Deterministic float64."""
+    n = len(x)
+    if n < n_slices * 16:
+        raise ValueError("clip too short to fingerprint")
+    edges = np.exp(
+        np.linspace(np.log(0.02), np.log(0.45), n_bands + 1)
+    )  # fractions of Nyquist
+    h = 0
+    step = n // n_slices
+    for t in range(n_slices):
+        seg = x[t * step : (t + 1) * step]
+        mag = np.abs(np.fft.rfft(seg))
+        freqs = np.linspace(0.0, 1.0, len(mag))  # fraction of Nyquist
+        energy = np.empty(n_bands)
+        for b in range(n_bands):
+            m = (freqs >= edges[b]) & (freqs < edges[b + 1])
+            energy[b] = float(np.sum(mag[m] ** 2))
+        for b in range(n_bands - 1):
+            if energy[b] > energy[b + 1]:
+                h |= 1 << (t * (n_bands - 1) + b)
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def audio_fingerprint(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, aphash, decode_ok): audio fingerprints over WAV payloads
+    (PCM / G.711 / IMA ADPCM via the shared decoder); malformed
+    payloads degrade to decode_ok=false."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _id, data in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    sr, x = _wav_mono(bytes(data))
+                    out.append((_id, audio_phash64(sr, x), True))
+                except (ValueError, NotImplementedError, EOFError, wave.Error):
+                    out.append((_id, None, False))
+            yield pd.DataFrame(out, columns=[id_col, "aphash", "decode_ok"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} long, aphash long, decode_ok boolean"
+    )
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    bands: int = 8,
+) -> DataFrame:
+    """Audio near-duplicate pairs: the SAME banded-Hamming algebra as
+    text simhash and image pHash, over the spectral sign grid."""
+    from .dedup import hamming_banded_pairs
+
+    sigs = audio_fingerprint(df, payload_col, id_col).filter(
+        F.col("decode_ok")
+    ).select(F.col(id_col).alias("_id"), F.col("aphash").alias("sig"))
     return hamming_banded_pairs(sigs, max_hamming=max_hamming, bands=bands)

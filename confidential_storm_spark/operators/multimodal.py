@@ -72,6 +72,7 @@ __all__ = [
     "audio_phash64",
     "audio_fingerprint",
     "audio_neardup_pairs",
+    "video_neardup_pairs",
     "demux_video_samples",
 ]
 
@@ -994,7 +995,9 @@ def phash64(img: np.ndarray) -> int:
     unrelated content > 10) — pair at bands=8 / max_hamming <= 7 for
     perturbation-robust matching, bands=4 / <= 3 for strict."""
     a = img.astype(np.float64)
-    if a.ndim == 3:
+    if a.ndim == 3 and a.shape[2] == 1:  # greyscale plane (PGM frames)
+        a = a[..., 0]
+    elif a.ndim == 3:
         a = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
     small = resize_nearest(a[..., None], 128, 128)[..., 0]
     pooled = small.reshape(32, 4, 32, 4).mean(axis=(1, 3))
@@ -1128,3 +1131,93 @@ def audio_neardup_pairs(
         F.col("decode_ok")
     ).select(F.col(id_col).alias("_id"), F.col("aphash").alias("sig"))
     return hamming_banded_pairs(sigs, max_hamming=max_hamming, bands=bands)
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    n_frames: int = 4,
+    max_hamming: int = 6,
+    bands: int = 8,
+    min_matching_frames: int = 2,
+) -> DataFrame:
+    """Video near-duplicate pairs by FRAME VOTING: sample n uniformly
+    spaced frames per clip (real pixels for y4m), pHash each, and
+    call two clips near-dups when at least ``min_matching_frames``
+    same-index frame pairs land within ``max_hamming`` — re-encoded
+    or mildly-corrupted copies keep frame-wise alignment, while
+    sharing one incidental frame (title cards, black frames) does
+    not fire a single-frame matcher.
+
+    Plan shape: per-frame hashes join on (frame_idx, band, band_val)
+    — the Hamming banding keyed by frame position, so a frame only
+    meets candidates at ITS index; the vote is a groupBy count over
+    verified frame matches.  Returns (id_a, id_b, n_matching).
+    """
+    frames = sample_video_frames(
+        df, payload_col=payload_col, id_col=id_col, n_frames=n_frames
+    ).filter(F.col("decoded_ok"))
+
+    def hash_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, idx, fr in zip(pdf[id_col], pdf["frame_idx"], pdf["frame"]):
+                try:
+                    img = decode_image(bytes(fr))
+                    if img is not None:
+                        out.append((mid, int(idx), phash64(img)))
+                except (ValueError, NotImplementedError):
+                    pass
+            yield pd.DataFrame(out, columns=["_id", "_fi", "sig"])
+
+    sigs = frames.mapInPandas(
+        hash_frames, schema="_id long, _fi int, sig long"
+    ).localCheckpoint(eager=False)
+
+    bits_per_band = 64 // bands
+    mask = (1 << bits_per_band) - 1
+    banded = sigs.select(
+        "_id",
+        "_fi",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_fi", "sig", "bb.band", "bb.band_val")
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l._fi") == F.col("r._fi"))
+            & (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._fi").alias("_fi"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    frame_matches = cand.filter(
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= max_hamming
+    )
+    return (
+        frame_matches.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_matching"))
+        .filter(F.col("n_matching") >= min_matching_frames)
+    )

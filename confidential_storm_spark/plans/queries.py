@@ -5208,7 +5208,7 @@ def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
 
 
 # Names the driver's 50-row correctness gate has ALREADY certified
-# (union of CORRECTNESS_r01..r06 green rows — 100 of 126).  The
+# (union of CORRECTNESS_r01..r07 green rows — 101 of 126).  The
 # driver takes the first 50 entries of queries(), so to spread hard
 # certification across the whole 106-query registry we rotate
 # never-driver-certified names to the head each round (VERDICT r5
@@ -5233,7 +5233,8 @@ _DRIVER_CERTIFIED_PRIOR: frozenset[str] = frozenset(
         "knn_lsh", "knn_lsh_multiprobe", "mixture_executed",
         "pack_sequences", "q13_order_distribution", "q1_pricing_summary",
         "q22_dormant_customers", "q3_top_revenue", "q4_late_priority",
-        "q5_nation_revenue", "q_asof_attribution", "q_conversion_funnel",
+        "q5_nation_revenue", "q_asof_attribution", "q_cohort_retention",
+        "q_conversion_funnel",
         "q_event_windows", "q_event_windows_hop", "q_json_props",
         "q_merge_upsert", "q_pivot_nation_segments", "q_range_join",
         "q_rolling_user_value", "q_rollup_revenue", "q_salted_segment_value",
@@ -5250,3015 +5251,6 @@ _DRIVER_CERTIFIED_PRIOR: frozenset[str] = frozenset(
         "text_quality", "text_redact_pii", "text_repetition",
         "text_surprisal", "text_tfidf", "text_winnow", "text_zipf",
         "token_stats", "token_stats_bpe", "wordcount_histogram",
-    }
-)
-QUERIES["emb_project"] = QueryDef(
-    emb_project,
-    _emb_project_sql(),
-    "Johnson-Lindenstrauss random projection (seeded, broadcast matrix)",
-    "similarity",
-)
-QUERIES["text_bm25"] = QueryDef(
-    text_bm25,
-    _text_bm25_sql(),
-    "BM25 keyword search top-k (Lucene idf variant)",
-    "ranking",
-)
-QUERIES["text_tfidf"] = QueryDef(
-    text_tfidf,
-    _text_tfidf_sql(),
-    "sparse TF-IDF weights per (doc, term)",
-    "ranking",
-)
-QUERIES["chunk_docs"] = QueryDef(
-    chunk_docs,
-    _chunk_docs_sql(),
-    "sliding-window token chunking (64/16 overlap)",
-    "training-data",
-)
-QUERIES["text_zipf"] = QueryDef(
-    text_zipf,
-    TEXT_ZIPF_SQL,
-    "Zipf log-log fit of the word-frequency spectrum",
-    "training-data",
-)
-QUERIES["dedup_spans"] = QueryDef(
-    dedup_spans,
-    _dedup_spans_sql(),
-    "doc pairs sharing exact 5-word spans (span-level dup signal)",
-    "training-data",
-)
-QUERIES["split_counts"] = QueryDef(
-    split_counts,
-    _split_counts_sql(),
-    "deterministic train/val/test hash split, per-(lang,split) audit",
-    "training-data",
-)
-QUERIES["q_event_windows"] = QueryDef(
-    q_event_windows,
-    Q_EVENT_WINDOWS_SQL,
-    "tumbling 6h event-time windows per type (T3 batch analog)",
-    "relational",
-)
-QUERIES["q_event_windows_hop"] = QueryDef(
-    q_event_windows_hop,
-    Q_EVENT_WINDOWS_HOP_SQL,
-    "hopping 12h/6h event-time windows",
-    "relational",
-)
-QUERIES["curation_funnel"] = QueryDef(
-    curation_funnel,
-    _curation_funnel_sql(),
-    "composed curation pipeline with per-stage survivor counts",
-    "training-data",
-)
-QUERIES["sketch_hll_users"] = QueryDef(
-    sketch_hll_users,
-    _sketch_hll_sql(),
-    "HyperLogLog distinct users per event type (md5-deterministic, cross-engine-exact)",
-    "sketches",
-)
-QUERIES["sketch_cms_words"] = QueryDef(
-    sketch_cms_words,
-    _sketch_cms_sql(),
-    "Count-Min word-frequency estimates (4x1024 broadcast sketch)",
-    "sketches",
-)
-
-# ---------------------------------------------------------------------------
-# round-4 additions: incremental ingestion + corpus n-gram statistics
-# ---------------------------------------------------------------------------
-
-INCR_SPLIT = 250  # corpus = doc_id < split, new batch = doc_id >= split
-
-
-def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental exact dedup of a new batch against a frozen corpus
-    (the recurring-ingestion shape: dedup today's crawl against
-    everything already kept).  Corpus/batch = the documents table
-    split at doc_id INCR_SPLIT."""
-    from ..operators.dedup import incremental_dedup
-
-    docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") < INCR_SPLIT)
-    batch = docs.filter(F.col("doc_id") >= INCR_SPLIT)
-    return incremental_dedup(corpus, batch).orderBy("survivor_id")
-
-
-def _dedup_incremental_sql() -> str:
-    from ..operators.dedup import incremental_dedup_sql
-
-    return incremental_dedup_sql(INCR_SPLIT) + " ORDER BY survivor_id"
-
-
-BPE_N_MERGES = 16
-_BPE_MEMO: dict[tuple[str, int], tuple[list[tuple[str, str]], DataFrame]] = {}
-
-
-def _bpe_trained(spark: SparkSession, sf_dir: str):
-    """Train once per (corpus, n_merges) within the session — both BPE
-    registry queries consume the same trajectory (the tokenizer is a
-    standing artifact in a real pipeline; here a session memo)."""
-    from ..operators.bpe import bpe_train, pretoken_type_counts
-
-    key = (sf_dir, BPE_N_MERGES)
-    if key not in _BPE_MEMO:
-        types = pretoken_type_counts(load_table(spark, sf_dir, "documents"))
-        _BPE_MEMO[key] = bpe_train(types, BPE_N_MERGES)
-    return _BPE_MEMO[key]
-
-
-def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iteration-0 adjacent-symbol pair counts over the pretoken type
-    table — the statistic the first BPE merge maximizes (top 50)."""
-    from ..operators.bpe import _adjacent_pairs, _chars, pretoken_type_counts
-
-    types = pretoken_type_counts(load_table(spark, sf_dir, "documents"))
-    return (
-        types.select(
-            F.explode(_adjacent_pairs(_chars(F.col("token")))).alias("p"), "n"
-        )
-        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
-        .agg(F.sum("n").alias("pair_n"))
-        .orderBy(F.desc("pair_n"), "left", "right")
-        .limit(50)
-    )
-
-
-def _bpe_pair_counts_sql() -> str:
-    from ..operators.bpe import pair_counts_sql
-
-    return pair_counts_sql(top_k=50)
-
-
-def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The learned BPE merge list (rank, left, right) — certified
-    end-to-end against an UNROLLED per-iteration DuckDB twin (the
-    k-means-trajectory-oracle scheme), so the driver gate checks the
-    whole deterministic training trajectory, not just one statistic."""
-    merges, _ = _bpe_trained(spark, sf_dir)
-    return spark.createDataFrame(
-        [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
-        "merge_rank int, left string, right string",
-    ).orderBy("merge_rank")
-
-
-def _bpe_merges_sql() -> str:
-    from ..operators.bpe import bpe_train_sql
-
-    return bpe_train_sql(BPE_N_MERGES)
-
-
-def _bpe_group_stats(spark: SparkSession, sf_dir: str, group: str) -> DataFrame:
-    from ..functions.text import bpe_tokens
-
-    _, seg = _bpe_trained(spark, sf_dir)
-    doc_toks = load_table(spark, sf_dir, "documents").select(
-        group, F.explode(bpe_tokens(F.col("text"))).alias("token")
-    )
-    return (
-        doc_toks.join(F.broadcast(seg), "token")
-        .groupBy(group)
-        .agg(
-            F.count(F.lit(1)).alias("n_pretokens"),
-            F.sum(F.size("syms")).alias("total_subwords"),
-            F.round(
-                F.sum(F.size("syms")).cast("double") / F.count(F.lit(1)), 6
-            ).alias("fertility"),
-        )
-        .orderBy(group)
-    )
-
-
-def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source subword budget + fertility after segmenting the
-    corpus with the learned tokenizer — encode-side certification: the
-    final segmentation table joins back onto the corpus pretokens
-    (broadcast; the vocabulary is tiny by construction)."""
-    return _bpe_group_stats(spark, sf_dir, "source")
-
-
-def _bpe_encode_stats_sql() -> str:
-    from ..operators.bpe import bpe_train_sql
-
-    return bpe_train_sql(BPE_N_MERGES, stats=True)
-
-
-def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer fertility (subwords per pretoken) PER LANGUAGE — the
-    dial that exposes a tokenizer trained on the wrong mixture
-    (minority languages over-fragment).  Same plan as
-    bpe_encode_stats grouped by lang."""
-    return _bpe_group_stats(spark, sf_dir, "lang")
-
-
-def _bpe_fertility_sql() -> str:
-    from ..operators.bpe import bpe_train_sql
-
-    return bpe_train_sql(BPE_N_MERGES, stats="lang")
-
-
-def events_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type robust profile of events.value (median / trimmed mean
-    / MAD / exact-rank quartiles) — outlier-resistant column profiling
-    with NO engine percentile functions (exact rank selection on the
-    decimal grid; see operators/robust.py)."""
-    from ..operators.robust import robust_stats
-
-    return robust_stats(load_table(spark, sf_dir, "events"))
-
-
-def _events_robust_stats_sql() -> str:
-    from ..operators.robust import robust_stats_sql
-
-    return robust_stats_sql()
-
-
-_QUALITY_MEMO: dict[str, list[float]] = {}
-
-
-def _quality_weights(spark: SparkSession, sf_dir: str) -> list[float]:
-    """Train the probe once per corpus within the session (the model
-    is a standing artifact in a real pipeline; here a session memo
-    shared by the scores and deciles queries)."""
-    from ..operators.quality_model import (
-        hashed_tf_features,
-        linear_probe_train,
-        rule_labels,
-    )
-
-    if sf_dir not in _QUALITY_MEMO:
-        docs = load_table(spark, sf_dir, "documents")
-        _QUALITY_MEMO[sf_dir] = linear_probe_train(
-            hashed_tf_features(docs), rule_labels(docs)
-        )
-    return _QUALITY_MEMO[sf_dir]
-
-
-def quality_probe_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained quality classifier scores: hashed bag-of-words linear
-    probe, full-batch preconditioned GD run ON the cluster, certified
-    against an unrolled per-iteration DuckDB trajectory twin — the
-    training arithmetic is bit-exact cross-engine by the decimal-sum
-    contract (see operators/quality_model.py)."""
-    from ..operators.quality_model import (
-        hashed_tf_features,
-        linear_probe_scores,
-        rule_labels,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    feats = hashed_tf_features(docs)
-    labels = rule_labels(docs)
-    w = _quality_weights(spark, sf_dir)
-    return linear_probe_scores(feats, labels, w).orderBy("doc_id")
-
-
-def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curriculum planning: the corpus bucketed into score deciles of
-    the TRAINED quality probe — per decile, doc count and the score
-    envelope (the relation a data-mixing scheduler samples from).
-
-    Scale shape: scores come from the stateless scoring expression
-    (one map pass, no feature relation); the global decile rank is
-    the two-pass partitioned rank-range scan (operators/ranks.py —
-    range-partition the score SPECTRUM, per-partition cumsum, one
-    collected offset row per partition), then a per-score-class
-    window for tie-break ranks.  No global single-partition window
-    anywhere; decile = (rank-1)*10 // n in pure integer arithmetic
-    (exact cross-engine)."""
-    from ..operators.quality_model import quality_score_expr
-    from ..operators.ranks import attach_rank_ranges
-
-    w = _quality_weights(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        F.col("doc_id"), quality_score_expr(w).alias("score")
-    ).localCheckpoint(eager=False)
-    n = scored.count()
-    spectrum = scored.groupBy("score").agg(F.count(F.lit(1)).alias("_m"))
-    ranged = attach_rank_ranges(
-        spectrum, count_col="score", size_col="_m", start_col="_start"
-    )
-    cls_w = Window.partitionBy("score").orderBy("doc_id")
-    ranked = (
-        scored.join(ranged, "score")
-        .withColumn("_rank", F.col("_start") + F.row_number().over(cls_w))
-        # integer `div`, never double division: (rank-1)*10/n as a
-        # double can round UP across a decile boundary at large n
-        .withColumn("decile", F.expr(f"((_rank - 1) * 10L) div {n}"))
-    )
-    return (
-        ranked.groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            (
-                F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("mean_score"),
-            F.min("score").alias("min_score"),
-            F.max("score").alias("max_score"),
-        )
-        .orderBy("decile")
-    )
-
-
-def _quality_deciles_sql() -> str:
-    from ..operators.quality_model import quality_probe_sql
-
-    return f"""
-WITH scores AS ({quality_probe_sql()}),
-r AS (
-  SELECT doc_id, score,
-         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn,
-         COUNT(*) OVER () AS n
-  FROM scores
-)
-SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS decile,
-       COUNT(*)::BIGINT AS n_docs,
-       CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_score,
-       MIN(score) AS min_score,
-       MAX(score) AS max_score
-FROM r GROUP BY 1 ORDER BY decile
-"""
-
-
-def _quality_probe_sql() -> str:
-    from ..operators.quality_model import quality_probe_sql
-
-    return quality_probe_sql()
-
-
-EDIT_MAX_DIST, EDIT_PREFIX = 6, 64  # short-field matching: the 64-char "title" prefix
-
-
-def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup pairs on the 64-char title prefix —
-    the typo/OCR-noise matching shape for SHORT fields (titles, names,
-    URLs); full-body near-dup is minhash's job.  SEGMENT blocking
-    (PassJoin pigeonhole — exact, and subquadratic where length
-    blocking degenerates to one giant bucket: measured 169 s -> 13 s
-    at sf1); banded-threshold Levenshtein JVM-side; results proven
-    identical to the length-bucket form.
-
-    Reference: beyond-reference training-data op (the reference
-    engine has no dedup family at all); blocking per Li et al.
-    VLDB'12 (PassJoin)."""
-    from ..operators.dedup import edit_distance_pairs_segments
-
-    return edit_distance_pairs_segments(
-        load_table(spark, sf_dir, "documents"),
-        max_dist=EDIT_MAX_DIST,
-        prefix_len=EDIT_PREFIX,
-    ).orderBy("id_a", "id_b")
-
-
-def _dedup_edit_distance_sql() -> str:
-    from ..operators.dedup import edit_distance_pairs_segments_sql
-
-    return edit_distance_pairs_segments_sql(
-        max_dist=EDIT_MAX_DIST, prefix_len=EDIT_PREFIX
-    )
-
-
-def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span-level dedup as the actual corpus REWRITE (Lee et al.
-    2021's training output): cross-doc duplicated 5-word spans cut
-    from every non-canonical doc, text rebuilt from surviving words.
-    Strictly linear — no self-join anywhere (see
-    operators/dedup.py::span_rewrite)."""
-    from ..operators.dedup import span_rewrite
-
-    return span_rewrite(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
-
-
-def _dedup_span_rewrite_sql() -> str:
-    from ..operators.dedup import span_rewrite_sql
-
-    return span_rewrite_sql()
-
-
-def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc duplicated-span fraction (Lee et al. 2021 doc-level
-    filter metric; the per-doc aggregation of dedup_spans)."""
-    from ..operators.dedup import span_dup_fraction
-
-    return span_dup_fraction(load_table(spark, sf_dir, "documents")).orderBy(
-        "doc_id"
-    )
-
-
-def _dedup_span_fraction_sql() -> str:
-    from ..operators.dedup import span_dup_fraction_sql
-
-    return span_dup_fraction_sql() + " ORDER BY doc_id"
-
-
-PMI_K, PMI_MIN_COUNT = 20, 5
-
-
-def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k adjacent bigrams by PMI (Church & Hanks collocations)."""
-    from ..operators.collocations import collocations_pmi
-
-    return collocations_pmi(
-        load_table(spark, sf_dir, "documents"), k=PMI_K, min_count=PMI_MIN_COUNT
-    )
-
-
-def _text_collocations_sql() -> str:
-    from ..operators.collocations import collocations_pmi_sql
-
-    return collocations_pmi_sql(k=PMI_K, min_count=PMI_MIN_COUNT)
-
-
-def text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct-n n-gram diversity per source (template/boilerplate
-    signature dashboard)."""
-    from ..operators.collocations import ngram_diversity
-
-    return ngram_diversity(load_table(spark, sf_dir, "documents"))
-
-
-def _text_diversity_sql() -> str:
-    from ..operators.collocations import ngram_diversity_sql
-
-    return ngram_diversity_sql()
-
-
-KL_P_SOURCES = tuple(f"src{i}" for i in range(10))
-KL_Q_SOURCES = tuple(f"src{i}" for i in range(10, 20))
-
-
-def text_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary KL drift between two source mixtures: top-20 token
-    contributions to KL(P || Q) with add-0.5 smoothing."""
-    from ..operators.drift import vocab_kl_topk
-
-    docs = load_table(spark, sf_dir, "documents")
-    return vocab_kl_topk(
-        docs.filter(F.col("source").isin(list(KL_P_SOURCES))),
-        docs.filter(F.col("source").isin(list(KL_Q_SOURCES))),
-    )
-
-
-def _text_kl_drift_sql() -> str:
-    from ..operators.drift import vocab_kl_topk_sql
-
-    p_in = ", ".join(f"'{s}'" for s in KL_P_SOURCES)
-    q_in = ", ".join(f"'{s}'" for s in KL_Q_SOURCES)
-    return vocab_kl_topk_sql(f"source IN ({p_in})", f"source IN ({q_in})")
-
-
-FUNNEL_STAGES = ("view", "click", "purchase")
-
-
-def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered view -> click -> purchase conversion funnel over the
-    events stream (strictly-after ordering per user)."""
-    from ..operators.funnel import conversion_funnel
-
-    ev = load_table(spark, sf_dir, "events")
-    ev = ev.select("user_id", "event_type", ts_to_micros(ev).alias("ts_us"))
-    return conversion_funnel(ev, stages=FUNNEL_STAGES)
-
-
-def _q_conversion_funnel_sql() -> str:
-    from ..operators.funnel import conversion_funnel_sql
-
-    return conversion_funnel_sql(stages=FUNNEL_STAGES)
-
-
-QUERIES["text_kl_drift"] = QueryDef(
-    text_kl_drift,
-    _text_kl_drift_sql(),
-    "vocabulary KL drift between source mixtures (top-20 contributions)",
-    "training-data",
-)
-QUERIES["q_conversion_funnel"] = QueryDef(
-    q_conversion_funnel,
-    _q_conversion_funnel_sql(),
-    "ordered event conversion funnel (view->click->purchase)",
-    "relational",
-)
-QUERIES["dedup_incremental"] = QueryDef(
-    dedup_incremental,
-    _dedup_incremental_sql(),
-    "new-batch survivors vs frozen corpus (anti-join on digest index)",
-    "training-data",
-)
-QUERIES["text_decontaminate_neardup"] = QueryDef(
-    text_decontaminate_neardup,
-    _text_decontaminate_sql(),
-    "fuzzy decontamination: train docs near-dup to the eval split",
-    "training-data",
-)
-QUERIES["dedup_minhash_incremental"] = QueryDef(
-    dedup_minhash_incremental,
-    _minhash_incremental_sql(),
-    "new-batch near-dups vs frozen corpus's standing band index",
-    "training-data",
-)
-QUERIES["knn_hard_negatives"] = QueryDef(
-    knn_hard_negatives,
-    _knn_hard_negatives_sql(),
-    "contrastive hard negatives: per-query top-5 cross-label neighbors",
-    "training-data",
-)
-QUERIES["dedup_normalized"] = QueryDef(
-    dedup_normalized,
-    _dedup_normalized_sql(),
-    "unicode-canonical exact dedup (NFC + lower + clean_text digest)",
-    "training-data",
-)
-QUERIES["events_robust_stats"] = QueryDef(
-    events_robust_stats,
-    _events_robust_stats_sql(),
-    "robust per-type value profile (median/trimmed mean/MAD/IQR, exact ranks)",
-    "training-data",
-)
-QUERIES["quality_deciles"] = QueryDef(
-    quality_deciles,
-    _quality_deciles_sql(),
-    "curriculum deciles over trained quality scores (two-pass global ranks)",
-    "training-data",
-)
-QUERIES["quality_probe_scores"] = QueryDef(
-    quality_probe_scores,
-    _quality_probe_sql(),
-    "trained linear-probe quality scores vs unrolled GD trajectory oracle",
-    "training-data",
-)
-QUERIES["bpe_pair_counts"] = QueryDef(
-    bpe_pair_counts,
-    _bpe_pair_counts_sql(),
-    "iteration-0 BPE pair counts over the pretoken type table",
-    "training-data",
-)
-QUERIES["bpe_merges"] = QueryDef(
-    bpe_merges,
-    _bpe_merges_sql(),
-    "learned BPE merge list vs unrolled per-iteration trajectory oracle",
-    "training-data",
-)
-QUERIES["bpe_encode_stats"] = QueryDef(
-    bpe_encode_stats,
-    _bpe_encode_stats_sql(),
-    "per-source subword budget + fertility under the learned BPE tokenizer",
-    "training-data",
-)
-QUERIES["bpe_fertility"] = QueryDef(
-    bpe_fertility,
-    _bpe_fertility_sql(),
-    "tokenizer fertility per language (over-fragmentation dial)",
-    "training-data",
-)
-QUERIES["dedup_edit_distance"] = QueryDef(
-    dedup_edit_distance,
-    _dedup_edit_distance_sql(),
-    "edit-distance near-dup pairs on the title prefix (length-bucket blocked)",
-    "training-data",
-)
-QUERIES["dedup_span_rewrite"] = QueryDef(
-    dedup_span_rewrite,
-    _dedup_span_rewrite_sql(),
-    "span-level dedup rewrite: duplicated spans cut, text rebuilt",
-    "training-data",
-)
-QUERIES["dedup_span_fraction"] = QueryDef(
-    dedup_span_fraction,
-    _dedup_span_fraction_sql(),
-    "per-doc duplicated-span fraction (Lee et al. doc-level filter)",
-    "training-data",
-)
-QUERIES["text_collocations"] = QueryDef(
-    text_collocations,
-    _text_collocations_sql(),
-    "top-k PMI collocations (Church & Hanks)",
-    "training-data",
-)
-QUERIES["text_diversity"] = QueryDef(
-    text_diversity,
-    _text_diversity_sql(),
-    "distinct-n n-gram diversity per source",
-    "training-data",
-)
-
-# ---------------------------------------------------------------------------
-# round-5 additions: bloom pre-filter + weighted sampling
-# ---------------------------------------------------------------------------
-
-BLOOM_K, BLOOM_M = 4, 1 << 16  # 4 hashes x 64 Ki bits
-WS_K = 50
-
-
-def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter membership pre-filter for incremental dedup: flag
-    which incoming-batch docs MIGHT already be in the frozen corpus
-    (same corpus/batch split as dedup_incremental).  The filter is a
-    bounded (<= m rows) broadcast relation, so the corpus never
-    shuffles — the exact anti-join then runs only on the flagged
-    minority.  Deterministic md5 positions: the oracle reproduces the
-    identical bitmap, false positives included."""
-    from ..operators.bloom import bloom_build, bloom_flag
-
-    docs = load_table(spark, sf_dir, "documents")
-    dg = F.md5(F.col("text")).alias("digest")
-    corpus = docs.filter(F.col("doc_id") < INCR_SPLIT).select(dg)
-    batch = docs.filter(F.col("doc_id") >= INCR_SPLIT).select("doc_id", dg)
-    positions = bloom_build(corpus, "digest", k=BLOOM_K, m=BLOOM_M)
-    return bloom_flag(
-        batch, positions, "digest", "doc_id", k=BLOOM_K, m=BLOOM_M
-    ).orderBy("doc_id")
-
-
-def _dedup_bloom_sql() -> str:
-    from ..operators.bloom import bloom_dedup_sql
-
-    return bloom_dedup_sql(
-        f"doc_id < {INCR_SPLIT}", f"doc_id >= {INCR_SPLIT}", k=BLOOM_K, m=BLOOM_M
-    )
-
-
-def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-weighted sample without replacement (Efraimidis-
-    Spirakis A-ES over md5 uniforms): draw WS_K docs with probability
-    proportional to length — the weighted subset-selection primitive
-    of a training-data mix."""
-    from ..operators.sampling import weighted_sample_topk
-
-    return weighted_sample_topk(
-        load_table(spark, sf_dir, "documents"), k=WS_K, weight_col="n_chars"
-    )
-
-
-def _sample_weighted_sql() -> str:
-    from ..operators.sampling import weighted_sample_topk_sql
-
-    return weighted_sample_topk_sql(k=WS_K, weight_col="n_chars")
-
-
-QUERIES["dedup_bloom"] = QueryDef(
-    dedup_bloom,
-    _dedup_bloom_sql(),
-    "bloom-filter maybe-dup pre-filter vs frozen corpus (bounded broadcast bitmap)",
-    "training-data",
-)
-QUERIES["sample_weighted"] = QueryDef(
-    sample_weighted,
-    _sample_weighted_sql(),
-    "weighted sampling without replacement (A-ES, deterministic keys)",
-    "training-data",
-)
-
-RJ_WINDOW_US = 6 * 3600 * 1_000_000  # 6 h activity windows
-
-
-def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval (range) join via the grid equi-key: every 10th user's
-    first-6h activity window, counting ALL events (any user) whose
-    timestamp falls inside it.  The grid rewrite turns the BETWEEN
-    predicate into a hash join — no BroadcastNestedLoopJoin at any
-    scale (plan-pinned in tests)."""
-    from ..operators.ranges import interval_join
-
-    ev = load_table(spark, sf_dir, "events")
-    ev = ev.select("user_id", ts_to_micros(ev).alias("ts_us"), "value")
-    iv = (
-        ev.filter(F.col("user_id") % 10 == 0)
-        .groupBy(F.col("user_id").alias("iv_user"))
-        .agg(F.min("ts_us").alias("s"))
-        .withColumn("e", F.col("s") + F.lit(RJ_WINDOW_US))
-    )
-    pairs = interval_join(
-        ev.select("ts_us", "value"), iv, "ts_us", "s", "e", grid=RJ_WINDOW_US
-    )
-    return (
-        pairs.groupBy("iv_user")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
-        )
-        .orderBy("iv_user")
-    )
-
-
-def _q_range_join_sql() -> str:
-    return f"""
-WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
-iv AS (SELECT user_id AS iv_user, MIN(ts_us) AS s, MIN(ts_us) + {RJ_WINDOW_US} AS e
-       FROM ev WHERE user_id % 10 = 0 GROUP BY user_id)
-SELECT iv_user, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
-FROM iv JOIN ev ON ev.ts_us BETWEEN iv.s AND iv.e
-GROUP BY iv_user
-ORDER BY iv_user
-"""
-
-
-QUERIES["q_range_join"] = QueryDef(
-    q_range_join,
-    _q_range_join_sql(),
-    "grid-bucketed interval join (range predicate as hash join)",
-    "relational",
-)
-
-HLL_SET_A, HLL_SET_B = "view", "click"
-
-
-def sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL set algebra: distinct viewers, clickers, their union via
-    register-wise sketch MERGE (no re-scan of the unioned data), and
-    the inclusion-exclusion intersection estimate."""
-    from ..operators.sketches import hll_set_estimates
-
-    ev = load_table(spark, sf_dir, "events")
-    return hll_set_estimates(
-        ev,
-        "user_id",
-        F.col("event_type") == HLL_SET_A,
-        F.col("event_type") == HLL_SET_B,
-    )
-
-
-def _sketch_hll_setops_sql() -> str:
-    from ..operators.sketches import hll_set_estimates_sql
-
-    return hll_set_estimates_sql(
-        "events",
-        "user_id",
-        f"event_type = '{HLL_SET_A}'",
-        f"event_type = '{HLL_SET_B}'",
-    )
-
-
-QUERIES["sketch_hll_setops"] = QueryDef(
-    sketch_hll_setops,
-    _sketch_hll_setops_sql(),
-    "HLL union/intersection via register-wise sketch merge",
-    "sketches",
-)
-
-
-def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingestion text normalization: control-byte strip, newline
-    canonicalization, whitespace-run collapse, trim — with the per-doc
-    removed-char count as the audit signal."""
-    from ..functions.text import clean_text
-
-    docs = load_table(spark, sf_dir, "documents")
-    clean = clean_text(F.col("text"))
-    return docs.select(
-        "doc_id",
-        F.length(clean).alias("clean_len"),
-        (F.length("text") - F.length(clean)).alias("removed_chars"),
-    ).orderBy("doc_id")
-
-
-def _text_clean_sql() -> str:
-    from ..functions.text import clean_text_sql
-
-    c = clean_text_sql("text")
-    return f"""
-SELECT doc_id, length({c}) AS clean_len,
-       length(text) - length({c}) AS removed_chars
-FROM documents ORDER BY doc_id
-"""
-
-
-SQ_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
-
-
-def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Histogram-sketch doc-length quantiles: 64 integer bucket counts
-    instead of a full sort — the bounded-state complement of the exact
-    text_length_quantiles."""
-    from ..operators.sketches import histogram_quantiles
-
-    return histogram_quantiles(
-        load_table(spark, sf_dir, "documents"), "n_chars", qs=SQ_QS
-    )
-
-
-def _sketch_quantiles_sql() -> str:
-    from ..operators.sketches import histogram_quantiles_sql
-
-    return histogram_quantiles_sql("documents", "n_chars", qs=SQ_QS)
-
-
-QUERIES["text_clean"] = QueryDef(
-    text_clean,
-    _text_clean_sql(),
-    "text normalization audit (control strip, ws collapse; removed chars)",
-    "training-data",
-)
-QUERIES["sketch_quantiles"] = QueryDef(
-    sketch_quantiles,
-    _sketch_quantiles_sql(),
-    "histogram-sketch quantile estimates (64 buckets, exact cross-engine)",
-    "sketches",
-)
-
-
-def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence-aware quality scoring: per-doc cross-entropy under the
-    corpus's own add-0.5 bigram LM (garbled word order scores high
-    even when every word is common)."""
-    from ..functions.text import bigram_cross_entropy
-
-    return bigram_cross_entropy(load_table(spark, sf_dir, "documents")).orderBy(
-        "doc_id"
-    )
-
-
-def _text_bigram_lm_sql() -> str:
-    from ..functions.text import bigram_cross_entropy_sql
-
-    return bigram_cross_entropy_sql()
-
-
-QUERIES["text_bigram_lm"] = QueryDef(
-    text_bigram_lm,
-    _text_bigram_lm_sql(),
-    "per-doc bigram-LM cross-entropy (add-alpha, corpus-trained)",
-    "training-data",
-)
-
-SW_GAP_US = 1_800_000_000  # 30 min, matching q_sessionize
-
-
-def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark's NATIVE session_window aggregation in batch mode,
-    certified against an independent gap-reconstruction oracle: the
-    same inactivity-gap semantics q_sessionize builds from lag/
-    running-sum windows, here as the engine-level operator the
-    streaming path (streaming/sessions.py) uses.  Convention: windows
-    are half-open [first, last + gap) — a gap of EXACTLY gap_us
-    starts a new session (>=, where the lag form tests >)."""
-    ev = load_table(spark, sf_dir, "events")
-    ev = ev.select("user_id", ts_to_micros(ev).alias("ts_us"), "value")
-    ts = F.timestamp_micros(F.col("ts_us"))
-    return (
-        ev.groupBy(F.session_window(ts, "30 minutes"), "user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
-        )
-        .select(
-            "user_id",
-            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
-            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
-            "n_events",
-            "sum_value",
-        )
-        .orderBy("user_id", "session_start_us")
-    )
-
-
-def _q_session_window_sql() -> str:
-    g = SW_GAP_US
-    return f"""
-WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
-o AS (SELECT user_id, ts_us, value,
-             CASE WHEN LAG(ts_us) OVER w IS NULL
-                       OR ts_us - LAG(ts_us) OVER w >= {g} THEN 1 ELSE 0 END AS brk
-      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
-s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
-                               ROWS UNBOUNDED PRECEDING) AS sid
-      FROM o)
-SELECT user_id, MIN(ts_us) AS session_start_us,
-       MAX(ts_us) + {g} AS session_end_us,
-       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
-FROM s GROUP BY user_id, sid
-ORDER BY user_id, session_start_us
-"""
-
-
-QUERIES["q_session_window"] = QueryDef(
-    q_session_window,
-    _q_session_window_sql(),
-    "native session_window vs gap-reconstruction oracle",
-    "relational",
-)
-
-
-def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured extraction: parse the ``props`` JSON column
-    (``get_json_object`` — codegen JSON path, no UDF) and aggregate
-    per (event_type, k mod 10).  The JSON-native twin of the
-    contributions view's regexp shortcut; at scale this is the
-    schema-on-read path every event warehouse leans on."""
-    ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return (
-        ev.select("event_type", k.alias("_k"), "value")
-        .groupBy("event_type", (F.col("_k") % 10).alias("k_mod"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
-        )
-        .orderBy("event_type", "k_mod")
-    )
-
-
-Q_JSON_PROPS_SQL = """
-SELECT event_type,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
-       COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
-FROM events
-GROUP BY event_type, k_mod
-ORDER BY event_type, k_mod
-"""
-
-
-QUERIES["q_json_props"] = QueryDef(
-    q_json_props,
-    Q_JSON_PROPS_SQL,
-    "JSON path extraction + aggregation over the props column",
-    "relational",
-)
-
-MERGE_LO, MERGE_HI = 300, 400  # updates overlap target on [300, 400)
-
-
-def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD-1 MERGE semantics via full-outer join: target = docs below
-    MERGE_HI, updates = reversed-text docs from MERGE_LO up — the
-    overlap updates in place, the rest inserts, untouched rows carry
-    over.  The digests prove WHICH version won each key."""
-    from ..sources.writers import merge_upsert
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    target = docs.filter(F.col("doc_id") < MERGE_HI)
-    updates = docs.filter(F.col("doc_id") >= MERGE_LO).select(
-        "doc_id", F.reverse(F.col("text")).alias("text")
-    )
-    merged = merge_upsert(target, updates, "doc_id")
-    return merged.select(
-        "doc_id",
-        F.length("text").alias("text_len"),
-        F.md5("text").alias("digest"),
-    ).orderBy("doc_id")
-
-
-Q_MERGE_UPSERT_SQL = f"""
-WITH target AS (SELECT doc_id, text FROM documents WHERE doc_id < {MERGE_HI}),
-updates AS (SELECT doc_id, reverse(text) AS text FROM documents WHERE doc_id >= {MERGE_LO}),
-merged AS (SELECT COALESCE(u.doc_id, t.doc_id) AS doc_id,
-                  COALESCE(u.text, t.text) AS text
-           FROM target t FULL OUTER JOIN updates u ON t.doc_id = u.doc_id)
-SELECT doc_id, length(text) AS text_len, md5(text) AS digest
-FROM merged ORDER BY doc_id
-"""
-
-
-QUERIES["q_merge_upsert"] = QueryDef(
-    q_merge_upsert,
-    Q_MERGE_UPSERT_SQL,
-    "SCD-1 upsert via full-outer join (MERGE INTO pattern)",
-    "relational",
-)
-
-HYBRID_K, HYBRID_POOL = 10, 20
-
-
-def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: BM25 lexical top-20 fused with exact cosine
-    kNN top-20 by reciprocal-rank fusion (rank-based, so the two
-    incomparable score scales need no calibration) — the standard
-    hybrid-search composition, over the aligned doc/embedding id
-    space."""
-    from ..operators.fusion import rrf_fuse
-    from ..operators.ranking import bm25_topk
-
-    lex = bm25_topk(
-        load_table(spark, sf_dir, "documents"), BM25_QUERY, k=HYBRID_POOL
-    )
-    q = _query_vec(spark, sf_dir)
-    vec = brute_force_topk(
-        load_table(spark, sf_dir, "embeddings"), q, k=HYBRID_POOL
-    ).withColumnRenamed("vec_id", "doc_id")
-    return rrf_fuse([(lex, "bm25"), (vec, "cosine")], "doc_id", k=HYBRID_K)
-
-
-def _hybrid_rrf_sql() -> str:
-    from ..operators.fusion import rrf_fuse_sql
-    from ..operators.ranking import bm25_topk_sql
-
-    lex = bm25_topk_sql(BM25_QUERY, k=HYBRID_POOL)
-    vec = f"""
-SELECT vec_id AS doc_id,
-       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-             CAST((SELECT embedding FROM embeddings WHERE vec_id = 0) AS DOUBLE[])), 6) AS cosine
-FROM embeddings
-ORDER BY cosine DESC, vec_id
-LIMIT {HYBRID_POOL}
-"""
-    return rrf_fuse_sql([(lex, "bm25"), (vec, "cosine")], "doc_id", k=HYBRID_K)
-
-
-QUERIES["hybrid_rrf"] = QueryDef(
-    hybrid_rrf,
-    _hybrid_rrf_sql(),
-    "hybrid retrieval: BM25 + cosine kNN via reciprocal-rank fusion",
-    "training-data",
-)
-
-
-# ---------------------------------------------------------------------------
-# round-5 additions: join-shape coverage (semi / anti / outer-join
-# distribution / scalar subquery) and range-frame rolling windows —
-# the relational surface a warehouse user expects beyond the
-# reference's three join-shaped computations (SURVEY §2.6).
-# ---------------------------------------------------------------------------
-
-Q4_YEAR_START, Q4_YEAR_END = "1996-01-01", "1997-01-01"
-Q4_LATE_DAYS = 90
-
-
-def q4_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: orders placed in 1996 with at least one line
-    item shipped > 90 days after the order date, counted by priority.
-    The EXISTS compiles to a LEFT SEMI join — lineitem is scanned
-    once, never materialized per-order; at scale the semi join
-    shuffles both sides on orderkey and emits each order at most once
-    (no fan-out, unlike an inner join + distinct)."""
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit(Q4_YEAR_START).cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit(Q4_YEAR_END).cast("timestamp"))
-    )
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
-        F.col("l_shipdate")
-        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")
-    )
-    return (
-        orders.join(li, cond, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("order_count"))
-        .orderBy("o_orderpriority")
-    )
-
-
-Q4_SQL = f"""
-SELECT o_orderpriority, COUNT(*) AS order_count
-FROM orders o
-WHERE o.o_orderdate >= TIMESTAMP '{Q4_YEAR_START}'
-  AND o.o_orderdate <  TIMESTAMP '{Q4_YEAR_END}'
-  AND EXISTS (SELECT 1 FROM lineitem l
-              WHERE l.l_orderkey = o.o_orderkey
-                AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
-GROUP BY o_orderpriority ORDER BY o_orderpriority
-"""
-
-
-def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13 shape: distribution of customers by how many orders
-    they placed, INCLUDING zero-order customers (the left outer join
-    is the point — an inner join silently drops them).  Two
-    aggregations: per-customer count, then the histogram of counts.
-    Both shuffles carry one row per customer / per distinct count."""
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
-    per_cust = (
-        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_custkey").alias("c_count"))  # count(col) skips the NULLs from the outer join
-    )
-    return (
-        per_cust.groupBy("c_count")
-        .agg(F.count("*").alias("custdist"))
-        .orderBy(F.desc("custdist"), F.desc("c_count"))
-    )
-
-
-Q13_SQL = """
-WITH per_cust AS (
-  SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
-  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-  GROUP BY c.c_custkey
-)
-SELECT c_count, COUNT(*) AS custdist
-FROM per_cust GROUP BY c_count
-ORDER BY custdist DESC, c_count DESC
-"""
-
-
-Q22_DORMANT_SINCE = "2000-01-01"
-
-
-def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: customers with above-average account balance
-    and NO order since 2000, rolled up per nation.  Exercises a
-    scalar aggregate subquery (kept declarative: the 1-row average is
-    cross-joined via broadcast, never collect()ed to the driver) and
-    a LEFT ANTI join against the recent slice of orders — the date
-    filter is pushed into the orders scan before the anti join."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderdate") >= F.lit(Q22_DORMANT_SINCE).cast("timestamp"))
-        .select("o_custkey")
-    )
-    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        (
-            F.sum(F.col("c_acctbal").cast(_PRICE_D)).cast("double")
-            / F.count(F.lit(1))
-        ).alias("_avg_bal")
-    )
-    rich = cust.join(F.broadcast(avg_bal)).filter(
-        F.col("c_acctbal") > F.col("_avg_bal")
-    )
-    dormant = rich.join(
-        orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
-    )
-    return (
-        dormant.groupBy("c_nationkey")
-        .agg(
-            F.count("*").alias("numcust"),
-            F.round(F.sum(F.col("c_acctbal").cast(_PRICE_D)), 2).cast("double").alias("totacctbal"),
-        )
-        .orderBy("c_nationkey")
-    )
-
-
-Q22_SQL = f"""
-SELECT c_nationkey, COUNT(*) AS numcust, CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
-FROM customer c
-WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey
-                    AND o.o_orderdate >= TIMESTAMP '{Q22_DORMANT_SINCE}')
-GROUP BY c_nationkey ORDER BY c_nationkey
-"""
-
-
-ROLLING_WINDOW_US = 6 * 3600 * 1_000_000  # 6 hours in epoch micros
-
-
-def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user 6-hour ROLLING sum/count of event value — the
-    time-series feature shape (trailing engagement, rate limits,
-    monitoring).  A RANGE frame over epoch-micros per user: the
-    window hash-partitions by user_id (no global sort), and ties on
-    ts_us are frame-inclusive so the result is deterministic under
-    any intra-tie order.  DuckDB runs the identical RANGE frame."""
-    ev = load_table(spark, sf_dir, "events")
-    ev = ev.select("event_id", "user_id", ts_to_micros(ev).alias("ts_us"), "value")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_us")
-        .rangeBetween(-ROLLING_WINDOW_US, 0)
-    )
-    # events.value is a true 2-decimal column (verified at every SF):
-    # SUM in DECIMAL (exact under any frame-evaluation order), round
-    # on the cents grid in decimal, THEN cast — the money contract
-    # (PLANS.md), extended here per VERDICT r5 item 3.  A double
-    # window-sum would drift cross-engine at sf1+.
-    vdec = F.col("value").cast(_PRICE_D)
-    return ev.select(
-        "event_id",
-        "user_id",
-        "ts_us",
-        F.count("*").over(w).alias("n_6h"),
-        F.round(F.sum(vdec).over(w), 2).cast("double").alias("sum_6h"),
-    ).orderBy("user_id", "ts_us", "event_id")
-
-
-Q_ROLLING_SQL = f"""
-WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
-SELECT event_id, user_id, ts_us,
-       COUNT(*) OVER w AS n_6h,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE) AS sum_6h
-FROM ev
-WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
-             RANGE BETWEEN {ROLLING_WINDOW_US} PRECEDING AND CURRENT ROW)
-ORDER BY user_id, ts_us, event_id
-"""
-
-
-QUERIES["q4_late_priority"] = QueryDef(
-    q4_late_priority, Q4_SQL, "TPC-H Q4 shape: EXISTS -> left-semi join", "relational"
-)
-QUERIES["q13_order_distribution"] = QueryDef(
-    q13_order_distribution,
-    Q13_SQL,
-    "TPC-H Q13 shape: outer-join order-count distribution",
-    "relational",
-)
-QUERIES["q22_dormant_customers"] = QueryDef(
-    q22_dormant_customers,
-    Q22_SQL,
-    "TPC-H Q22 shape: scalar subquery + anti join",
-    "relational",
-)
-QUERIES["q_rolling_user_value"] = QueryDef(
-    q_rolling_user_value,
-    Q_ROLLING_SQL,
-    "per-user 6h rolling RANGE-frame aggregates",
-    "relational",
-)
-
-
-SALT_N = 8
-
-
-def q_salted_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key join via salting: events carry only ~150 distinct
-    user_ids, so an unsalted shuffle join lands thousands of rows per
-    reducer key (at 100 TB: terabytes per key).  ``salted_join``
-    spreads each user over SALT_N reducers by salting on event_id and
-    replicating the customer row SALT_N times.  The oracle is the
-    PLAIN join — salting must be invisible in the result."""
-    from ..operators.skew import salted_join
-
-    # events.value is exactly 2-decimal: SUM in DECIMAL (exact under
-    # any salt spread / combine order), round in decimal, cast —
-    # the money contract (PLANS.md), per VERDICT r5 item 3.
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.col("value").cast(_PRICE_D).alias("value")
-    )
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    j = salted_join(ev, cust, "user_id", "c_custkey", "event_id", n_salt=SALT_N)
-    return (
-        j.groupBy("c_mktsegment")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).cast("double").alias("sum_value"),
-        )
-        .orderBy("c_mktsegment")
-    )
-
-
-Q_SALTED_JOIN_SQL = """
-SELECT c_mktsegment, COUNT(*) AS n_events,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
-FROM events e JOIN customer c ON e.user_id = c.c_custkey
-GROUP BY c_mktsegment ORDER BY c_mktsegment
-"""
-
-
-def q_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key aggregation via two-phase salting: 5 event types means
-    5 reducer keys no matter the row count — a single key's reduce
-    load is unbounded.  ``salted_aggregate`` groups by (type, salt)
-    first (hot key -> SALT_N partial rows), then combines partials.
-    The oracle is the plain GROUP BY."""
-    from ..operators.skew import salted_aggregate
-
-    # decimal in -> decimal partials -> decimal combine: the two-phase
-    # salted sum stays exact end-to-end (money contract, PLANS.md).
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "value", F.col("value").cast(_PRICE_D)
-    )
-    out = salted_aggregate(ev, ["event_type"], ["value"], "event_id", n_salt=SALT_N)
-    return out.select(
-        "event_type",
-        "n_rows",
-        F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
-    ).orderBy("event_type")
-
-
-Q_SALTED_AGG_SQL = """
-SELECT event_type, COUNT(*) AS n_rows,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
-FROM events GROUP BY event_type ORDER BY event_type
-"""
-
-
-QUERIES["q_salted_segment_value"] = QueryDef(
-    q_salted_segment_value,
-    Q_SALTED_JOIN_SQL,
-    "salted hot-key join (result == plain join)",
-    "beyond-ref scale",
-)
-QUERIES["q_salted_type_stats"] = QueryDef(
-    q_salted_type_stats,
-    Q_SALTED_AGG_SQL,
-    "salted two-phase aggregation (result == plain GROUP BY)",
-    "beyond-ref scale",
-)
-
-
-PIVOT_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
-
-
-def q_pivot_nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer counts per nation PIVOTED to one column per market
-    segment (the dashboard wide-form shape).  The segment list is
-    passed explicitly to ``pivot()`` — with an explicit value list
-    Spark skips the extra distinct-values job and compiles to a
-    single pass (one agg with CASE-fused columns, no per-segment
-    scan).  The oracle is the same CASE form DuckDB runs."""
-    cust = load_table(spark, sf_dir, "customer")
-    out = (
-        cust.groupBy("c_nationkey")
-        .pivot("c_mktsegment", PIVOT_SEGMENTS)
-        .agg(F.count(F.lit(1)))
-        .na.fill(0, [s for s in PIVOT_SEGMENTS])
-    )
-    # stable lower-case column names on both engines
-    for s in PIVOT_SEGMENTS:
-        out = out.withColumnRenamed(s, f"n_{s.lower()}")
-    return out.orderBy("c_nationkey")
-
-
-Q_PIVOT_SQL = (
-    "SELECT c_nationkey, "
-    + ", ".join(
-        # COUNT (never NULL, integer-typed) not SUM (nullable HUGEINT
-        # -> pandas float, which would hash "17.0" against Spark's "17")
-        f"COUNT(CASE WHEN c_mktsegment = '{s}' THEN 1 END) AS n_{s.lower()}"
-        for s in PIVOT_SEGMENTS
-    )
-    + " FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"
-)
-
-
-def q_viewed_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set-operation surface: (user, day) pairs with views but no
-    purchase that day (browse-without-buy sessions) via EXCEPT —
-    each side's event_type filter is pushed into the scan and the
-    set difference compiles to a distinct + anti-join shape.  Days
-    are emitted as strings so both engines hash the identical form."""
-    ev = load_table(spark, sf_dir, "events")
-    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
-    viewed = ev.filter(F.col("event_type") == "view").select("user_id", day)
-    purchased = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
-    # subtract == EXCEPT (distinct semantics)
-    return viewed.subtract(purchased).orderBy("user_id", "day")
-
-
-Q_EXCEPT_SQL = """
-SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'view'
-EXCEPT
-SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'purchase'
-ORDER BY user_id, day
-"""
-
-
-QUERIES["q_pivot_nation_segments"] = QueryDef(
-    q_pivot_nation_segments,
-    Q_PIVOT_SQL,
-    "pivot to wide form, explicit value list (single pass)",
-    "relational",
-)
-QUERIES["q_viewed_never_purchased"] = QueryDef(
-    q_viewed_never_purchased,
-    Q_EXCEPT_SQL,
-    "EXCEPT set operation (viewed, never purchased)",
-    "relational",
-)
-
-
-PAGERANK_ITERS, PAGERANK_DAMPING = 8, 0.85
-
-
-def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-iteration PageRank over the near-dup similarity graph
-    (minhash-LSH verified pairs, symmetrized): centrality as the
-    canonical-survivor / importance-sampling prior.  The iterative
-    DataFrame loop joins the checkpointed edge relation with the
-    current ranks each step — the classic Spark iterative-algorithm
-    shape — and the oracle runs the IDENTICAL eight unrolled
-    iterations as DuckDB CTEs."""
-    from ..operators.graph import pagerank, symmetrize
-
-    pairs = _neardup_pairs_indexed(spark, sf_dir).select("id_a", "id_b")
-    pr = pagerank(symmetrize(pairs), iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING)
-    return pr.select(
-        F.col("id").alias("doc_id"), F.round("pr", 6).alias("pr")
-    ).orderBy("doc_id")
-
-
-def _graph_pagerank_sql() -> str:
-    from ..operators.graph import pagerank_sql
-
-    pair_body = _minhash_sql(MINHASH_MAX_BUCKET).replace("ORDER BY id_a, id_b", "")
-    inner = pagerank_sql(pair_body, iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING)
-    return f"SELECT id AS doc_id, ROUND(pr, 6) AS pr FROM ({inner}) ORDER BY doc_id"
-
-
-QUERIES["graph_pagerank"] = QueryDef(
-    graph_pagerank,
-    _graph_pagerank_sql(),
-    "fixed-iteration PageRank on the near-dup graph (unrolled-CTE oracle)",
-    "beyond-ref iterative",
-)
-
-
-def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention matrix: users grouped by their FIRST active
-    day, counted on each subsequent day they return — the product-
-    analytics table every events warehouse serves.  Two shuffles on
-    user_id (first-day agg, activity distinct) that AQE coalesces
-    into one layout, then a (cohort, offset) agg whose cardinality is
-    days^2 regardless of user count."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
-    )
-    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    act = ev.distinct()
-    return (
-        act.join(first, "user_id")
-        .groupBy(
-            "cohort_day",
-            F.datediff(F.to_date("day"), F.to_date("cohort_day")).alias("day_offset"),
-        )
-        .agg(F.countDistinct("user_id").alias("n_active"))
-        .orderBy("cohort_day", "day_offset")
-    )
-
-
-Q_COHORT_SQL = """
-WITH ev AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events),
-firsts AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
-act AS (SELECT DISTINCT user_id, day FROM ev)
-SELECT f.cohort_day,
-       date_diff('day', CAST(f.cohort_day AS DATE), CAST(a.day AS DATE)) AS day_offset,
-       COUNT(DISTINCT a.user_id) AS n_active
-FROM act a JOIN firsts f ON a.user_id = f.user_id
-GROUP BY 1, 2 ORDER BY 1, 2
-"""
-
-
-UNPIVOT_METRICS = ["n_tokens", "mean_token_len", "stopword_ratio", "alpha_ratio"]
-
-
-def q_unpivot_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNPIVOT (melt) surface: the per-doc quality features turned
-    into (doc_id, metric, value) long form — the shape metric stores
-    and dashboards ingest.  unpivot() compiles to an Expand node (one
-    pass, rows x metrics output), never a per-metric scan."""
-    q = quality_features(load_table(spark, sf_dir, "documents"))
-    q = q.withColumn("n_tokens", F.col("n_tokens").cast("double"))
-    return q.unpivot("doc_id", UNPIVOT_METRICS, "metric", "value").orderBy(
-        "doc_id", "metric"
-    )
-
-
-def _q_unpivot_sql() -> str:
-    body = TEXT_QUALITY_SQL.replace("ORDER BY doc_id", "")
-    arms = " UNION ALL ".join(
-        f"SELECT doc_id, '{m}' AS metric, CAST({m} AS DOUBLE) AS value FROM q"
-        for m in UNPIVOT_METRICS
-    )
-    return f"WITH q AS ({body}) {arms} ORDER BY doc_id, metric"
-
-
-QUERIES["q_cohort_retention"] = QueryDef(
-    q_cohort_retention,
-    Q_COHORT_SQL,
-    "cohort retention matrix (first-day cohort x return offset)",
-    "relational",
-)
-QUERIES["q_unpivot_quality"] = QueryDef(
-    q_unpivot_quality,
-    _q_unpivot_sql(),
-    "UNPIVOT quality features to long form (single-pass Expand)",
-    "relational",
-)
-
-
-def q_cube_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (event_type, day) with grouping_id — all four
-    grouping-set combinations in ONE pass (Expand node), completing
-    the grouping-sets family next to q_rollup_revenue.  gid
-    disambiguates a real NULL from a subtotal row."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "value"
-    )
-    return (
-        ev.cube("event_type", "day")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
-            F.grouping_id().alias("gid"),
-        )
-        .orderBy("gid", "event_type", "day")
-    )
-
-
-Q_CUBE_SQL = """
-WITH ev AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events)
-SELECT event_type, day, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value,
-       GROUPING(event_type, day) AS gid
-FROM ev GROUP BY CUBE (event_type, day)
-ORDER BY gid, event_type, day
-"""
-
-
-PCTL_PROBES = (0.5, 0.9)
-
-
-def q_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated per-group percentiles (ordered-set
-    aggregate surface): median and p90 order value per priority.
-    Spark's `percentile` and DuckDB's `quantile_cont` use the same
-    linear interpolation, so the values are cross-engine exact.  The
-    exact aggregate buffers each group's values — for sketch-bounded
-    state at scale, sketch_quantiles is the companion path."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderpriority")
-        .agg(
-            *[
-                F.round(F.expr(f"percentile(o_totalprice, {p})"), 6).alias(
-                    f"p{int(p * 100)}_price"
-                )
-                for p in PCTL_PROBES
-            ]
-        )
-        .orderBy("o_orderpriority")
-    )
-
-
-Q_MEDIAN_SQL = (
-    "SELECT o_orderpriority, "
-    + ", ".join(
-        f"ROUND(quantile_cont(o_totalprice, {p}), 6) AS p{int(p * 100)}_price"
-        for p in PCTL_PROBES
-    )
-    + " FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
-)
-
-
-QUERIES["q_cube_activity"] = QueryDef(
-    q_cube_activity,
-    Q_CUBE_SQL,
-    "CUBE grouping sets with grouping_id (single-pass Expand)",
-    "relational",
-)
-QUERIES["q_median_order_value"] = QueryDef(
-    q_median_order_value,
-    Q_MEDIAN_SQL,
-    "exact interpolated per-group percentiles",
-    "relational",
-)
-
-
-DECAY = 0.9  # per-day decay factor
-
-
-# Exact decay-weight table: 0.9^d precomputed in Python and embedded
-# as LITERALS in both engines.  Spark's Math.pow and DuckDB's C pow
-# disagree by 1 ulp at 7 of the first 61 integer exponents (measured),
-# so POWER() in the query is a cross-engine hazard; a literal double
-# survives py4j exactly and a repr() string parses to the identical
-# double via correctly-rounded strtod.  64 days >> the generator's
-# 30-day event span; element_at past the table returns NULL, which
-# would fail the gate loudly rather than silently diverge.
-_DECAY_MAX_DAYS = 64
-_DECAY_WEIGHTS = [DECAY**d for d in range(_DECAY_MAX_DAYS)]
-
-
-def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponentially-decayed per-user engagement score (the
-    feature-store recency-weighted aggregate): sum of value * 0.9^age
-    in days, anchored at the corpus max day.
-
-    Cross-engine-exact evaluation (money contract extended to a
-    weighted sum, VERDICT r5 item 3): (1) inner sums per (user, age)
-    run in DECIMAL — exact under any partitioning — and cast to
-    bit-identical doubles; (2) each term multiplies by a literal
-    weight (identical double in both engines, see _DECAY_WEIGHTS);
-    (3) the <=30 per-user terms fold LEFT-TO-RIGHT IN AGE ORDER
-    (F.aggregate over a sorted array / DuckDB list_reduce over
-    LIST(ORDER BY)), so the double sum has ONE defined association
-    and both engines produce the same bits — no final rounding
-    needed.  Plan: scan -> partial-agg (user, d) -> per-user fold;
-    d <= 64 values, so the second shuffle carries <=64x users rows."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.to_date("ts").alias("day"), F.col("value").cast(_PRICE_D).alias("value")
-    )
-    anchor = ev.agg(F.max("day").alias("_ref_day"))
-    warr = F.array(*[F.lit(w) for w in _DECAY_WEIGHTS])
-    inner = (
-        ev.join(F.broadcast(anchor))
-        .withColumn("d", F.datediff("_ref_day", "day"))
-        .groupBy("user_id", "d")
-        .agg(F.round(F.sum("value"), 2).cast("double").alias("s"))
-    )
-    terms = inner.select(
-        "user_id", "d", (F.col("s") * F.element_at(warr, F.col("d") + 1)).alias("t")
-    )
-    return (
-        terms.groupBy("user_id")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("d", "t"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["t"],
-            ).alias("score")
-        )
-        .orderBy("user_id")
-    )
-
-
-_DECAY_W_SQL = "[" + ", ".join(f"'{w!r}'::DOUBLE" for w in _DECAY_WEIGHTS) + "]"
-
-Q_DECAYED_SQL = f"""
-WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
-                   CAST(value AS DECIMAL(18,2)) AS value FROM events),
-anchor AS (SELECT MAX(day) AS _ref_day FROM ev),
-inner_sums AS (
-  SELECT user_id,
-         date_diff('day', day, (SELECT _ref_day FROM anchor)) AS d,
-         CAST(ROUND(SUM(value), 2) AS DOUBLE) AS s
-  FROM ev GROUP BY 1, 2),
-terms AS (SELECT user_id, d, s * ({_DECAY_W_SQL})[d + 1] AS t FROM inner_sums)
-SELECT user_id,
-       list_reduce(list_prepend(0.0::DOUBLE, LIST(t ORDER BY d)), (a, b) -> a + b) AS score
-FROM terms GROUP BY user_id ORDER BY user_id
-"""
-
-
-QUERIES["q_decayed_engagement"] = QueryDef(
-    q_decayed_engagement,
-    Q_DECAYED_SQL,
-    "exponentially-decayed per-user engagement score",
-    "relational",
-)
-
-
-def q_viewed_and_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT twin of q_viewed_never_purchased: (user, day) pairs
-    with BOTH a view and a purchase (browse-and-buy sessions) —
-    compiles to a distinct + semi-join shape."""
-    ev = load_table(spark, sf_dir, "events")
-    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
-    viewed = ev.filter(F.col("event_type") == "view").select("user_id", day)
-    purchased = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
-    return viewed.intersect(purchased).orderBy("user_id", "day")
-
-
-Q_INTERSECT_SQL = """
-SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'view'
-INTERSECT
-SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'purchase'
-ORDER BY user_id, day
-"""
-
-
-QUERIES["q_viewed_and_purchased"] = QueryDef(
-    q_viewed_and_purchased,
-    Q_INTERSECT_SQL,
-    "INTERSECT set operation (viewed and purchased same day)",
-    "relational",
-)
-
-
-# ---------------------------------------------------------------------------
-# More TPC-H join shapes (Q10/Q12/Q14/Q18/Q19) — the remaining
-# canonical join/aggregate patterns a warehouse user reaches for:
-# fact->dim rollup with top-k, big-big conditional aggregation,
-# broadcast-dim scalar ratio, agg-filtered self-reference, and
-# OR-of-ANDs predicate joins.  Each is the idiomatic Catalyst plan,
-# not a literal TPC-H port (our schema lacks some columns).
-# ---------------------------------------------------------------------------
-
-Q10_QTR_START, Q10_QTR_END = "1996-01-01", "1996-04-01"
-Q10_TOP = 20
-
-
-def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: revenue lost to returned items per customer in
-    one quarter, top 20 customers.  The lineitem scan keeps only
-    ``l_returnflag = 'R'`` rows (pushed to parquet), orders keep one
-    quarter (pushed), the fact-side join shuffles on orderkey, the
-    per-customer rollup shuffles once on custkey, and nation joins
-    broadcast.  The final top-20 compiles to TakeOrderedAndProject —
-    no global sort at any scale."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", _disc_price_dec().alias("_rev"))
-    )
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit(Q10_QTR_START).cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit(Q10_QTR_END).cast("timestamp"))
-    ).select("o_orderkey", "o_custkey")
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey"
-    )
-    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    # revenue sums in DECIMAL (exact 4-decimal values), so the
-    # round-2 below is deterministic: a half-up tie on an exact
-    # decimal (e.g. a sum landing on .xx50) resolves identically in
-    # both engines.  (Under the superseded double-sum scheme round-2
-    # WAS a cross-engine hazard — the decimal contract removed it.)
-    per_cust = (
-        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_custkey")
-        .agg(F.round(F.sum("_rev"), 2).cast("double").alias("revenue"))
-    )
-    return (
-        per_cust.join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
-        .select("c_custkey", "c_name", "n_name", "revenue")
-        .orderBy(F.desc("revenue"), "c_custkey")
-        .limit(Q10_TOP)
-    )
-
-
-Q10_SQL = f"""
-WITH per_cust AS (
-  SELECT o.o_custkey, CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
-  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-  WHERE l.l_returnflag = 'R'
-    AND o.o_orderdate >= TIMESTAMP '{Q10_QTR_START}'
-    AND o.o_orderdate <  TIMESTAMP '{Q10_QTR_END}'
-  GROUP BY o.o_custkey
-)
-SELECT c.c_custkey, c.c_name, n.n_name, p.revenue
-FROM per_cust p
-JOIN customer c ON c.c_custkey = p.o_custkey
-JOIN nation n ON n.n_nationkey = c.c_nationkey
-ORDER BY p.revenue DESC, c.c_custkey LIMIT {Q10_TOP}
-"""
-
-
-Q12_YEAR_START, Q12_YEAR_END = "1996-01-01", "1997-01-01"
-_Q12_HIGH = ("1-URGENT", "2-HIGH")
-
-
-def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape: line counts by linestatus split into
-    high/low-priority orders for one ship year — the big-big join
-    (lineitem x orders on orderkey) feeding a CONDITIONAL aggregation.
-    Both sides shuffle on orderkey once; the CASE branches are pure
-    codegen; the final two-row agg is map-side combined.  No
-    distinct, no fan-out: each line contributes exactly one row."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit(Q12_YEAR_START).cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit(Q12_YEAR_END).cast("timestamp"))
-    ).select("l_orderkey", "l_linestatus")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority"
-    )
-    # coalesce: isin() is NULL for a NULL priority, which would drop
-    # the row from BOTH buckets while the SQL twin's ELSE counts it as
-    # low — align on "unknown priority = low" in both engines
-    high = F.coalesce(
-        F.col("o_orderpriority").isin(*_Q12_HIGH).cast("long"), F.lit(0)
-    )
-    return (
-        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("l_linestatus")
-        .agg(
-            F.sum(high).alias("high_line_count"),
-            F.sum(1 - high).alias("low_line_count"),
-        )
-        .orderBy("l_linestatus")
-    )
-
-
-Q12_SQL = f"""
-SELECT l.l_linestatus,
-       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-WHERE l.l_shipdate >= TIMESTAMP '{Q12_YEAR_START}'
-  AND l.l_shipdate <  TIMESTAMP '{Q12_YEAR_END}'
-GROUP BY l.l_linestatus ORDER BY l.l_linestatus
-"""
-
-
-Q14_MONTH_START, Q14_MONTH_END = "1996-03-01", "1996-04-01"
-
-
-def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: promo share of one month's revenue — fact
-    scan (month filter pushed) joined to the part dimension
-    BROADCAST (plan-pinned), conditional sum over the join output,
-    one scalar row.  At 100 TB the only shuffle is the final 1-row
-    agg combine; part stays a broadcast dim until it outgrows the
-    threshold, where AQE flips to shuffle-hash."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit(Q14_MONTH_START).cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit(Q14_MONTH_END).cast("timestamp"))
-    ).select("l_partkey", "l_extendedprice", "l_discount")
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = _disc_price_dec()
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
-    return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .agg(
-            F.round(
-                F.lit(100.0)
-                * F.sum(promo).cast("double")
-                / F.sum(rev).cast("double"),
-                4,
-            ).alias("promo_revenue_pct")
-        )
-    )
-
-
-Q14_SQL = f"""
-SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                              THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) ELSE 0 END) AS DOUBLE)
-             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS promo_revenue_pct
-FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-WHERE l.l_shipdate >= TIMESTAMP '{Q14_MONTH_START}'
-  AND l.l_shipdate <  TIMESTAMP '{Q14_MONTH_END}'
-"""
-
-
-Q18_QTY_THRESHOLD = 250
-Q18_TOP = 100
-
-
-def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: orders whose TOTAL quantity exceeds a
-    threshold (large-volume buyers), with customer attribution.  The
-    per-order rollup aggregates lineitem FIRST (map-side combined,
-    one shuffle on orderkey, ~0.1% survive the HAVING) — so the
-    subsequent orders/customer joins see only the tiny filtered
-    relation.  Joining raw lineitem then filtering would shuffle the
-    whole fact table twice."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    per_order = (
-        li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
-        .filter(F.col("total_qty") > Q18_QTY_THRESHOLD)
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
-    )
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return (
-        per_order.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .select(
-            "c_custkey",
-            "c_name",
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_day"),
-            F.round("o_totalprice", 2).alias("o_totalprice"),
-            "total_qty",
-        )
-        .orderBy(F.desc("o_totalprice"), "o_orderkey")
-        .limit(Q18_TOP)
-    )
-
-
-Q18_SQL = f"""
-WITH per_order AS (
-  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
-  FROM lineitem GROUP BY l_orderkey
-  HAVING ROUND(SUM(l_quantity), 2) > {Q18_QTY_THRESHOLD}
-)
-SELECT c.c_custkey, c.c_name, o.o_orderkey,
-       strftime(o.o_orderdate, '%Y-%m-%d') AS o_day,
-       ROUND(o.o_totalprice, 2) AS o_totalprice, p.total_qty
-FROM per_order p
-JOIN orders o ON o.o_orderkey = p.l_orderkey
-JOIN customer c ON c.c_custkey = o.o_custkey
-ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT {Q18_TOP}
-"""
-
-
-_Q19_ARMS = (
-    ("Brand#1", 1, 15, 1, 20),
-    ("Brand#2", 10, 30, 10, 30),
-    ("Brand#3", 20, 50, 20, 40),
-)
-
-
-def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19 shape: revenue from an OR-of-ANDs of (brand, size,
-    quantity) brackets — the disjunctive-predicate join.  part joins
-    broadcast; the disjunction evaluates in codegen on the join
-    output, while the IMPLIED conjunctions — the brand IN-list (part
-    scan) and the quantity envelope (lineitem scan) — are factored
-    out as scan-level filters Catalyst pushes down, so each scan
-    reads its bracket envelope, not the full table.  (The size
-    envelope [1, 50] spans the whole column at these arms, so
-    factoring it would be a no-op filter.)"""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
-    )
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    arm = None
-    for brand, s_lo, s_hi, q_lo, q_hi in _Q19_ARMS:
-        a = (
-            (F.col("p_brand") == brand)
-            & F.col("p_size").between(s_lo, s_hi)
-            & F.col("l_quantity").between(q_lo, q_hi)
-        )
-        arm = a if arm is None else (arm | a)
-    # factored envelope bounds — pushable to the scans even though the
-    # precise predicate is disjunctive
-    brands = [a[0] for a in _Q19_ARMS]
-    q_env = F.col("l_quantity").between(
-        min(a[3] for a in _Q19_ARMS), max(a[4] for a in _Q19_ARMS)
-    )
-    return (
-        li.filter(q_env)
-        .join(
-            F.broadcast(part.filter(F.col("p_brand").isin(*brands))),
-            F.col("p_partkey") == F.col("l_partkey"),
-        )
-        .filter(arm)
-        .agg(
-            F.round(F.sum(_disc_price_dec()), 2).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
-def _q19_sql() -> str:
-    arms = " OR ".join(
-        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi} "
-        f"AND l.l_quantity BETWEEN {qlo} AND {qhi})"
-        for b, slo, shi, qlo, qhi in _Q19_ARMS
-    )
-    return f"""
-SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
-       COUNT(*) AS n_lines
-FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-WHERE {arms}
-"""
-
-
-QUERIES["q10_returned_items"] = QueryDef(
-    q10_returned_items,
-    Q10_SQL,
-    "TPC-H Q10 shape: returned-item revenue rollup, top 20 customers",
-    "relational",
-)
-QUERIES["q12_priority_lines"] = QueryDef(
-    q12_priority_lines,
-    Q12_SQL,
-    "TPC-H Q12 shape: big-big join + conditional aggregation",
-    "relational",
-)
-QUERIES["q14_promo_revenue"] = QueryDef(
-    q14_promo_revenue,
-    Q14_SQL,
-    "TPC-H Q14 shape: broadcast-dim scalar revenue ratio",
-    "relational",
-)
-QUERIES["q18_large_orders"] = QueryDef(
-    q18_large_orders,
-    Q18_SQL,
-    "TPC-H Q18 shape: agg-first HAVING filter then joins",
-    "relational",
-)
-QUERIES["q19_bracket_revenue"] = QueryDef(
-    q19_bracket_revenue,
-    _q19_sql(),
-    "TPC-H Q19 shape: OR-of-ANDs disjunctive predicate join",
-    "relational",
-)
-
-
-# ---------------------------------------------------------------------------
-# Training-data pipeline: deterministic sharding + domain mixture
-# reweighting (the writer-side and sampler-side planning primitives)
-# ---------------------------------------------------------------------------
-
-N_SHARDS = 16
-TOKEN_BUDGET = 120_000  # target corpus size (tokens) for the mixture
-
-
-def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic shard assignment for training-data writers:
-    ``shard = md5(doc_id) mod N`` — stable across runs, engines, and
-    cluster sizes (unlike ``spark_partition_id`` or round-robin
-    repartition, which depend on physical layout).  The query
-    certifies shard balance (doc + char counts per shard); the writer
-    path is ``df.repartition(N, shard_col).write...`` so each output
-    file is one shard.  One map-side-combined agg; no data movement
-    beyond the N-row rollup."""
-    docs = load_table(spark, sf_dir, "documents")
-    shard = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % N_SHARDS
-    ).alias("shard")
-    return (
-        docs.groupBy(shard)
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-        )
-        .orderBy("shard")
-    )
-
-
-SHARD_SQL = f"""
-SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {N_SHARDS} AS shard,
-       COUNT(*) AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS total_chars
-FROM documents GROUP BY shard ORDER BY shard
-"""
-
-
-def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain mixture reweighting (the DoReMi/data-budget planning
-    step): given a total token budget split EQUALLY across sources,
-    compute each source's sampling weight ``min(1, share/tokens)``
-    and the tokens it would contribute.  Downstream, the weight feeds
-    :func:`operators.sampling.hash_accept` for the actual subsample —
-    so planning (this query, an N-source rollup) is decoupled from
-    execution (a stateless filter; no shuffle at any corpus size)."""
-    docs = load_table(spark, sf_dir, "documents")
-    n_tok = F.size(words(F.col("text")))
-    per_src = docs.groupBy("source").agg(F.sum(n_tok).alias("tokens"))
-    n_sources = per_src.select(
-        F.count(F.lit(1)).alias("_n"),
-    )
-    share = F.lit(float(TOKEN_BUDGET)) / F.col("_n")
-    weight = F.least(F.lit(1.0), share / F.col("tokens"))
-    return (
-        per_src.join(F.broadcast(n_sources))
-        .select(
-            "source",
-            "tokens",
-            F.round(weight, 6).alias("weight"),
-            F.round(F.col("tokens") * F.round(weight, 6), 6).alias(
-                "expected_tokens"
-            ),
-        )
-        .orderBy("source")
-    )
-
-
-MIXTURE_SQL = f"""
-WITH per_src AS (
-  SELECT source, CAST(SUM(len({words_sql("text")})) AS BIGINT) AS tokens
-  FROM documents GROUP BY source
-),
-n AS (SELECT COUNT(*) AS _n FROM per_src)
-SELECT source, tokens,
-       ROUND(LEAST(1.0, ({TOKEN_BUDGET}.0 / _n) / tokens), 6) AS weight,
-       ROUND(tokens * ROUND(LEAST(1.0, ({TOKEN_BUDGET}.0 / _n) / tokens), 6), 6) AS expected_tokens
-FROM per_src CROSS JOIN n ORDER BY source
-"""
-
-
-def mixture_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The mixture loop CLOSED: the plan's per-source weights executed
-    by the stateless hash filter and audited — per source, planned
-    weight vs realized keep fraction (kept docs/tokens).  Execution is
-    a broadcast of the N-source weight rollup onto the scan plus a
-    pure predicate: no shuffle touches the corpus at any size, and
-    the SAME rows are kept on any cluster layout (md5 acceptance,
-    never rand())."""
-    from ..operators.sampling import hash_accept
-
-    docs = load_table(spark, sf_dir, "documents")
-    plan = mixture_weights(spark, sf_dir).select(
-        "source",
-        "tokens",
-        "weight",
-        F.round(F.col("weight") * 1_000_000, 0).cast("long").alias("_thr"),
-    )
-    n_tok = F.size(words(F.col("text")))
-    kept = (
-        docs.join(F.broadcast(plan), "source")
-        .filter(hash_accept(F.col("doc_id"), F.col("_thr")))
-        .groupBy("source", "tokens", "weight")
-        .agg(
-            F.count(F.lit(1)).alias("kept_docs"),
-            F.sum(n_tok).alias("kept_tokens"),
-        )
-    )
-    return kept.select(
-        "source",
-        "tokens",
-        "weight",
-        "kept_docs",
-        "kept_tokens",
-        F.round(F.col("kept_tokens").cast("double") / F.col("tokens"), 6).alias(
-            "realized_frac"
-        ),
-    ).orderBy("source")
-
-
-MIXTURE_EXEC_SQL = f"""
-WITH per_src AS (
-  SELECT source, CAST(SUM(len({words_sql("text")})) AS BIGINT) AS tokens
-  FROM documents GROUP BY source
-),
-n AS (SELECT COUNT(*) AS _n FROM per_src),
-plan AS (
-  SELECT source, tokens,
-         ROUND(LEAST(1.0, ({TOKEN_BUDGET}.0 / _n) / tokens), 6) AS weight,
-         CAST(ROUND(ROUND(LEAST(1.0, ({TOKEN_BUDGET}.0 / _n) / tokens), 6) * 1000000, 0) AS BIGINT) AS thr
-  FROM per_src CROSS JOIN n
-),
-kept AS (
-  SELECT d.source, p.tokens, p.weight,
-         COUNT(*)::BIGINT AS kept_docs,
-         CAST(SUM(len({words_sql("text")})) AS BIGINT) AS kept_tokens
-  FROM documents d JOIN plan p USING (source)
-  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < p.thr
-  GROUP BY d.source, p.tokens, p.weight
-)
-SELECT source, tokens, weight, kept_docs, kept_tokens,
-       ROUND(CAST(kept_tokens AS DOUBLE) / tokens, 6) AS realized_frac
-FROM kept ORDER BY source
-"""
-
-QUERIES["mixture_executed"] = QueryDef(
-    mixture_executed,
-    MIXTURE_EXEC_SQL,
-    "mixture plan executed by the stateless hash filter, audited per source",
-    "training-data",
-)
-
-
-QUERIES["shard_assignment"] = QueryDef(
-    shard_assignment,
-    SHARD_SQL,
-    "deterministic md5 shard balance rollup",
-    "training-data",
-)
-QUERIES["mixture_weights"] = QueryDef(
-    mixture_weights,
-    MIXTURE_SQL,
-    "domain mixture reweighting under a token budget",
-    "training-data",
-)
-
-
-Q7_NATIONS = ("NATION_3", "NATION_7")
-
-
-def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: trade volume between two nations by ship year
-    — the SAME dimension (nation) joined twice from one fact row,
-    once via the supplier leg and once via the customer leg.  Both
-    nation copies broadcast with the name filter pushed into each
-    copy's scan, so the fact table is filtered by BOTH legs before
-    the (nation-pair, year) rollup — a 2x2x7 output whatever the
-    fact size."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
-    )
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nation = load_table(spark, sf_dir, "nation").filter(
-        F.col("n_name").isin(*Q7_NATIONS)
-    )
-    n1 = nation.select(
-        F.col("n_nationkey").alias("_n1key"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = nation.select(
-        F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("cust_nation")
-    )
-    return (
-        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(n1), F.col("_n1key") == F.col("s_nationkey"))
-        .join(F.broadcast(n2), F.col("_n2key") == F.col("c_nationkey"))
-        .filter(F.col("supp_nation") != F.col("cust_nation"))
-        .groupBy(
-            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum(_disc_price_dec()), 2).cast("double").alias("volume"),
-        )
-        .orderBy("supp_nation", "cust_nation", "l_year")
-    )
-
-
-Q7_SQL = f"""
-SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-       YEAR(l.l_shipdate) AS l_year, COUNT(*) AS n_lines,
-       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS volume
-FROM lineitem l
-JOIN orders o ON o.o_orderkey = l.l_orderkey
-JOIN customer c ON c.c_custkey = o.o_custkey
-JOIN supplier s ON s.s_suppkey = l.l_suppkey
-JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
-JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
-WHERE n1.n_name IN ('{Q7_NATIONS[0]}', '{Q7_NATIONS[1]}')
-  AND n2.n_name IN ('{Q7_NATIONS[0]}', '{Q7_NATIONS[1]}')
-  AND n1.n_name <> n2.n_name
-GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
-"""
-
-
-Q8_REGION = "AMERICA"
-Q8_SHARE_NATION = "NATION_5"
-
-
-def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 shape: one supplier-nation's share of yearly revenue
-    from customers in one region — the 6-way snowflake (fact ->
-    orders -> customer -> nation -> REGION on one leg, supplier ->
-    nation on the other) with a conditional-sum ratio.  All dimension
-    legs broadcast; region's name filter prunes the customer leg
-    BEFORE the fact join; the share divides two sums from the same
-    agg pass (never two scans)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
-    )
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    cn = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("_cnkey"), F.col("n_regionkey").alias("_crkey")
-    )
-    region = load_table(spark, sf_dir, "region").filter(
-        F.col("r_name") == Q8_REGION
-    )
-    sn = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("_snkey"), F.col("n_name").alias("_sname")
-    )
-    rev = _disc_price_dec()
-    share_rev = F.when(F.col("_sname") == Q8_SHARE_NATION, rev).otherwise(F.lit(0))
-    return (
-        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(cn), F.col("_cnkey") == F.col("c_nationkey"))
-        .join(F.broadcast(region), F.col("r_regionkey") == F.col("_crkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(sn), F.col("_snkey") == F.col("s_nationkey"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(
-            F.round(
-                F.sum(share_rev).cast("double") / F.sum(rev).cast("double"), 6
-            ).alias("mkt_share")
-        )
-        .orderBy("o_year")
-    )
-
-
-Q8_SQL = f"""
-SELECT YEAR(o.o_orderdate) AS o_year,
-       ROUND(CAST(SUM(CASE WHEN sn.n_name = '{Q8_SHARE_NATION}'
-                      THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) ELSE 0 END) AS DOUBLE)
-             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6) AS mkt_share
-FROM lineitem l
-JOIN orders o ON o.o_orderkey = l.l_orderkey
-JOIN customer c ON c.c_custkey = o.o_custkey
-JOIN nation cn ON cn.n_nationkey = c.c_nationkey
-JOIN region r ON r.r_regionkey = cn.n_regionkey
-JOIN supplier s ON s.s_suppkey = l.l_suppkey
-JOIN nation sn ON sn.n_nationkey = s.s_nationkey
-WHERE r.r_name = '{Q8_REGION}'
-GROUP BY 1 ORDER BY 1
-"""
-
-
-OOV_VOCAB_SIZE = 500
-
-
-def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer-vocabulary coverage: build the top-V corpus
-    vocabulary (frequency-ranked, tie-broken by word so the cut is
-    deterministic), then each document's out-of-vocabulary token
-    rate — the data-prep gauge for how well a fixed vocab covers a
-    corpus.  The vocab is a TakeOrdered top-V (per-partition heaps,
-    no global sort) broadcast to the rate pass; the fact-side work is
-    two token scans and one doc-keyed shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
-    vocab = (
-        tok.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .orderBy(F.desc("_c"), "w")
-        .limit(OOV_VOCAB_SIZE)
-        .select("w", F.lit(1).alias("_in"))
-    )
-    return (
-        tok.join(F.broadcast(vocab), "w", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                (F.count(F.lit(1)) - F.sum(F.coalesce(F.col("_in"), F.lit(0))))
-                / F.count(F.lit(1)),
-                6,
-            ).alias("oov_rate"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-OOV_SQL = f"""
-WITH tok AS (
-  SELECT doc_id, unnest({words_sql("text")}) AS w FROM documents
-),
-vocab AS (
-  SELECT w, 1 AS _in FROM tok GROUP BY w
-  ORDER BY COUNT(*) DESC, w LIMIT {OOV_VOCAB_SIZE}
-)
-SELECT t.doc_id, COUNT(*) AS n_tokens,
-       ROUND((COUNT(*) - SUM(COALESCE(v._in, 0))) * 1.0 / COUNT(*), 6) AS oov_rate
-FROM tok t LEFT JOIN vocab v ON v.w = t.w
-GROUP BY t.doc_id ORDER BY t.doc_id
-"""
-
-
-QUERIES["q7_nation_trade"] = QueryDef(
-    q7_nation_trade,
-    Q7_SQL,
-    "TPC-H Q7 shape: nation-pair trade volume by year (dual nation legs)",
-    "relational",
-)
-QUERIES["q8_market_share"] = QueryDef(
-    q8_market_share,
-    Q8_SQL,
-    "TPC-H Q8 shape: snowflake market-share ratio per year",
-    "relational",
-)
-QUERIES["text_oov_rate"] = QueryDef(
-    text_oov_rate,
-    OOV_SQL,
-    "per-doc out-of-vocabulary rate vs top-V corpus vocab",
-    "training-data",
-)
-
-
-Q6_YEAR_START, Q6_YEAR_END = "1996-01-01", "1997-01-01"
-Q6_DISC_LO, Q6_DISC_HI, Q6_QTY = 0.05, 0.07, 24
-
-
-def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6 — the canonical scan-pushdown microbenchmark: pure
-    conjunctive predicate, no join, one scalar.  Every predicate must
-    reach the parquet scan (plan-pinned) so row groups outside the
-    date/discount/quantity envelope never decompress; the only
-    post-scan work is a codegen multiply and a 1-row agg combine.
-    This is the query whose cost at 100 TB is ENTIRELY I/O pruning."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit(Q6_YEAR_START).cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit(Q6_YEAR_END).cast("timestamp"))
-            & F.col("l_discount").between(Q6_DISC_LO, Q6_DISC_HI)
-            & (F.col("l_quantity") < Q6_QTY)
-        )
-        .agg(
-            F.round(
-                F.sum(_price_dec() * F.col("l_discount").cast(_RATE_D)), 2
-            ).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
-Q6_SQL = f"""
-SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR_START}'
-  AND l_shipdate <  TIMESTAMP '{Q6_YEAR_END}'
-  AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
-  AND l_quantity < {Q6_QTY}
-"""
-
-
-Q15_QTR_START, Q15_QTR_END = "1996-01-01", "1996-04-01"
-
-
-def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: the supplier(s) with MAXIMUM quarterly revenue
-    — the argmax-via-scalar-join pattern (distinct from window top-k:
-    ties all surface, and no per-group ordering state exists).  The
-    per-supplier rollup is one shuffle; its 1-row max joins back by
-    broadcast (never a driver collect); supplier attributes join the
-    surviving row(s) only.  Revenue sums in DECIMAL and rounds to
-    2 decimals IN DECIMAL before the cast, so the max-equality join
-    compares exact cross-engine-identical doubles."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit(Q15_QTR_START).cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit(Q15_QTR_END).cast("timestamp"))
-    )
-    rev = (
-        li.groupBy("l_suppkey")
-        .agg(F.round(F.sum(_disc_price_dec()), 2).cast("double").alias("total_rev"))
-    )
-    max_rev = rev.agg(F.max("total_rev").alias("_max_rev"))
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        rev.join(F.broadcast(max_rev), F.col("total_rev") == F.col("_max_rev"))
-        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
-        .select("s_suppkey", "s_name", "total_rev")
-        .orderBy("s_suppkey")
-    )
-
-
-Q15_SQL = f"""
-WITH rev AS (
-  SELECT l_suppkey, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS total_rev
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '{Q15_QTR_START}'
-    AND l_shipdate <  TIMESTAMP '{Q15_QTR_END}'
-  GROUP BY l_suppkey
-)
-SELECT s.s_suppkey, s.s_name, r.total_rev
-FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
-WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
-ORDER BY s.s_suppkey
-"""
-
-
-Q17_AVG_FRACTION = 0.2
-
-
-def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: revenue from lineitems below 20% of their
-    part's average quantity — the correlated per-group-average
-    pattern: aggregate per partkey, join the thresholds back to the
-    same fact table, filter, total.  Both passes shuffle on partkey
-    (AQE reuses the hash layout); the threshold relation is one row
-    per part, orders of magnitude under the fact rows.  The avg of
-    integer-valued quantities is an exact double (sum of integers is
-    order-independent), so the < comparison is cross-engine exact;
-    the output sum stays on the 2-decimal price grid (no /7.0 — a
-    quotient would leave the grid and expose reduction-order noise)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice"
-    )
-    thresholds = li.groupBy("l_partkey").agg(
-        (F.lit(Q17_AVG_FRACTION) * F.avg("l_quantity")).alias("_qty_lim")
-    )
-    return (
-        li.join(
-            thresholds.withColumnRenamed("l_partkey", "_pk"),
-            F.col("_pk") == F.col("l_partkey"),
-        )
-        .filter(F.col("l_quantity") < F.col("_qty_lim"))
-        .agg(
-            F.round(F.sum(_price_dec("l_extendedprice")), 2).cast("double").alias("total_price"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
-Q17_SQL = f"""
-WITH pa AS (
-  SELECT l_partkey AS pk, {Q17_AVG_FRACTION} * AVG(l_quantity) AS qty_lim
-  FROM lineitem GROUP BY l_partkey
-)
-SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price, COUNT(*) AS n_lines
-FROM lineitem l JOIN pa ON pa.pk = l.l_partkey
-WHERE l.l_quantity < pa.qty_lim
-"""
-
-
-QUERIES["q6_forecast_revenue"] = QueryDef(
-    q6_forecast_revenue,
-    Q6_SQL,
-    "TPC-H Q6: pure-pushdown predicate scan to one scalar",
-    "relational",
-)
-QUERIES["q15_top_supplier"] = QueryDef(
-    q15_top_supplier,
-    Q15_SQL,
-    "TPC-H Q15 shape: argmax supplier via broadcast scalar join",
-    "relational",
-)
-QUERIES["q17_small_quantity"] = QueryDef(
-    q17_small_quantity,
-    Q17_SQL,
-    "TPC-H Q17 shape: correlated per-part average threshold",
-    "relational",
-)
-
-
-# ---------------------------------------------------------------------------
-# TPC-H wave III: the six remaining query shapes (Q2/Q9/Q11/Q16/Q20/Q21),
-# completing all 22.  The driver's synthetic schema has no PARTSUPP table
-# and no l_commitdate/l_receiptdate, so each query keeps the ORIGINAL's
-# join/subquery topology while substituting observable columns:
-#   - the (part, supplier) offer relation <- DISTINCT (l_partkey, l_suppkey)
-#     from lineitem (Q2/Q16/Q20's partsupp role)
-#   - supply cost <- MIN(l_extendedprice) per pair (Q2; MIN of exact
-#     2-decimal doubles is order-independent, so cross-engine exact)
-#   - part cost for profit <- 60% of p_retailprice (Q9)
-#   - lateness <- l_shipdate > o_orderdate + 60 days (Q21, same proxy Q4
-#     already uses for its EXISTS leg)
-# Money stays on the exact-DECIMAL contract throughout (sum in decimal,
-# round on the grid, cast to double last).
-
-Q2_SIZE_MAX, Q2_TYPE, Q2_REGION = 15, "ECONOMY", "EUROPE"
-
-
-def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape: for each qualifying part, the supplier(s) in
-    one region offering it at the MINIMUM price — the correlated-min
-    subquery over a derived (part, supplier) offer relation.  The
-    offer relation aggregates lineitem once (shuffle on the pair
-    key); both dimension filters (part size/type, region via
-    nation->region) broadcast into it BEFORE the per-part min, so the
-    correlated subquery becomes a per-part MIN WINDOW over the
-    aggregated offers — one partkey-keyed window, never a self-join
-    or a second fact scan, and ties all surface exactly like the SQL
-    original.  MIN over exact 2-decimal doubles needs no decimal
-    detour: min is order-independent."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey", "l_extendedprice"
-    )
-    part = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_size") <= Q2_SIZE_MAX) & (F.col("p_type") == Q2_TYPE)
-    )
-    supp = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q2_REGION)
-    rsupp = (
-        supp.join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    )
-    eligible = (
-        li.join(F.broadcast(part.select("p_partkey", "p_name")),
-                F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(rsupp), F.col("s_suppkey") == F.col("l_suppkey"))
-        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
-        .agg(F.min("l_extendedprice").alias("offer_price"))
-    )
-    per_part_min = F.min("offer_price").over(Window.partitionBy("p_partkey"))
-    return (
-        eligible.withColumn("_min_price", per_part_min)
-        .filter(F.col("offer_price") == F.col("_min_price"))
-        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "offer_price")
-        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
-    )
-
-
-Q2_SQL = f"""
-WITH eligible AS (
-  SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
-         MIN(l.l_extendedprice) AS offer_price
-  FROM lineitem l
-  JOIN part p ON p.p_partkey = l.l_partkey
-   AND p.p_size <= {Q2_SIZE_MAX} AND p.p_type = '{Q2_TYPE}'
-  JOIN supplier s ON s.s_suppkey = l.l_suppkey
-  JOIN nation n ON n.n_nationkey = s.s_nationkey
-  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = '{Q2_REGION}'
-  GROUP BY 1, 2, 3, 4, 5, 6
-)
-SELECT e.s_acctbal, e.s_name, e.n_name, e.p_partkey, e.p_name, e.offer_price
-FROM eligible e
-WHERE e.offer_price = (SELECT MIN(offer_price) FROM eligible e2
-                       WHERE e2.p_partkey = e.p_partkey)
-ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, e.p_partkey
-"""
-
-
-Q9_PART_PATTERN = "%red%"
-Q9_COST_FRACTION_SQL = "CAST(0.6 AS DECIMAL(2,1))"
-
-
-def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 shape: profit by supplier nation and order year over
-    parts matching a name pattern — the 5-way star (fact -> part,
-    supplier -> nation, orders) where every dimension leg broadcasts
-    and the only big-big join is fact->orders on orderkey.  The part
-    name filter prunes the fact rows FIRST (broadcast hash join on
-    the ~13% matching parts).  Profit = disc price - 60% of
-    p_retailprice x quantity (no PARTSUPP cost column in this
-    schema); both terms stay in exact DECIMAL (retailprice and
-    quantity sit on 2-decimal / integer grids), so the per-group sum
-    is bit-identical cross-engine."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey",
-        "l_quantity", "l_extendedprice", "l_discount",
-    )
-    part = load_table(spark, sf_dir, "part").filter(
-        F.col("p_name").like(Q9_PART_PATTERN)
-    ).select("p_partkey", "p_retailprice")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    cost = (
-        _price_dec("p_retailprice")
-        * F.expr(Q9_COST_FRACTION_SQL)
-        * F.col("l_quantity").cast("decimal(4,0)")
-    )
-    return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
-        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").alias("o_year"),
-        )
-        .agg(
-            F.round(F.sum(_disc_price_dec() - cost), 2)
-            .cast("double")
-            .alias("sum_profit")
-        )
-        .orderBy("nation", F.desc("o_year"))
-    )
-
-
-Q9_SQL = f"""
-SELECT n.n_name AS nation, YEAR(o.o_orderdate) AS o_year,
-       CAST(ROUND(SUM({DISC_PRICE_DEC_SQL}
-                 - CAST(p.p_retailprice AS DECIMAL(18,2)) * {Q9_COST_FRACTION_SQL}
-                   * CAST(l_quantity AS DECIMAL(4,0))), 2) AS DOUBLE) AS sum_profit
-FROM lineitem l
-JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '{Q9_PART_PATTERN}'
-JOIN supplier s ON s.s_suppkey = l.l_suppkey
-JOIN nation n ON n.n_nationkey = s.s_nationkey
-JOIN orders o ON o.o_orderkey = l.l_orderkey
-GROUP BY 1, 2 ORDER BY 1, 2 DESC
-"""
-
-
-Q11_NATION = "NATION_3"
-Q11_MEAN_MULT_SQL = "CAST(1.6 AS DECIMAL(2,1))"
-
-
-def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: parts whose traded value from one nation's
-    suppliers exceeds a threshold fraction of that nation's total —
-    the global-scalar-threshold pattern (HAVING > scalar subquery).
-    The original's FRACTION is spec-divided by SF so selectivity is
-    scale-invariant; the data-adaptive equivalent here keeps parts
-    with value > 1.6 x the MEAN part value, phrased multiplicatively
-    (value x n_parts > 1.6 x total) so no division ever leaves the
-    exact-decimal grid.  One per-part decimal rollup; the grand
-    total re-aggregates the SAME relation (never a second fact scan)
-    into one row that joins back as a broadcast nested loop; the >
-    compare happens IN DECIMAL on exactly-representable products
-    (value decimal(18,2) x count decimal(10,0) vs total
-    decimal(28,2) x 1.6), bit-identical cross-engine — rounding only
-    the released column."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nation = load_table(spark, sf_dir, "nation").filter(
-        F.col("n_name") == Q11_NATION
-    ).select("n_nationkey")
-    pv = (
-        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
-        .groupBy("l_partkey")
-        .agg(
-            F.round(F.sum(_disc_price_dec()), 2)
-            .cast("decimal(18,2)")
-            .alias("_value_dec")
-        )
-        # pv feeds BOTH the threshold agg and the released rows: without
-        # materialization the plan re-runs the fact scan + join + rollup
-        # per branch.  The checkpointed relation is one row per part —
-        # ~1000x under the fact table at any SF.
-        .localCheckpoint(eager=False)
-    )
-    threshold = pv.agg(
-        (
-            F.sum("_value_dec").cast("decimal(28,2)") * F.expr(Q11_MEAN_MULT_SQL)
-        ).alias("_threshold"),
-        F.count(F.lit(1)).cast("decimal(10,0)").alias("_n_parts"),
-    )
-    return (
-        pv.join(
-            F.broadcast(threshold),
-            F.col("_value_dec") * F.col("_n_parts") > F.col("_threshold"),
-        )
-        .select(
-            F.col("l_partkey").alias("p_partkey"),
-            F.col("_value_dec").cast("double").alias("part_value"),
-        )
-        .orderBy(F.desc("part_value"), "p_partkey")
-    )
-
-
-Q11_SQL = f"""
-WITH pv AS (
-  SELECT l.l_partkey,
-         CAST(ROUND(SUM({DISC_PRICE_DEC_SQL}), 2) AS DECIMAL(18,2)) AS value_dec
-  FROM lineitem l
-  JOIN supplier s ON s.s_suppkey = l.l_suppkey
-  JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = '{Q11_NATION}'
-  GROUP BY 1
-),
-tot AS (
-  SELECT CAST(SUM(value_dec) AS DECIMAL(28,2)) * {Q11_MEAN_MULT_SQL} AS threshold,
-         CAST(COUNT(*) AS DECIMAL(10,0)) AS n_parts
-  FROM pv
-)
-SELECT pv.l_partkey AS p_partkey, CAST(pv.value_dec AS DOUBLE) AS part_value
-FROM pv, tot
-WHERE pv.value_dec * tot.n_parts > tot.threshold
-ORDER BY part_value DESC, p_partkey
-"""
-
-
-Q16_SIZES = (5, 10, 15, 20)
-Q16_EXCL_BRAND = "Brand#13"
-Q16_EXCL_SUPP_PATTERN = "%5"
-
-
-def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape: how many DISTINCT suppliers offer each
-    (brand, type, size) bucket, excluding a supplier blacklist — the
-    NOT-IN anti-join + count-distinct pattern.  The offer relation is
-    DISTINCT (partkey, suppkey) from lineitem (one pair-keyed
-    shuffle); the blacklist (name-pattern suppliers) broadcasts as a
-    LEFT ANTI join — the null-safe NOT IN rewrite, safe here because
-    suppkey is non-null; part attributes broadcast.  countDistinct
-    shuffles once more on the 3-attr group key."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    pairs = li.distinct()
-    part = load_table(spark, sf_dir, "part").filter(
-        F.col("p_size").isin(*Q16_SIZES) & (F.col("p_brand") != Q16_EXCL_BRAND)
-    ).select("p_partkey", "p_brand", "p_type", "p_size")
-    excl = load_table(spark, sf_dir, "supplier").filter(
-        F.col("s_name").like(Q16_EXCL_SUPP_PATTERN)
-    ).select(F.col("s_suppkey").alias("_xk"))
-    return (
-        pairs.join(F.broadcast(excl), F.col("_xk") == F.col("l_suppkey"), "left_anti")
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
-    )
-
-
-Q16_SQL = f"""
-WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem)
-SELECT p.p_brand, p.p_type, p.p_size, COUNT(DISTINCT ps.sk) AS supplier_cnt
-FROM ps
-JOIN part p ON p.p_partkey = ps.pk
-WHERE p.p_size IN {Q16_SIZES}
-  AND p.p_brand <> '{Q16_EXCL_BRAND}'
-  AND ps.sk NOT IN (SELECT s_suppkey FROM supplier
-                    WHERE s_name LIKE '{Q16_EXCL_SUPP_PATTERN}')
-GROUP BY 1, 2, 3
-ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
-"""
-
-
-Q20_PART_PATTERN = "small%"
-Q20_YEAR_START, Q20_YEAR_END = "1997-01-01", "1998-01-01"
-Q20_SHARE = 0.3
-Q20_NATION = "NATION_7"
-
-
-def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape: suppliers in one nation who DOMINATED some
-    qualifying part's shipped volume in a year — the nested
-    semi-join chain (suppliers IN pairs-over-threshold IN
-    name-matched parts).  The shipped rollup shuffles once on the
-    (part, supplier) pair; per-part totals reuse the same relation;
-    the threshold compare (share x total) is exact: integer-valued
-    quantity sums stay exact in double and both engines evaluate the
-    identical product.  The surviving supplier set is tiny ->
-    broadcast LEFT SEMI into the nation-filtered supplier dim."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit(Q20_YEAR_START).cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit(Q20_YEAR_END).cast("timestamp"))
-    ).select("l_partkey", "l_suppkey", "l_quantity")
-    part = load_table(spark, sf_dir, "part").filter(
-        F.col("p_name").like(Q20_PART_PATTERN)
-    ).select("p_partkey")
-    shipped = (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum("l_quantity").alias("_qty"))
-    )
-    part_total = F.sum("_qty").over(Window.partitionBy("l_partkey"))
-    dominant = (
-        shipped.withColumn("_total", part_total)
-        .filter(F.col("_qty") > F.lit(Q20_SHARE) * F.col("_total"))
-        .select("l_suppkey")
-        .distinct()
-    )
-    supp = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation").filter(
-        F.col("n_name") == Q20_NATION
-    ).select("n_nationkey")
-    return (
-        supp.join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(dominant), F.col("l_suppkey") == F.col("s_suppkey"),
-              "left_semi")
-        .select("s_name", "s_acctbal")
-        .orderBy("s_name")
-    )
-
-
-Q20_SQL = f"""
-WITH shipped AS (
-  SELECT l.l_partkey AS pk, l.l_suppkey AS sk, SUM(l.l_quantity) AS qty
-  FROM lineitem l
-  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '{Q20_PART_PATTERN}'
-  WHERE l.l_shipdate >= TIMESTAMP '{Q20_YEAR_START}'
-    AND l.l_shipdate <  TIMESTAMP '{Q20_YEAR_END}'
-  GROUP BY 1, 2
-)
-SELECT s.s_name, s.s_acctbal
-FROM supplier s
-JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = '{Q20_NATION}'
-WHERE s.s_suppkey IN (
-  SELECT sh.sk FROM shipped sh
-  WHERE sh.qty > {Q20_SHARE} * (SELECT SUM(qty) FROM shipped sh2
-                                WHERE sh2.pk = sh.pk))
-ORDER BY s.s_name
-"""
-
-
-Q21_LATE_DAYS = 60
-Q21_TOP_N = 20
-
-
-def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on
-    multi-supplier finalized orders.  The textbook form is an EXISTS
-    + NOT-EXISTS double self-join of the fact table; re-expressed
-    Spark-first as ONE pass: per-(order, supplier) late flags, then
-    per-order counts (suppliers, late suppliers) as ORDER-KEYED
-    WINDOWS over the aggregated flags, then the filter
-    `late AND n_supp >= 2 AND n_late == 1` — semantically identical
-    (sole-late <=> exists another supplier AND no OTHER late one)
-    but the fact table is scanned once and no self-join ever
-    materializes.  Lateness proxies to
-    shipdate > orderdate + 60 days (no receipt/commit dates in this
-    schema, same proxy as Q4).  Top-N runs as TakeOrdered with a
-    total tiebreak."""
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderstatus") == "F"
-    ).select("o_orderkey", "o_orderdate")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
-    )
-    late = F.when(
-        F.col("l_shipdate")
-        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS"),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    lo = (
-        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(late).alias("_is_late"))
-    )
-    per_order = Window.partitionBy("l_orderkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        lo.withColumn("_n_supp", F.count(F.lit(1)).over(per_order))
-        .withColumn("_n_late", F.sum("_is_late").over(per_order))
-        .filter(
-            (F.col("_is_late") == 1) & (F.col("_n_supp") >= 2) & (F.col("_n_late") == 1)
-        )
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.desc("numwait"), "s_name")
-        .limit(Q21_TOP_N)
-    )
-
-
-Q21_SQL = f"""
-WITH lo AS (
-  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
-         MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
-                  THEN 1 ELSE 0 END) AS is_late
-  FROM lineitem l
-  JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
-  GROUP BY 1, 2
-),
-po AS (SELECT ok, COUNT(*) AS n_supp, SUM(is_late) AS n_late FROM lo GROUP BY 1)
-SELECT s.s_name, COUNT(*) AS numwait
-FROM lo
-JOIN po ON po.ok = lo.ok
-JOIN supplier s ON s.s_suppkey = lo.sk
-WHERE lo.is_late = 1 AND po.n_supp >= 2 AND po.n_late = 1
-GROUP BY s.s_name
-ORDER BY numwait DESC, s_name
-LIMIT {Q21_TOP_N}
-"""
-
-
-QUERIES["q2_min_cost_supplier"] = QueryDef(
-    q2_min_cost_supplier,
-    Q2_SQL,
-    "TPC-H Q2 shape: correlated min-price supplier per part",
-    "relational",
-)
-QUERIES["q9_product_profit"] = QueryDef(
-    q9_product_profit,
-    Q9_SQL,
-    "TPC-H Q9 shape: 5-way star profit by nation and year",
-    "relational",
-)
-QUERIES["q11_important_parts"] = QueryDef(
-    q11_important_parts,
-    Q11_SQL,
-    "TPC-H Q11 shape: global scalar threshold (HAVING > subquery)",
-    "relational",
-)
-QUERIES["q16_supplier_variety"] = QueryDef(
-    q16_supplier_variety,
-    Q16_SQL,
-    "TPC-H Q16 shape: NOT-IN anti-join + count-distinct buckets",
-    "relational",
-)
-QUERIES["q20_dominant_suppliers"] = QueryDef(
-    q20_dominant_suppliers,
-    Q20_SQL,
-    "TPC-H Q20 shape: nested semi-join chain over shipped volume",
-    "relational",
-)
-QUERIES["q21_waiting_suppliers"] = QueryDef(
-    q21_waiting_suppliers,
-    Q21_SQL,
-    "TPC-H Q21 shape: sole-late-supplier single-pass anti/semi form",
-    "relational",
-)
-
-
-_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-_PROFILE_NUMERIC = ["event_id", "user_id", "value"]
-
-
-def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column profile of the events table (nulls / exact
-    distincts / numeric ranges) — the ANALYZE / data-quality pass, in
-    ONE scan: every aggregate lands in a single HashAggregate row
-    that then unpivots to the tall release form (operators/profile)."""
-    from ..operators.profile import profile_table
-
-    return profile_table(
-        load_table(spark, sf_dir, "events"), cols=_PROFILE_COLS
-    )
-
-
-def _q_profile_events_sql() -> str:
-    from ..operators.profile import profile_sql
-
-    return profile_sql("events", _PROFILE_COLS, _PROFILE_NUMERIC)
-
-
-QUERIES["q_profile_events"] = QueryDef(
-    q_profile_events,
-    _q_profile_events_sql(),
-    "single-scan per-column table profile (ANALYZE pass)",
-    "relational",
-)
-
-
-def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
-    """Build the standing artifacts queries consume — the IVF index
-    table and the encrypted topology graph — if missing.  A warehouse
-    maintains these outside the query path; benchmarks call this once
-    (untimed) so query timings measure the query, not one-time
-    ingest."""
-    import os
-
-    from ..operators.similarity import ivf_write_index
-
-    _topology_artifact(spark)
-    path = _ivf_index_path(sf_dir)
-    if not os.path.exists(f"{path}/centroids/_SUCCESS"):
-        ivf_write_index(
-            load_table(spark, sf_dir, "embeddings"), path, n_clusters=IVF_CLUSTERS
-        )
-    from ..operators.pq import ivfpq_write_index
-
-    pq_path = _ivfpq_index_path(sf_dir)
-    if not os.path.exists(f"{pq_path}/codebooks/_SUCCESS"):
-        ivfpq_write_index(
-            load_table(spark, sf_dir, "embeddings"),
-            pq_path,
-            EMB_DIM,
-            n_clusters=IVF_CLUSTERS,
-            m=PQ_M,
-            ks=PQ_KS,
-        )
-    _neardup_pairs_indexed(spark, sf_dir)
-    _mhband_artifact(spark, sf_dir)
-
-
-# Names the driver's 50-row correctness gate has ALREADY certified
-# (union of CORRECTNESS_r01..r06 green rows — 100 of 126).  The
-# driver takes the first 50 entries of queries(), so to spread hard
-# certification across the whole 106-query registry we rotate
-# never-driver-certified names to the head each round (VERDICT r5
-# item 2).  The full registry is still gated every round by the
-# local replica (tools/check_correctness.py ->
-# benchmark/correctness_full_r*.log); this ordering only decides
-# which 50 get the driver's independent run.
-_DRIVER_CERTIFIED_PRIOR: frozenset[str] = frozenset(
-    {
-        "q1_pricing_summary", "q3_top_revenue", "q5_nation_revenue",
-        "q_rollup_revenue", "q_top_orders_per_customer", "q_asof_attribution",
-        "dp_bounded_histogram", "dp_zero_noise_full", "dp_zero_noise_mu",
-        "dp_unique_users", "dp_key_selection", "dp_partial_merge",
-        "dp_utility_metrics", "sec_replay_filter", "sec_seq_stamp",
-        "sec_route_validation", "wordcount_histogram", "simple_reverse",
-        "text_quality", "text_lang_id", "text_repetition", "text_fingerprint",
-        "token_stats", "token_stats_bpe", "dedup_exact", "dedup_ngram_jaccard",
-        "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
-        "dedup_simhash_pairs", "dedup_embedding", "knn_brute_force", "knn_lsh",
-        "knn_ivf", "knn_ivfpq", "text_redact_pii", "text_surprisal",
-        "sample_mixture", "knn_lsh_multiprobe", "text_winnow",
-        "dedup_embedding_lsh", "sample_stratified", "text_contamination",
-        "pack_sequences", "text_length_quantiles", "kmeans_embeddings",
-        "dedup_semantic", "q_sessionize", "emb_project", "text_bm25",
     }
 )
 

@@ -28,3 +28,46 @@ def test_query_runs(name, spark, sf_dir):
         assert len(rows) > 0, f"{name} returned no rows at sf0.001"
     if qd.oracle is not None:
         assert qd.oracle.strip().upper().startswith(("SELECT", "WITH"))
+
+
+def test_queries_module_hygiene():
+    """Guard against the round-7 paste regression: queries.py must have
+    no duplicate top-level function defs and exactly one
+    _DRIVER_CERTIFIED_PRIOR assignment, and the live frozenset must be
+    the one that assignment defines (no shadowing)."""
+    import ast
+    import collections
+    import inspect
+
+    from confidential_storm_spark.plans import queries as qmod
+
+    src = inspect.getsource(qmod)
+    tree = ast.parse(src)
+    defs = [n.name for n in tree.body if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))]
+    dupes = [n for n, c in collections.Counter(defs).items() if c > 1]
+    assert not dupes, f"duplicate top-level defs in queries.py: {dupes}"
+
+    cert_assigns = [
+        n for n in tree.body
+        if isinstance(n, (ast.Assign, ast.AnnAssign))
+        and any(
+            getattr(t, "id", None) == "_DRIVER_CERTIFIED_PRIOR"
+            for t in (n.targets if isinstance(n, ast.Assign) else [n.target])
+        )
+    ]
+    assert len(cert_assigns) == 1, (
+        f"expected exactly one _DRIVER_CERTIFIED_PRIOR assignment, found {len(cert_assigns)}"
+    )
+    assert qmod._DRIVER_CERTIFIED_PRIOR <= set(qmod.QUERIES), "certified names must exist in registry"
+
+
+def test_rotation_covers_uncertified_tail():
+    """Every never-driver-certified query must sit in the head-50 the
+    driver gate actually runs (until the tail shrinks below 50)."""
+    from confidential_storm_spark.plans import queries as qmod
+
+    order = qmod._registry_order()
+    uncert = [n for n in order if n not in qmod._DRIVER_CERTIFIED_PRIOR]
+    head = set(order[: max(50, len(uncert))][:50])
+    missed = [n for n in uncert[:50] if n not in head]
+    assert not missed, f"uncertified queries outside driver head-50: {missed}"

@@ -16,8 +16,10 @@ AC-refinement correction bits; both codec directions, decode also
 honoring DRI per scan).  Progressive coding reorders the same
 quantized coefficients, so progressive and baseline streams of one
 image decode to bit-identical pixels — the equivalence the tests
-pin.  NOT supported (still honestly gated at the call sites):
-arithmetic coding, hierarchical mode, chroma subsampling.
+pin.  Round 6 also added chroma subsampling (4:2:2 / 4:2:0 MCU
+interleave with box-downsampled chroma, both codec directions —
+_prep_planes / _SUBSAMPLINGS below).  NOT supported (still honestly
+gated at the call sites): arithmetic coding, hierarchical mode.
 
 The encoder emits custom DHT tables (canonical fixed-length-9 codes
 over the symbols actually used — valid prefix codes by construction,

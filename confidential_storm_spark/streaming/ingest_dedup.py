@@ -96,12 +96,20 @@ def process_ingest_batch(
     shingle_n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    max_internal_pairs: int = 1_000_000,
 ) -> None:
     """One micro-batch of the ingest-dedup pipeline (the foreachBatch
     body, callable directly for batch replays/tests): drop batch docs
     matching the index, then batch-internal near-dups (lower id
     survives), append survivors to ``survivors_path`` and their
-    bands/sigs to the index."""
+    bands/sigs to the index.
+
+    ``max_internal_pairs`` caps the driver-side collect of the
+    batch-internal near-dup pair list (the greedy survivor resolve is
+    sequential by id, so it genuinely needs the full list): a batch
+    whose pair count exceeds the cap raises with instructions to
+    shrink the trigger (maxFilesPerTrigger / maxOffsetsPerTrigger)
+    rather than silently exhausting driver memory."""
     from ..operators.dedup import _band_tuples, _shingled_sigs
 
     spark = batch.sparkSession
@@ -145,7 +153,15 @@ def process_ingest_batch(
         .filter(signature_estimate(F.col("sig_a"), F.col("sig_b")) >= threshold)
         .select("id_a", "id_b")
     )
-    edge_rows = pairs.collect()  # bounded by the micro-batch's own pair count
+    # bounded by the micro-batch's own pair count, with an explicit
+    # guard: limit(cap+1) detects overflow without collecting more
+    edge_rows = pairs.limit(max_internal_pairs + 1).collect()
+    if len(edge_rows) > max_internal_pairs:
+        raise ValueError(
+            f"batch-internal near-dup pair list exceeds max_internal_pairs="
+            f"{max_internal_pairs}; shrink the micro-batch trigger "
+            "(maxFilesPerTrigger / maxOffsetsPerTrigger) or raise the cap"
+        )
     dropped: set = set()
     # ascending id_b: every id_a < id_b is already decided when b is
     for r in sorted(edge_rows, key=lambda r: (r["id_b"], r["id_a"])):

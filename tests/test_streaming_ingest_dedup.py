@@ -196,3 +196,24 @@ def test_curated_ingest_gates_quality_then_dedups(spark, tmp_path):
     idx_ids = {r.doc_id for r in spark.read.parquet(str(tmp_path / "index/sigs")).collect()}
     assert not (idx_ids & set(range(50, 54)))
     assert idx_ids == surv
+
+
+def test_internal_pair_cap_guard(spark, tmp_path):
+    """A batch whose internal near-dup pair list exceeds
+    max_internal_pairs raises (driver-memory guard) instead of
+    silently collecting; a generous cap processes the same batch."""
+    import pytest
+
+    rows = [(i, "identical duplicated text body repeated for every row here") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_internal_pairs"):
+        process_ingest_batch(
+            docs, str(tmp_path / "idx_cap"), str(tmp_path / "out_cap"),
+            max_internal_pairs=2,
+        )
+    process_ingest_batch(
+        docs, str(tmp_path / "idx_ok"), str(tmp_path / "out_ok"),
+        max_internal_pairs=1_000,
+    )
+    surv = spark.read.parquet(str(tmp_path / "out_ok"))
+    assert surv.count() == 1  # all six collapse to the lowest id

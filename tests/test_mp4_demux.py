@@ -122,10 +122,9 @@ def test_malformed_and_unsupported_contract():
     for trunc in (0, 7, 20, len(mp4) // 2):
         with pytest.raises((ValueError, NotImplementedError)):
             mp4_sample_table(mp4[:trunc])
-    # fragmented layout is an honest gate
+    # a dangling empty moof is tolerated (no samples added), not fatal
     frag = mp4 + b"\x00\x00\x00\x08moof"
-    with pytest.raises(NotImplementedError):
-        parse_mp4(frag)
+    assert parse_mp4(frag)["tracks"][0]["n_samples"] == 17
 
 
 def test_sniff_media_reports_mp4_metadata():
@@ -245,3 +244,160 @@ def test_mux_demux_identity_property(spec):
         assert t["keyframe"].all()
     else:
         assert set(np.flatnonzero(t["keyframe"]) + 1) == set(spec["sync"])
+
+
+# ---------------------------------------------------------------------------
+# fragmented MP4 (moof/mdat): §8.8 demux certified by the inverse muxer
+# ---------------------------------------------------------------------------
+
+from confidential_storm_spark.operators.mp4 import build_mp4_fragmented  # noqa: E402
+
+
+def _frag_samples(rng, sizes):
+    return [bytes(rng.integers(0, 256, s, dtype=np.uint8)) for s in sizes]
+
+
+def test_fragmented_roundtrip_moof_mode():
+    """Two tracks, three fragments, trex defaults + tfhd overrides +
+    per-sample trun fields, tfdt anchoring on the middle fragment only
+    (the others ride the cumulative-DTS path)."""
+    rng = np.random.default_rng(10)
+    v1 = _frag_samples(rng, [20, 30, 25, 40])     # varied sizes -> trun sizes
+    v2 = _frag_samples(rng, [16] * 5)             # uniform -> tfhd override
+    v3 = _frag_samples(rng, [8] * 3)              # == trex default -> pure trex
+    a1 = _frag_samples(rng, [11] * 6)
+    tracks = [
+        dict(handler="vide", codec="avc1", timescale=30000, width=320,
+             height=180, default_duration=1001, default_size=8),
+        dict(handler="soun", codec="mp4a", timescale=48000, channels=2,
+             sample_rate=48000, default_duration=1024),
+    ]
+    fragments = [
+        [
+            dict(track_id=1, samples=v1, deltas=[1001] * 4, sync=[0]),
+            dict(track_id=2, samples=a1, deltas=[1024] * 6),
+        ],
+        # tfdt jumps ahead of the cumulative clock (edit/splice)
+        [dict(track_id=1, samples=v2, deltas=[1001] * 5, sync=[0, 3],
+              tfdt=30000)],
+        [dict(track_id=1, samples=v3, deltas=[1001] * 3, sync=[])],
+    ]
+    mp4 = build_mp4_fragmented(tracks, fragments)
+
+    info = parse_mp4(mp4)
+    assert info["brand"] == "iso5"
+    vid, aud = info["tracks"]
+    assert vid["n_samples"] == 12 and aud["n_samples"] == 6
+    assert vid["fps"] == pytest.approx(29.97, abs=0.01)
+    assert aud["duration_ms"] == int(6 * 1024 * 1000 / 48000)
+    assert info["duration_ms"] is not None  # mehd
+
+    t = mp4_sample_table(mp4)  # default: the video track
+    assert len(t["sizes"]) == 12
+    allv = v1 + v2 + v3
+    got = extract_mp4_samples(mp4, range(12))
+    assert [b for _, _, _, b in got] == allv
+    # DTS: frag1 cumulative from 0; frag2 anchored by tfdt=30000
+    # (not 4*1001); frag3 cumulative from frag2's end
+    expect_ticks = [i * 1001 for i in range(4)]
+    expect_ticks += [30000 + i * 1001 for i in range(5)]
+    expect_ticks += [30000 + 5 * 1001 + i * 1001 for i in range(3)]
+    assert t["dts_ms"].tolist() == [tk * 1000 // 30000 for tk in expect_ticks]
+    # keyframes: first-sample-flags, per-sample flags, trex default
+    assert np.flatnonzero(t["keyframe"]).tolist() == [0, 4, 7]
+
+    ta = mp4_sample_table(mp4, track_id=2)
+    assert [
+        b for _, _, _, b in extract_mp4_samples(mp4, range(6), track_id=2)
+    ] == a1
+    assert ta["keyframe"].all()  # audio spec defaults to all-sync
+
+
+def test_fragmented_base_offset_mode_and_multi_trun():
+    """Explicit 64-bit base-data-offset (first trun omits its offset)
+    plus runs=3 multi-trun splitting with implicit offset chaining."""
+    rng = np.random.default_rng(11)
+    sizes = list(rng.integers(5, 50, 17))
+    samples = _frag_samples(rng, sizes)
+    deltas = [int(d) for d in rng.integers(1, 2000, 17)]
+    tracks = [dict(handler="vide", codec="hvc1", timescale=90000,
+                   width=640, height=360)]
+    fragments = [
+        [dict(track_id=1, samples=samples[:9], deltas=deltas[:9],
+              sync=[0, 4], runs=3)],
+        [dict(track_id=1, samples=samples[9:], deltas=deltas[9:],
+              sync=[2], runs=2, tfdt=sum(deltas[:9]) )],
+    ]
+    for mode in ("base", "moof"):
+        mp4 = build_mp4_fragmented(tracks, fragments, offset_mode=mode)
+        t = mp4_sample_table(mp4)
+        assert len(t["sizes"]) == 17
+        got = extract_mp4_samples(mp4, range(17))
+        assert [b for _, _, _, b in got] == samples
+        dts = np.concatenate([[0], np.cumsum(deltas[:-1])])
+        assert t["dts_ms"].tolist() == [int(d) * 1000 // 90000 for d in dts]
+        assert np.flatnonzero(t["keyframe"]).tolist() == [0, 4, 11]
+
+
+def test_fragmented_appended_to_progressive():
+    """§8.8: moov-resident samples precede fragment samples.  A
+    moof/mdat tail (moof-relative offsets, so position-independent)
+    appended to a progressive file extends the same track."""
+    from confidential_storm_spark.operators import mp4 as m
+
+    rng = np.random.default_rng(12)
+    head = _frag_samples(rng, [20, 22, 24])
+    tail = _frag_samples(rng, [31, 33, 35, 37])
+    prog = build_mp4(
+        [dict(samples=head, handler="vide", codec="avc1", timescale=1000,
+              deltas=[40] * 3, width=64, height=48, sync=[1])]
+    )
+    frag_only = build_mp4_fragmented(
+        [dict(handler="vide", codec="avc1", timescale=1000, width=64, height=48)],
+        [[dict(track_id=1, samples=tail, deltas=[40] * 4, sync=[0, 2],
+               tfdt=120)]],
+    )
+    # cut the moof/mdat tail off the fragmented build and graft it on
+    pieces = []
+    pos = 0
+    for fc, s, e in m._boxes(frag_only, 0, len(frag_only)):
+        if fc in (b"moof", b"mdat"):
+            pieces.append(frag_only[s - 8 : e])
+    mixed = prog + b"".join(pieces)
+
+    info = parse_mp4(mixed)
+    assert info["tracks"][0]["n_samples"] == 7
+    t = mp4_sample_table(mixed)
+    got = extract_mp4_samples(mixed, range(7))
+    assert [b for _, _, _, b in got] == head + tail
+    assert t["dts_ms"].tolist() == [0, 40, 80, 120, 160, 200, 240]
+    assert np.flatnonzero(t["keyframe"]).tolist() == [0, 3, 5]
+
+
+def test_fragmented_malformed_contract():
+    """Mutation fuzz over a fragmented stream: only the documented
+    exceptions escape, truncation raises, oversize runs are caught."""
+    import random
+
+    rng = np.random.default_rng(13)
+    samples = _frag_samples(rng, [15] * 8)
+    tracks = [dict(handler="vide", codec="avc1", timescale=600,
+                   width=32, height=32, default_duration=25)]
+    mp4 = build_mp4_fragmented(
+        tracks,
+        [[dict(track_id=1, samples=samples[:4], deltas=[25] * 4)],
+         [dict(track_id=1, samples=samples[4:], deltas=[25] * 4)]],
+    )
+    r = random.Random(7)
+    for _ in range(400):
+        base = bytearray(mp4)
+        for _ in range(r.randint(1, 6)):
+            base[r.randrange(len(base))] = r.randrange(256)
+        try:
+            parse_mp4(bytes(base))
+            mp4_sample_table(bytes(base))
+        except (ValueError, NotImplementedError):
+            pass
+    # truncating mdat leaves trun samples pointing past EOF
+    with pytest.raises(ValueError):
+        mp4_sample_table(mp4[:-20])

@@ -24,6 +24,7 @@ __all__ = [
     "lsh_multiprobe_topk_sql",
     "ivf_index",
     "ivf_write_index",
+    "ivf_append",
     "ivf_topk",
     "ivf_topk_indexed",
     "hard_negatives",
@@ -124,6 +125,65 @@ def ivf_write_index(
     )
     cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     return centroids
+
+
+def ivf_append(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append NEW vectors to a standing IVF index WITHOUT re-clustering
+    — the ANN sibling of the minhash standing band index
+    (sources/writers.py): per-ingest cost ∝ the batch, never the
+    corpus, which is the only maintenance model that survives a daily
+    feed into a 100 TB embedding table.
+
+    Each new vector is assigned to its EUCLIDEAN-nearest existing
+    centroid — the same argmin KMeans used to place the base vectors,
+    via the |c|^2 - 2 v·c expansion (|v|^2 is constant per row) — in
+    one Arrow-batched mapInPandas pass over a driver-broadcast
+    centroid matrix (n_clusters x dim floats: tiny).  Rows land under
+    their ``_cluster=`` partition directories, so
+    :func:`ivf_topk_indexed` prunes appended and base vectors alike.
+
+    Centroids drift as the corpus grows; the probe path stays EXACT at
+    full probe regardless (every partition scans), while partial-probe
+    recall degrades gradually — re-cluster when the appended fraction
+    gets large, exactly like rebuilding any secondary index."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    spark = df.sparkSession
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    if not cent_rows:
+        raise ValueError(f"no centroids at {path}/centroids — build with ivf_write_index")
+    dim = len(cent_rows[0]["centroid"])
+    cmat = np.zeros((len(cent_rows), dim), dtype=np.float64)
+    for r in cent_rows:
+        cmat[r["cluster"]] = r["centroid"]
+    c_sq = (cmat * cmat).sum(axis=1)  # |c|^2 per centroid
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            # argmin ||v - c||^2 over c == argmin |c|^2 - 2 v.c
+            pdf = pdf.copy()
+            pdf["_cluster"] = (c_sq - 2.0 * (v @ cmat.T)).argmin(axis=1).astype("int32")
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", _cluster int"
+    (
+        df.mapInPandas(assign, schema)
+        .write.partitionBy("_cluster")
+        .mode("append")
+        .parquet(f"{path}/vectors")
+    )
 
 
 def _probe_clusters(centroids: np.ndarray, query: list[float], n_probe: int) -> list[int]:

@@ -1650,6 +1650,38 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(spark, path, q, k=KNN_K, n_probe=IVF_CLUSTERS)
 
 
+def knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing IVF index maintained by APPEND (round 8): the index is
+    built once on the stable 90% of the corpus (vec_id % 10 != 0), then
+    the remaining 10% arrives as a later ingest batch and is appended
+    with ``ivf_append`` — nearest-centroid assignment only, NO
+    re-cluster, cost ∝ the batch (the ANN sibling of
+    ``dedup_minhash_incremental``'s standing band index).  The
+    registry point then probes ALL clusters, which is provably brute
+    force over base+appended vectors together — so the DuckDB oracle
+    is the same exact cosine top-k over the whole embeddings table.
+    Partial-probe recall on appended vectors + partition placement are
+    pytest-verified (tests/test_ivf.py)."""
+    import os
+
+    from ..operators.similarity import ivf_append, ivf_topk_indexed, ivf_write_index
+
+    path = _index_cache_path(sf_dir, "ivf_incr", IVF_CLUSTERS)
+    # sentinel is appended/_SUCCESS — written AFTER the append, so an
+    # interrupted build (base committed, append missing) rebuilds
+    if not os.path.exists(f"{path}/appended/_SUCCESS"):
+        emb = load_table(spark, sf_dir, "embeddings")
+        ivf_write_index(
+            emb.filter(F.col("vec_id") % 10 != 0), path, n_clusters=IVF_CLUSTERS
+        )
+        ivf_append(emb.filter(F.col("vec_id") % 10 == 0), path)
+        spark.createDataFrame([(1,)], "ok int").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/appended")
+    q = _query_vec(spark, sf_dir)
+    return ivf_topk_indexed(spark, path, q, k=KNN_K, n_probe=IVF_CLUSTERS)
+
+
 PQ_M, PQ_KS = 16, 64  # measured-best quantizer dials (see operators/pq.py::pq_train)
 
 
@@ -2082,6 +2114,12 @@ QUERIES: dict[str, QueryDef] = {
     "knn_brute_force": QueryDef(knn_brute_force, KNN_SQL, "exact cosine top-k", "similarity"),
     "knn_lsh": QueryDef(knn_lsh, None, "LSH-bucketed approximate top-k", "similarity"),
     "knn_ivf": QueryDef(knn_ivf, KNN_SQL, "IVF prebuilt-index top-k (full probe == exact)", "similarity"),
+    "knn_ivf_incremental": QueryDef(
+        knn_ivf_incremental,
+        KNN_SQL,
+        "standing IVF index appended without re-cluster; full probe == exact",
+        "similarity",
+    ),
     "knn_ivfpq": QueryDef(
         knn_ivfpq,
         KNN_IVFPQ_SQL,
@@ -5203,6 +5241,9 @@ def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
             m=PQ_M,
             ks=PQ_KS,
         )
+    incr_path = _index_cache_path(sf_dir, "ivf_incr", IVF_CLUSTERS)
+    if not os.path.exists(f"{incr_path}/appended/_SUCCESS"):
+        knn_ivf_incremental(spark, sf_dir).collect()  # builds base + append
     _neardup_pairs_indexed(spark, sf_dir)
     _mhband_artifact(spark, sf_dir)
 

@@ -68,6 +68,88 @@ def test_ivf_prebuilt_index_prunes_partitions(spark, sf_dir, tmp_path):
     assert rows[0]["vec_id"] == 0 and len(rows) == 10
 
 
+def test_ivf_append_standing_index(spark, sf_dir, tmp_path):
+    """Standing-index maintenance: vectors appended with ivf_append
+    land under the EXACT partition a fresh numpy nearest-centroid
+    assignment picks, the appended index at full probe equals brute
+    force over base+appended together, and a partial probe of an
+    appended vector's own cluster finds it."""
+    import numpy as np
+
+    from confidential_storm_spark.operators.similarity import ivf_append
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf_incr")
+    ivf_write_index(base, path, n_clusters=8)
+    ivf_append(new, path)
+
+    # (a) placement: euclidean argmin against the stored centroids
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cmat = np.zeros((8, len(cent_rows[0]["centroid"])))
+    for r in cent_rows:
+        cmat[r["cluster"]] = r["centroid"]
+    stored = {
+        r["vec_id"]: (r["_cluster"], np.asarray(r["embedding"], dtype=np.float64))
+        for r in spark.read.parquet(f"{path}/vectors")
+        .join(new.select("vec_id"), "vec_id", "left_semi")
+        .collect()
+    }
+    assert len(stored) == new.count()
+    for vid, (cl, v) in stored.items():
+        want = int(((cmat - v) ** 2).sum(axis=1).argmin())
+        assert cl == want, f"vec {vid} stored in {cl}, argmin is {want}"
+
+    # (b) full probe over the appended index == brute force over ALL
+    q = _query_vec(spark, sf_dir)
+    full = ivf_topk_indexed(spark, path, q, k=10, n_probe=8)
+    bf = brute_force_topk(emb, q, k=10)
+    assert [tuple(r) for r in full.collect()] == [tuple(r) for r in bf.collect()]
+
+    # (c) an appended vector is reachable at n_probe=1 through its own
+    # cluster.  Storage assigns by EUCLIDEAN argmin (matching KMeans);
+    # the probe ranks centroids by COSINE — pick a vector where the
+    # two agree (most do; centroids of unit vectors aren't unit, so
+    # the metrics can legitimately disagree near cluster boundaries)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    probe_vid = next(
+        vid
+        for vid, (cl, v) in sorted(stored.items())
+        if int(((cmat @ v) / (cnorm * np.linalg.norm(v))).argmax()) == cl
+    )
+    own_vec = stored[probe_vid][1]
+    got = ivf_topk_indexed(spark, path, [float(x) for x in own_vec], k=1, n_probe=1)
+    assert got.collect()[0]["vec_id"] == probe_vid
+
+
+def test_ivf_append_batch_proportional(spark, sf_dir, tmp_path):
+    """ivf_append never touches the standing vectors table: its write
+    is append-mode partitioned parquet, so the base files are intact
+    afterwards (byte-identical file list) — per-ingest cost ∝ batch."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_ap")
+    ivf_write_index(emb.filter(F.col("vec_id") % 5 != 0), path, n_clusters=8)
+
+    def file_set():
+        out = set()
+        for root, _dirs, files in os.walk(f"{path}/vectors"):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out.add((p, os.path.getsize(p)))
+        return out
+
+    before = file_set()
+    from confidential_storm_spark.operators.similarity import ivf_append
+
+    ivf_append(emb.filter(F.col("vec_id") % 5 == 0), path)
+    after = file_set()
+    assert before <= after and len(after) > len(before)
+
+
 def test_lsh_multi_probe_recall(spark, sf_dir):
     """Multi-probe LSH: recall grows monotonically with n_probe, and
     probing every bucket (2^planes) is exactly brute force."""

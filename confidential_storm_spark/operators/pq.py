@@ -43,6 +43,7 @@ __all__ = [
     "pq_topk_adc",
     "pq_topk_rerank",
     "ivfpq_write_index",
+    "ivfpq_append",
     "ivfpq_topk",
 ]
 
@@ -232,6 +233,46 @@ def ivfpq_write_index(
         "subspace int, code int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     return centroids, books
+
+
+def ivfpq_append(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append NEW vectors to a standing IVF-PQ index without touching
+    the trained artifacts: coarse-assign each to its euclidean-nearest
+    EXISTING centroid, PQ-encode with the EXISTING codebooks (so every
+    stored code stays comparable — ADC lookup tables are built
+    per-query from the same books), and append (id, code, vector,
+    _cluster) rows under the matching partitions.
+
+    No re-cluster, no codebook retrain, per-ingest cost ∝ the batch —
+    the compressed sibling of :func:`similarity.ivf_append`.  As the
+    corpus drifts away from the trained codebooks the QUANTIZATION
+    error of new codes grows (ADC shortlists get noisier), but the
+    exact re-rank stage bounds the damage and full-probe +
+    corpus-shortlist remains provably exact; retrain the books when
+    the appended fraction dominates, as with any trained index."""
+    from .similarity import assign_to_centroids, read_centroid_matrix
+
+    spark = df.sparkSession
+    cmat = read_centroid_matrix(spark, path)
+    book_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    if not book_rows:
+        raise ValueError(f"no codebooks at {path}/codebooks — build with ivfpq_write_index")
+    m = max(r["subspace"] for r in book_rows) + 1
+    ks = max(r["code"] for r in book_rows) + 1
+    books = np.zeros((m, ks, len(book_rows[0]["centroid"])))
+    for r in book_rows:
+        books[r["subspace"], r["code"]] = r["centroid"]
+
+    assigned = assign_to_centroids(df, cmat, vec_col)
+    coded = pq_encode(assigned, books, vec_col=vec_col, id_col=id_col).join(
+        assigned.select(id_col, vec_col, "_cluster"), id_col
+    )
+    coded.write.partitionBy("_cluster").mode("append").parquet(f"{path}/vectors")
 
 
 def ivfpq_topk(

@@ -25,6 +25,8 @@ __all__ = [
     "ivf_index",
     "ivf_write_index",
     "ivf_append",
+    "read_centroid_matrix",
+    "assign_to_centroids",
     "ivf_topk",
     "ivf_topk_indexed",
     "hard_negatives",
@@ -151,18 +153,37 @@ def ivf_append(
     full probe regardless (every partition scans), while partial-probe
     recall degrades gradually — re-cluster when the appended fraction
     gets large, exactly like rebuilding any secondary index."""
+    cmat = read_centroid_matrix(df.sparkSession, path)
+    (
+        assign_to_centroids(df, cmat, vec_col)
+        .write.partitionBy("_cluster")
+        .mode("append")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def read_centroid_matrix(spark, path: str) -> np.ndarray:
+    """Load ``{path}/centroids`` into the (n_clusters x dim) matrix the
+    driver-side probe/assign helpers use."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    if not cent_rows:
+        raise ValueError(f"no centroids at {path}/centroids — build with ivf_write_index")
+    cmat = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])), dtype=np.float64)
+    for r in cent_rows:
+        cmat[r["cluster"]] = r["centroid"]
+    return cmat
+
+
+def assign_to_centroids(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Add ``_cluster`` = index of the euclidean-nearest centroid, via
+    one Arrow-batched mapInPandas pass over the broadcast matrix."""
     from typing import Iterator
 
     import pandas as pd
 
-    spark = df.sparkSession
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
-    if not cent_rows:
-        raise ValueError(f"no centroids at {path}/centroids — build with ivf_write_index")
-    dim = len(cent_rows[0]["centroid"])
-    cmat = np.zeros((len(cent_rows), dim), dtype=np.float64)
-    for r in cent_rows:
-        cmat[r["cluster"]] = r["centroid"]
+    cmat = np.ascontiguousarray(centroids, dtype=np.float64)
     c_sq = (cmat * cmat).sum(axis=1)  # |c|^2 per centroid
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -178,12 +199,7 @@ def ivf_append(
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", _cluster int"
-    (
-        df.mapInPandas(assign, schema)
-        .write.partitionBy("_cluster")
-        .mode("append")
-        .parquet(f"{path}/vectors")
-    )
+    return df.mapInPandas(assign, schema)
 
 
 def _probe_clusters(centroids: np.ndarray, query: list[float], n_probe: int) -> list[int]:

@@ -1721,6 +1721,42 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing IVF-PQ index maintained by APPEND (round 8): built on
+    the stable 90% of embeddings, then the remaining 10% arrives later
+    and is appended with ``ivfpq_append`` — coarse-assigned to the
+    existing centroids and PQ-encoded with the existing codebooks, NO
+    re-cluster, NO codebook retrain, cost ∝ the batch.  Full probe
+    with a corpus-wide shortlist is provably brute force over
+    base+appended together, so the DuckDB oracle is the same exact
+    squared-L2 top-k as ``knn_ivfpq``.  Appended-code quantization
+    parity + placement are pytest-verified (tests/test_pq.py)."""
+    import os
+
+    from ..operators.pq import ivfpq_append, ivfpq_topk, ivfpq_write_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_cache_path(sf_dir, "ivfpq_incr", IVF_CLUSTERS, PQ_M, PQ_KS)
+    # sentinel written AFTER the append so an interrupted build redoes it
+    if not os.path.exists(f"{path}/appended/_SUCCESS"):
+        ivfpq_write_index(
+            emb.filter(F.col("vec_id") % 10 != 0),
+            path,
+            EMB_DIM,
+            n_clusters=IVF_CLUSTERS,
+            m=PQ_M,
+            ks=PQ_KS,
+        )
+        ivfpq_append(emb.filter(F.col("vec_id") % 10 == 0), path)
+        spark.createDataFrame([(1,)], "ok int").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/appended")
+    q = _query_vec(spark, sf_dir)
+    return ivfpq_topk(
+        spark, path, q, k=KNN_K, n_probe=IVF_CLUSTERS, shortlist=(1 << 31) - 1
+    )
+
+
 KNN_IVFPQ_SQL = f"""
 SELECT vec_id,
        ROUND(list_sum(list_transform(
@@ -2124,6 +2160,12 @@ QUERIES: dict[str, QueryDef] = {
         knn_ivfpq,
         KNN_IVFPQ_SQL,
         "IVF-PQ compressed-index top-k (full probe + corpus shortlist == exact)",
+        "similarity",
+    ),
+    "knn_ivfpq_incremental": QueryDef(
+        knn_ivfpq_incremental,
+        KNN_IVFPQ_SQL,
+        "standing IVF-PQ index appended with existing codebooks; full probe == exact",
         "similarity",
     ),
 }
@@ -5244,6 +5286,9 @@ def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
     incr_path = _index_cache_path(sf_dir, "ivf_incr", IVF_CLUSTERS)
     if not os.path.exists(f"{incr_path}/appended/_SUCCESS"):
         knn_ivf_incremental(spark, sf_dir).collect()  # builds base + append
+    pq_incr = _index_cache_path(sf_dir, "ivfpq_incr", IVF_CLUSTERS, PQ_M, PQ_KS)
+    if not os.path.exists(f"{pq_incr}/appended/_SUCCESS"):
+        knn_ivfpq_incremental(spark, sf_dir).collect()
     _neardup_pairs_indexed(spark, sf_dir)
     _mhband_artifact(spark, sf_dir)
 

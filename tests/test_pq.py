@@ -103,3 +103,49 @@ def test_ivfpq_index_prunes_and_full_probe_matches_brute_force(spark, tmp_path):
     assert "_cluster" in plan
     got = {r["vec_id"] for r in pruned.collect()}
     assert len(got & set(exact.tolist())) >= 8  # clustered data: high recall
+
+
+def test_ivfpq_append_standing_index(spark, tmp_path):
+    """Standing-index maintenance for IVF-PQ: appended vectors are
+    PQ-encoded with the EXISTING codebooks (codes match a fresh
+    pq_encode run bit-for-bit), placed under their euclidean-nearest
+    centroid's partition, and full probe + corpus shortlist over the
+    appended index equals exact brute force over base+appended."""
+    from confidential_storm_spark.operators.pq import (
+        ivfpq_append,
+        ivfpq_topk,
+        ivfpq_write_index,
+        pq_encode,
+    )
+
+    df, rows = _vecs(spark)
+    base = df.filter(F.col("vec_id") % 5 != 0)
+    new = df.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivfpq_incr")
+    centroids, books = ivfpq_write_index(base, path, DIM, n_clusters=6, m=8, ks=16)
+    ivfpq_append(new, path)
+
+    stored = {
+        r["vec_id"]: (r["_cluster"], list(r["pq_code"]))
+        for r in spark.read.parquet(f"{path}/vectors")
+        .join(new.select("vec_id"), "vec_id", "left_semi")
+        .collect()
+    }
+    assert len(stored) == new.count()
+    # codes bit-match a fresh encode with the same books
+    fresh = {r["vec_id"]: list(r["pq_code"]) for r in pq_encode(new, books).collect()}
+    assert {k: v[1] for k, v in stored.items()} == fresh
+    # placement: euclidean argmin against the stored centroids
+    X = {r[0]: np.array(r[1]) for r in rows}
+    for vid, (cl, _code) in stored.items():
+        want = int(((centroids - X[vid]) ** 2).sum(axis=1).argmin())
+        assert cl == want
+
+    # full probe + corpus shortlist == exact over base+appended
+    q = (X[17] + 0.05).tolist()
+    exact = np.argsort(
+        ((np.array([r[1] for r in rows]) - np.array(q)) ** 2).sum(axis=1),
+        kind="stable",
+    )[:10]
+    full = ivfpq_topk(spark, path, q, k=10, n_probe=6, shortlist=len(rows))
+    assert [r["vec_id"] for r in full.collect()] == exact.tolist()

@@ -239,9 +239,22 @@ def process_curated_batch(
     probe, so the model gate also acts as the cost filter — the
     production ordering (cheap predicate first, index probe second).
     """
+    from ..operators.dedup import _spread
     from ..operators.quality_model import quality_score_expr
 
-    scored = batch.withColumn("_q", quality_score_expr(weights, text_col))
+    # the scoring expression is a higher-order-function tree
+    # (transform/array_sort/aggregate), which Spark evaluates
+    # INTERPRETED (CodegenFallback) — expensive per row.  Two defenses,
+    # both measured at sf10 (62.5k-doc batches, jstack showed one core
+    # in ArraySort.eval for minutes): spread the batch across cores
+    # BEFORE scoring (a micro-batch often arrives as one file split),
+    # and checkpoint the scored frame so the rejects write and the
+    # survivors filter reuse ONE evaluation instead of re-deriving _q.
+    scored = (
+        _spread(batch, id_col)
+        .withColumn("_q", quality_score_expr(weights, text_col))
+        .localCheckpoint(eager=False)
+    )
     if rejects_path is not None:
         (
             scored.filter((F.col("_q") < min_score) | F.col("_q").isNull())

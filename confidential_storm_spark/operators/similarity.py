@@ -27,6 +27,7 @@ __all__ = [
     "ivf_append",
     "read_centroid_matrix",
     "assign_to_centroids",
+    "ivf_drift_stats",
     "ivf_topk",
     "ivf_topk_indexed",
     "hard_negatives",
@@ -200,6 +201,44 @@ def assign_to_centroids(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", _cluster int"
     return df.mapInPandas(assign, schema)
+
+
+def ivf_drift_stats(spark, path: str, vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster health of a standing IVF index: (cluster, n_vectors,
+    mean_dist2) where mean_dist2 is the average squared distance of
+    stored vectors to their assigned centroid — THE re-train trigger
+    for the append-maintenance model.  A fresh k-means index minimizes
+    this by construction; as appends drift away from the training
+    distribution the number rises, and comparing snapshots over time
+    (or against the build-time baseline) tells you when re-clustering
+    pays for itself.  Full probe stays exact regardless — this is a
+    recall/cost dial, never a correctness one.
+
+    One scan + a k-row aggregate: dist2 folds JVM-side (zip_with over
+    the broadcast-joined centroid array), partial aggregation map-side;
+    no driver materialization beyond k rows."""
+    vectors = spark.read.parquet(f"{path}/vectors")
+    cent = spark.read.parquet(f"{path}/centroids").withColumnRenamed(
+        "cluster", "_cluster"
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("centroid"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return (
+        vectors.join(F.broadcast(cent), "_cluster")
+        .groupBy("_cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg(d2), 6).alias("mean_dist2"),
+        )
+        .orderBy("_cluster")
+    )
 
 
 def _probe_clusters(centroids: np.ndarray, query: list[float], n_probe: int) -> list[int]:

@@ -36,6 +36,7 @@ __all__ = [
     "write_zordered",
     "merge_upsert",
     "compact_parquet",
+    "compact_partitioned",
     "write_orc",
     "read_orc",
     "write_jsonl",
@@ -346,6 +347,37 @@ def compact_parquet(
     spark.read.parquet(path).repartition(target_files).write.mode(
         "overwrite"
     ).parquet(out_path)
+    return n_in
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    partition_col: str,
+    files_per_partition: int = 1,
+) -> int:
+    """Small-file compaction that PRESERVES the partition layout — the
+    maintenance job for append-maintained partitioned indexes (the
+    standing IVF table gains >=1 file per cluster per ingest batch;
+    partition pruning still works but footer/open costs grow without
+    bound).  Rewrites as ``files_per_partition`` files under each
+    ``{partition_col}=`` directory via repartition on the partition
+    column (each output task writes exactly one partition's rows, so
+    no task fans out into many directories).  Returns the input file
+    count.  Query results are byte-identical before/after: same rows,
+    same partition dirs, fewer files."""
+    import glob
+
+    n_in = len(glob.glob(f"{path}/*/*.parquet")) or len(glob.glob(f"{path}/*.parquet"))
+    df = spark.read.parquet(path)
+    (
+        df.repartition(files_per_partition * df.select(partition_col).distinct().count(),
+                       F.col(partition_col))
+        .write.partitionBy(partition_col)
+        .mode("overwrite")
+        .parquet(out_path)
+    )
     return n_in
 
 

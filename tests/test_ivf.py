@@ -175,3 +175,55 @@ def test_lsh_multi_probe_recall(spark, sf_dir):
     ]
     exact = [tuple(r) for r in brute_force_topk(emb, q, k=10).collect()]
     assert full == exact
+
+
+def test_ivf_compaction_and_drift_stats(spark, sf_dir, tmp_path):
+    """Index lifecycle close-out: after appends fragment the standing
+    table into many small files, compact_partitioned rewrites it to one
+    file per cluster with byte-identical query results and the same
+    partition dirs; ivf_drift_stats reports k rows covering every
+    stored vector with the centroid-distance health number."""
+    import os
+
+    import numpy as np
+
+    from confidential_storm_spark.operators.similarity import (
+        ivf_append,
+        ivf_drift_stats,
+    )
+    from confidential_storm_spark.sources.writers import compact_partitioned
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    ivf_write_index(emb.filter(F.col("vec_id") % 3 == 0), path, n_clusters=8)
+    ivf_append(emb.filter(F.col("vec_id") % 3 == 1), path)
+    ivf_append(emb.filter(F.col("vec_id") % 3 == 2), path)
+
+    q = _query_vec(spark, sf_dir)
+    before = [tuple(r) for r in ivf_topk_indexed(spark, path, q, k=10, n_probe=8).collect()]
+    assert before == [tuple(r) for r in brute_force_topk(emb, q, k=10).collect()]
+
+    # drift stats: every vector counted, k rows, positive distances
+    drift = ivf_drift_stats(spark, path).collect()
+    assert sum(r["n_vectors"] for r in drift) == emb.count()
+    assert all(r["mean_dist2"] > 0 for r in drift) and len(drift) <= 8
+
+    # compact: one file per cluster, same dirs, identical results
+    out = str(tmp_path / "ivf_c")
+    os.makedirs(out)
+    n_in = compact_partitioned(
+        spark, f"{path}/vectors", f"{out}/vectors", "_cluster", files_per_partition=1
+    )
+    assert n_in >= 3 * 8 - 8  # three writes fragmented the table
+    dirs_before = {d for d in os.listdir(f"{path}/vectors") if d.startswith("_cluster=")}
+    dirs_after = {d for d in os.listdir(f"{out}/vectors") if d.startswith("_cluster=")}
+    assert dirs_after == dirs_before
+    for d in dirs_after:
+        files = [f for f in os.listdir(f"{out}/vectors/{d}") if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d}: {len(files)} files after compaction"
+    # serve from the compacted copy: byte-identical top-k
+    import shutil
+
+    shutil.copytree(f"{path}/centroids", f"{out}/centroids")
+    after = [tuple(r) for r in ivf_topk_indexed(spark, out, q, k=10, n_probe=8).collect()]
+    assert after == before

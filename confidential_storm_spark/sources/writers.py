@@ -355,24 +355,26 @@ def compact_partitioned(
     path: str,
     out_path: str,
     partition_col: str,
-    files_per_partition: int = 1,
 ) -> int:
     """Small-file compaction that PRESERVES the partition layout — the
     maintenance job for append-maintained partitioned indexes (the
     standing IVF table gains >=1 file per cluster per ingest batch;
     partition pruning still works but footer/open costs grow without
-    bound).  Rewrites as ``files_per_partition`` files under each
-    ``{partition_col}=`` directory via repartition on the partition
-    column (each output task writes exactly one partition's rows, so
-    no task fans out into many directories).  Returns the input file
-    count.  Query results are byte-identical before/after: same rows,
-    same partition dirs, fewer files."""
+    bound).  Rewrites to exactly ONE file per ``{partition_col}=``
+    directory: repartition ON the partition column sends every row of
+    a value to one task, so each task writes one directory and nothing
+    fans out.  (That same hashing is why a finer split is impossible
+    down this path — more output files per value would need a salt
+    column; at that point the partition is big enough that compaction
+    isn't its problem.)  Returns the input file count.  Query results
+    are byte-identical before/after: same rows, same partition dirs,
+    fewer files."""
     import glob
 
     n_in = len(glob.glob(f"{path}/*/*.parquet")) or len(glob.glob(f"{path}/*.parquet"))
     df = spark.read.parquet(path)
     (
-        df.repartition(files_per_partition * df.select(partition_col).distinct().count(),
+        df.repartition(df.select(partition_col).distinct().count(),
                        F.col(partition_col))
         .write.partitionBy(partition_col)
         .mode("overwrite")

@@ -212,7 +212,7 @@ def test_ivf_compaction_and_drift_stats(spark, sf_dir, tmp_path):
     out = str(tmp_path / "ivf_c")
     os.makedirs(out)
     n_in = compact_partitioned(
-        spark, f"{path}/vectors", f"{out}/vectors", "_cluster", files_per_partition=1
+        spark, f"{path}/vectors", f"{out}/vectors", "_cluster"
     )
     assert n_in >= 3 * 8 - 8  # three writes fragmented the table
     dirs_before = {d for d in os.listdir(f"{path}/vectors") if d.startswith("_cluster=")}

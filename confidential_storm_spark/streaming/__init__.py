@@ -16,7 +16,7 @@ from .keyed import (
     stamp_epoch_stream,
 )
 from .sessions import session_stats_stream
-from .sketches import hll_distinct_stream
+from .sketches import histogram_quantiles_stream, hll_distinct_stream
 from .trending import top_k_per_window, windowed_wordcounts_stream
 from .stateful import (
     bloom_dedup_stream,
@@ -34,6 +34,7 @@ __all__ = [
     "top_k_per_window",
     "windowed_wordcounts_stream",
     "hll_distinct_stream",
+    "histogram_quantiles_stream",
     "bound_contributions_stream",
     "curation_filter_stream",
     "quality_predicate",

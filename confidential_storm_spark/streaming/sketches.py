@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..operators.sketches import HLL_M, _HLL_ALPHA, _HLL_RANK_BITS, _hll_bucket, _hll_rho
 
-__all__ = ["hll_distinct_stream"]
+__all__ = ["hll_distinct_stream", "histogram_quantiles_stream"]
 
 
 def hll_distinct_stream(
@@ -70,3 +70,86 @@ def hll_distinct_stream(
         *key_cols,
         F.round(est, 4).alias(out_col),
     )
+
+
+def histogram_quantiles_stream(
+    events: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    lo: int = 0,
+    width: int = 10,
+    n_buckets: int = 64,
+    window: str = "1 minute",
+    ts_col: str = "ts",
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Append-mode per-window quantile estimates with BOUNDED state —
+    the streaming twin of :func:`operators.sketches.histogram_quantiles`
+    (exact percentiles keep the window's whole value set in state; the
+    equi-width sketch keeps <= ``n_buckets`` integer counts).
+
+    Same chained-aggregation shape as :func:`hll_distinct_stream`:
+    ``groupBy(window, bucket).count()`` then
+    ``groupBy(window).collect_list`` — the watermark closes both
+    levels, and the finishing interpolation is stateless column math
+    over the one <=``n_buckets``-entry array row per closed window.
+    Because the sketch is integer counts + one final division, the
+    per-window estimate is BIT-IDENTICAL to the batch operator over
+    the same rows (differential-tested), independent of micro-batch
+    chopping or partition order.
+
+    Output: ``(window_start, window_end, q, est)``."""
+    nb = n_buckets
+    b = F.least(
+        F.greatest(F.floor((F.col(value_col) - lo) / width).cast("long"), F.lit(0)),
+        F.lit(nb - 1),
+    )
+    per_bucket = (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window), b.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    packed = per_bucket.groupBy("window").agg(
+        F.sort_array(F.collect_list(F.struct("_b", "_c"))).alias("_h")
+    )
+    n_tot = F.aggregate(
+        F.col("_h"), F.lit(0).cast("long"), lambda a, x: a + x["_c"]
+    )
+
+    def est_for(q: float) -> F.Column:
+        target = F.ceil(F.lit(float(q)) * F.col("_n")).cast("long")
+        zero = F.lit(0).cast("long")
+        acc0 = F.struct(
+            zero.alias("cum"),
+            F.lit(-1).cast("long").alias("b"),
+            zero.alias("c"),
+            zero.alias("cb"),
+        )
+
+        def step(a, x):
+            cum = a["cum"] + x["_c"]
+            hit = (a["b"] == -1) & (cum >= target)
+            return F.struct(
+                cum.alias("cum"),
+                F.when(hit, x["_b"]).otherwise(a["b"]).alias("b"),
+                F.when(hit, x["_c"]).otherwise(a["c"]).alias("c"),
+                F.when(hit, cum).otherwise(a["cb"]).alias("cb"),
+            )
+
+        f = F.aggregate(F.col("_h"), acc0, step)
+        est = (
+            F.lit(float(lo))
+            + f["b"] * F.lit(float(width))
+            + F.lit(float(width)) * (target - (f["cb"] - f["c"])) / f["c"]
+        )
+        return F.round(est, 6)
+
+    with_n = packed.withColumn("_n", n_tot)
+    pairs = F.explode(
+        F.array(*[F.struct(F.lit(float(q)).alias("q"), est_for(q).alias("est")) for q in qs])
+    ).alias("_qe")
+    return with_n.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        pairs,
+    ).select("window_start", "window_end", F.col("_qe.q").alias("q"), F.col("_qe.est").alias("est"))

@@ -575,3 +575,65 @@ def test_streaming_hll_matches_batch_sketch(stream_reader, spark):
     # sanity: estimates near truth (700 viewers, 100 clickers in w0)
     assert abs(got[(t(0), "view")] - 700) / 700 < 0.05
     assert abs(got[(t(0), "click")] - 100) / 100 < 0.06
+
+
+def test_streaming_quantiles_match_batch_sketch(stream_reader, spark):
+    """Per-window histogram-quantile estimates on a stream: bounded
+    state (<= n_buckets counts per window), append emits each window
+    once closed, and every (window, q) estimate is BIT-IDENTICAL to
+    the batch histogram_quantiles over that window's rows (integer
+    sketch + one final division — partition/micro-batch-order
+    invariant)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from confidential_storm_spark.operators.sketches import histogram_quantiles
+    from confidential_storm_spark.streaming import histogram_quantiles_stream
+
+    t = lambda s: dt.datetime(2026, 3, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+    SCHEMA_Q = "value double, ts timestamp"
+    rng = __import__("numpy").random.default_rng(21)
+    # two windows with cross-batch overlap; skewed values
+    vals_w0 = [float(v) for v in rng.gamma(2.0, 60.0, size=900)]
+    vals_w1 = [float(v) for v in rng.gamma(3.0, 40.0, size=500)]
+    batches = [
+        [(v, t(int(i % 50))) for i, v in enumerate(vals_w0[:400])],
+        [(v, t(int(i % 50))) for i, v in enumerate(vals_w0[400:])]
+        + [(v, t(60 + int(i % 20))) for i, v in enumerate(vals_w1[:200])],
+        [(v, t(60 + int(i % 20))) for i, v in enumerate(vals_w1[200:])],
+        [(0.0, t(600))],  # watermark flusher
+    ]
+    QS = (0.25, 0.5, 0.9)
+    out: list = []
+    stream = histogram_quantiles_stream(
+        stream_reader(batches, SCHEMA_Q),
+        "value",
+        qs=QS,
+        lo=0,
+        width=10,
+        n_buckets=64,
+        window="1 minute",
+        watermark_delay="30 seconds",
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: out.append((bid, df.collect())))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.window_start, r.q): r.est for _, rows in out for r in rows
+    }
+    assert got, "stream emitted nothing"
+    all_rows = [r for b in batches for r in b]
+    df = spark.createDataFrame(all_rows, SCHEMA_Q)
+    for (w0, w1) in ((0, 60), (60, 120)):
+        sl = df.filter((F.col("ts") >= t(w0)) & (F.col("ts") < t(w1)))
+        want = {
+            r.q: r.est
+            for r in histogram_quantiles(sl, "value", qs=QS, lo=0, width=10).collect()
+        }
+        for qq, est in want.items():
+            assert got[(t(w0), qq)] == est, (w0, qq, got[(t(w0), qq)], est)

@@ -17,18 +17,31 @@ when the appended fraction dominates, exactly like re-clustering any
 secondary index — and the full-probe path stays exact through any
 amount of drift, so correctness never depends on the re-train cadence.
 
-foreachBatch gives at-least-once semantics (same as ingest_dedup): a
-replayed batch appends duplicate rows, which full probe surfaces as
-duplicate ids.  Exactly-once needs an idempotent sink (MERGE on id);
-with plain parquet, dedup on read (row_number over id) or rely on the
-checkpoint making replays rare.
+foreachBatch is at-least-once by itself; ``idempotent=True`` (the
+default) upgrades it to effectively-once with the standard epoch-id
+ledger: each committed batch records its ``epoch_id`` in a tiny
+``_epochs`` sidecar next to the index, and a replayed epoch is skipped
+before any write.  The ledger read is one footer of a few-row parquet
+per batch — nothing scans the index.  (The alternative — MERGE on id —
+would anti-join every batch against the whole standing table.)
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 __all__ = ["ann_ingest_stream"]
+
+
+def _epoch_committed(spark, ledger_path: str, epoch_id: int) -> bool:
+    try:
+        rows = spark.read.parquet(ledger_path).filter(
+            F.col("epoch_id") == int(epoch_id)
+        )
+        return rows.limit(1).count() > 0
+    except Exception:  # first batch: no ledger yet (AnalysisException)
+        return False
 
 
 def ann_ingest_stream(
@@ -38,6 +51,7 @@ def ann_ingest_stream(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     compressed: bool = False,
+    idempotent: bool = True,
     trigger_available_now: bool = True,
 ):
     """Append every micro-batch of ``embeddings`` (a streaming
@@ -45,15 +59,26 @@ def ann_ingest_stream(
     beforehand with ``ivf_write_index`` / ``ivfpq_write_index``).
     ``compressed=True`` routes through :func:`pq.ivfpq_append` (codes
     from the existing codebooks); otherwise :func:`ivf_append`.
-    Returns the started StreamingQuery."""
+    ``idempotent=True`` skips epochs already recorded in the
+    ``{index_path}/_epochs`` ledger, so checkpoint-replayed batches
+    don't double-append.  Returns the started StreamingQuery."""
     from ..operators.pq import ivfpq_append
     from ..operators.similarity import ivf_append
 
+    ledger = f"{index_path}/_epochs"
+
     def _process(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if idempotent and _epoch_committed(spark, ledger, epoch_id):
+            return
         if compressed:
             ivfpq_append(batch, index_path, vec_col=vec_col, id_col=id_col)
         else:
             ivf_append(batch, index_path, vec_col=vec_col, id_col=id_col)
+        if idempotent:
+            spark.createDataFrame([(int(epoch_id),)], "epoch_id long").coalesce(
+                1
+            ).write.mode("append").parquet(ledger)
 
     writer = embeddings.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

@@ -72,3 +72,39 @@ def test_ann_ingest_stream_compressed(spark, tmp_path):
     }
     fresh = {r["vec_id"]: list(r["pq_code"]) for r in pq_encode(feed, books).collect()}
     assert stored == fresh and len(stored) == feed.count()
+
+
+def test_ann_ingest_replay_is_idempotent(spark, tmp_path):
+    """The epoch ledger makes a checkpoint-replayed batch a no-op:
+    running the same availableNow stream twice with the SAME source
+    (fresh checkpoint, so every epoch replays) appends nothing the
+    second time; with idempotent=False the replay double-appends."""
+    rng = np.random.default_rng(17)
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = df.filter(F.col("vec_id") % 4 != 0)
+    feed = df.filter(F.col("vec_id") % 4 == 0)
+    src = str(tmp_path / "feed")
+    feed.repartition(2).write.parquet(src)
+
+    for flag, expect in ((True, feed.count()), (False, 2 * feed.count())):
+        path = str(tmp_path / f"ivf_{flag}")
+        ivf_write_index(base, path, n_clusters=4)
+
+        def run(ck):
+            stream = (
+                spark.readStream.schema(df.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = ann_ingest_stream(stream, path, str(tmp_path / ck), idempotent=flag)
+            q.awaitTermination(240)
+
+        run(f"ck1_{flag}")
+        run(f"ck2_{flag}")  # fresh checkpoint: every epoch replays
+        n_feed_rows = (
+            spark.read.parquet(f"{path}/vectors")
+            .join(feed.select("vec_id"), "vec_id", "left_semi")
+            .count()
+        )
+        assert n_feed_rows == expect, (flag, n_feed_rows, expect)

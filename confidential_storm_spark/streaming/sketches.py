@@ -82,6 +82,7 @@ def histogram_quantiles_stream(
     window: str = "1 minute",
     ts_col: str = "ts",
     watermark_delay: str = "1 minute",
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Append-mode per-window quantile estimates with BOUNDED state —
     the streaming twin of :func:`operators.sketches.histogram_quantiles`
@@ -98,18 +99,26 @@ def histogram_quantiles_stream(
     the same rows (differential-tested), independent of micro-batch
     chopping or partition order.
 
-    Output: ``(window_start, window_end, q, est)``."""
+    ``key_cols`` adds per-key quantiles (state: <= n_buckets counts
+    per (window, key) — e.g. per-event-type value percentiles).
+
+    Output: ``(window_start, window_end, *key_cols, q, est)``."""
     nb = n_buckets
     b = F.least(
         F.greatest(F.floor((F.col(value_col) - lo) / width).cast("long"), F.lit(0)),
         F.lit(nb - 1),
     )
+    keys = list(key_cols or [])
     per_bucket = (
         events.withWatermark(ts_col, watermark_delay)
-        .groupBy(F.window(F.col(ts_col), window), b.alias("_b"))
+        .groupBy(
+            F.window(F.col(ts_col), window),
+            *[F.col(k) for k in keys],
+            b.alias("_b"),
+        )
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    packed = per_bucket.groupBy("window").agg(
+    packed = per_bucket.groupBy("window", *keys).agg(
         F.sort_array(F.collect_list(F.struct("_b", "_c"))).alias("_h")
     )
     n_tot = F.aggregate(
@@ -151,5 +160,12 @@ def histogram_quantiles_stream(
     return with_n.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
+        *keys,
         pairs,
-    ).select("window_start", "window_end", F.col("_qe.q").alias("q"), F.col("_qe.est").alias("est"))
+    ).select(
+        "window_start",
+        "window_end",
+        *keys,
+        F.col("_qe.q").alias("q"),
+        F.col("_qe.est").alias("est"),
+    )

@@ -637,3 +637,48 @@ def test_streaming_quantiles_match_batch_sketch(stream_reader, spark):
         }
         for qq, est in want.items():
             assert got[(t(w0), qq)] == est, (w0, qq, got[(t(w0), qq)], est)
+
+
+def test_streaming_quantiles_per_key(stream_reader, spark):
+    """key_cols: per-(window, key) quantiles, each bit-identical to the
+    batch sketch over that slice."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from confidential_storm_spark.operators.sketches import histogram_quantiles
+    from confidential_storm_spark.streaming import histogram_quantiles_stream
+
+    t = lambda s: dt.datetime(2026, 3, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+    SCHEMA_K = "etype string, value double, ts timestamp"
+    rng = __import__("numpy").random.default_rng(33)
+    batches = [
+        [("view", float(v), t(int(i % 50))) for i, v in enumerate(rng.gamma(2.0, 50.0, 300))]
+        + [("click", float(v), t(int(i % 50))) for i, v in enumerate(rng.gamma(5.0, 20.0, 200))],
+        [("view", float(v), t(int(i % 50))) for i, v in enumerate(rng.gamma(2.0, 50.0, 250))],
+        [(("view"), 0.0, t(600))],  # flusher
+    ]
+    out: list = []
+    stream = histogram_quantiles_stream(
+        stream_reader(batches, SCHEMA_K),
+        "value",
+        qs=(0.5, 0.9),
+        window="1 minute",
+        watermark_delay="30 seconds",
+        key_cols=["etype"],
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: out.append((bid, df.collect())))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.etype, r.q): r.est for _, rows in out for r in rows if r.window_start == t(0)}
+    all_rows = [r for b in batches[:2] for r in b]
+    df = spark.createDataFrame(all_rows, SCHEMA_K)
+    for etype in ("view", "click"):
+        sl = df.filter(F.col("etype") == etype)
+        want = {r.q: r.est for r in histogram_quantiles(sl, "value", qs=(0.5, 0.9)).collect()}
+        for qq, est in want.items():
+            assert got[(etype, qq)] == est, (etype, qq)

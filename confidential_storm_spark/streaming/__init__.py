@@ -16,7 +16,12 @@ from .keyed import (
     stamp_epoch_stream,
 )
 from .sessions import session_stats_stream
-from .sketches import histogram_quantiles_stream, hll_distinct_stream
+from .sketches import (
+    hashed_ref_probs,
+    histogram_quantiles_stream,
+    hll_distinct_stream,
+    vocab_kl_stream,
+)
 from .trending import top_k_per_window, windowed_wordcounts_stream
 from .stateful import (
     bloom_dedup_stream,
@@ -35,6 +40,8 @@ __all__ = [
     "windowed_wordcounts_stream",
     "hll_distinct_stream",
     "histogram_quantiles_stream",
+    "vocab_kl_stream",
+    "hashed_ref_probs",
     "bound_contributions_stream",
     "curation_filter_stream",
     "quality_predicate",

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..operators.sketches import HLL_M, _HLL_ALPHA, _HLL_RANK_BITS, _hll_bucket, _hll_rho
 
-__all__ = ["hll_distinct_stream", "histogram_quantiles_stream"]
+__all__ = ["hll_distinct_stream", "histogram_quantiles_stream", "vocab_kl_stream", "hashed_ref_probs"]
 
 
 def hll_distinct_stream(
@@ -169,3 +169,100 @@ def histogram_quantiles_stream(
         F.col("_qe.q").alias("q"),
         F.col("_qe.est").alias("est"),
     )
+
+
+def vocab_kl_stream(
+    events: DataFrame,
+    text_col: str,
+    ref_probs: list[float],
+    alpha: float = 0.5,
+    window: str = "1 minute",
+    ts_col: str = "ts",
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Per-window vocabulary-drift monitor with BOUNDED state: KL of
+    each closed window's hashed-unigram distribution against a fixed
+    reference — the streaming answer to "is today's crawl shifting?"
+    (batch sibling: ``operators/drift.py::vocab_kl_topk``, which keeps
+    the exact union vocabulary and therefore can't run windowed).
+
+    Words hash into ``len(ref_probs)`` bins (md5, the same bucket map
+    as :func:`hashed_ref_probs`, so reference and stream always share
+    the space); per window the state is the <= B bin counts (chained
+    windowed aggs, append mode), and the finishing math — add-alpha
+    smoothing over the bins, then KL(P_window || Q_ref) — is stateless
+    column arithmetic.  Absent bins contribute through a closed form
+    (all absent bins share p0 = alpha/(N + alpha*B)), so the result is
+    the EXACT KL over all B bins, not a present-bin approximation.
+
+    Output: ``(window_start, window_end, n_tokens, kl)``."""
+    import math
+
+    from ..functions.text import words
+
+    B = len(ref_probs)
+    q = [float(x) for x in ref_probs]
+    if any(x <= 0 for x in q):
+        raise ValueError("ref_probs must be strictly positive (smooth the reference)")
+    slnq = sum(math.log(x) for x in q)
+    q_arr = F.array(*[F.lit(x) for x in q])
+
+    w = F.explode(words(F.col(text_col))).alias("_w")
+    b = (
+        F.conv(F.substring(F.md5(F.col("_w")), 1, 8), 16, 10).cast("long") % B
+    ).alias("_b")
+    per_bin = (
+        events.withWatermark(ts_col, watermark_delay)
+        .select(F.col(ts_col), w)
+        .select(F.window(F.col(ts_col), window).alias("window"), b)
+        .groupBy("window", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    packed = per_bin.groupBy("window").agg(
+        F.collect_list(F.struct("_b", "_c")).alias("_h")
+    )
+    n_tok = F.aggregate(F.col("_h"), F.lit(0).cast("long"), lambda a, x: a + x["_c"])
+    with_n = packed.withColumn("_n", n_tok)
+
+    denom = F.col("_n").cast("double") + F.lit(alpha * B)
+    p0 = F.lit(alpha) / denom
+    # all-absent baseline: sum_i p0 ln(p0/q_i) = B p0 ln p0 - p0 * sum(ln q_i)
+    base = F.lit(float(B)) * p0 * F.log(p0) - p0 * F.lit(slnq)
+
+    def corr(a, x):
+        p = (x["_c"].cast("double") + F.lit(alpha)) / denom
+        lnq = F.log(F.element_at(q_arr, (x["_b"] + 1).cast("int")))
+        return a + (p * F.log(p) - p * lnq) - (p0 * F.log(p0) - p0 * lnq)
+
+    kl = base + F.aggregate(F.col("_h"), F.lit(0.0), corr)
+    return with_n.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        F.col("_n").alias("n_tokens"),
+        F.round(kl, 6).alias("kl"),
+    )
+
+
+def hashed_ref_probs(texts: list[str], n_bins: int = 1024, alpha: float = 0.5) -> list[float]:
+    """Build the reference bin distribution for :func:`vocab_kl_stream`
+    from a reference corpus, with the SAME md5 bucket map the stream
+    uses and the same add-alpha smoothing (so KL(ref || ref) == 0 in
+    the limit and every bin is strictly positive).  Driver-side pure
+    Python — the reference is a sample, not a corpus scan; at scale
+    compute the counts in Spark with the identical bucket expression
+    and pass them here."""
+    import hashlib
+    import re
+
+    counts = [0] * n_bins
+    n = 0
+    for t in texts:
+        # same tokenization as functions.text.words: lowercase, split
+        # on non-word runs, drop empties
+        for wd in re.split(r"\W+", t.lower()):
+            if not wd:
+                continue
+            counts[int(hashlib.md5(wd.encode()).hexdigest()[:8], 16) % n_bins] += 1
+            n += 1
+    denom = n + alpha * n_bins
+    return [(c + alpha) / denom for c in counts]

@@ -682,3 +682,76 @@ def test_streaming_quantiles_per_key(stream_reader, spark):
         want = {r.q: r.est for r in histogram_quantiles(sl, "value", qs=(0.5, 0.9)).collect()}
         for qq, est in want.items():
             assert got[(etype, qq)] == est, (etype, qq)
+
+
+def test_streaming_vocab_kl_drift(stream_reader, spark):
+    """Per-window KL drift vs a fixed hashed reference: a window drawn
+    from the reference distribution scores near zero; a shifted window
+    scores clearly higher; and both match a pure-python replay of the
+    same smoothed-bin KL formula to 1e-6."""
+    import datetime as dt
+    import hashlib
+    import math
+    import re
+
+    from confidential_storm_spark.streaming import hashed_ref_probs, vocab_kl_stream
+
+    t = lambda s: dt.datetime(2026, 3, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+    SCHEMA_T = "text string, ts timestamp"
+    B, ALPHA = 256, 0.5
+    rng = __import__("numpy").random.default_rng(8)
+    base_vocab = [f"tok{i}" for i in range(300)]
+    base_p = rng.dirichlet(__import__("numpy").ones(300) * 0.5)
+
+    def doc(vocab, p, n=30):
+        return " ".join(rng.choice(vocab, size=n, p=p))
+
+    ref_texts = [doc(base_vocab, base_p) for _ in range(400)]
+    ref = hashed_ref_probs(ref_texts, n_bins=B, alpha=ALPHA)
+
+    # window 0: same distribution; window 1: heavy novel-token mix
+    shift_vocab = base_vocab[:150] + [f"new{i}" for i in range(150)]
+    w0 = [(doc(base_vocab, base_p), t(i % 50)) for i in range(120)]
+    w1 = [(doc(shift_vocab, base_p), t(60 + i % 20)) for i in range(120)]
+    batches = [w0[:70], w0[70:] + w1[:50], w1[50:], [("flush", t(600))]]
+
+    out: list = []
+    stream = vocab_kl_stream(
+        stream_reader(batches, SCHEMA_T),
+        "text",
+        ref,
+        alpha=ALPHA,
+        window="1 minute",
+        watermark_delay="30 seconds",
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: out.append((bid, df.collect())))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.window_start: (r.n_tokens, r.kl) for _, rows in out for r in rows}
+    assert t(0) in got and t(60) in got
+
+    # pure-python replay of the same formula
+    def expected(texts):
+        counts = [0] * B
+        n = 0
+        for txt in texts:
+            for wd in re.split(r"\W+", txt.lower()):
+                if wd:
+                    counts[int(hashlib.md5(wd.encode()).hexdigest()[:8], 16) % B] += 1
+                    n += 1
+        denom = n + ALPHA * B
+        kl = 0.0
+        for c, qq in zip(counts, ref):
+            p = (c + ALPHA) / denom
+            kl += p * math.log(p / qq)
+        return n, kl
+
+    for wstart, texts in ((t(0), [x for x, _ in w0]), (t(60), [x for x, _ in w1])):
+        n, kl = expected(texts)
+        assert got[wstart][0] == n
+        assert abs(got[wstart][1] - round(kl, 6)) <= 2e-6, (wstart, got[wstart][1], kl)
+    assert got[t(60)][1] > 5 * max(got[t(0)][1], 1e-4)  # the shift is loud

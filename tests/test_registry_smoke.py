@@ -61,6 +61,33 @@ def test_queries_module_hygiene():
     assert qmod._DRIVER_CERTIFIED_PRIOR <= set(qmod.QUERIES), "certified names must exist in registry"
 
 
+def test_certified_prior_matches_correctness_union():
+    """_DRIVER_CERTIFIED_PRIOR must be exactly the union of green rows
+    in the committed CORRECTNESS_r*.json files — the frozenset is a
+    cache of driver facts, not an editable allowlist (VERDICT r8 #1)."""
+    import glob
+    import json
+    import os
+
+    from confidential_storm_spark.plans import queries as qmod
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    assert files, "no CORRECTNESS_r*.json committed"
+    green = set()
+    for f in files:
+        for name, row in json.load(open(f)).items():
+            if row.get("rows_match") and row.get("schema_match"):
+                green.add(name)
+    # queries later renamed/removed drop out of the registry; the
+    # invariant is over names that still exist
+    green &= set(qmod.QUERIES)
+    assert qmod._DRIVER_CERTIFIED_PRIOR == frozenset(green), (
+        f"stale gate: missing={sorted(green - qmod._DRIVER_CERTIFIED_PRIOR)} "
+        f"extra={sorted(qmod._DRIVER_CERTIFIED_PRIOR - green)}"
+    )
+
+
 def test_rotation_covers_uncertified_tail():
     """Every never-driver-certified query must sit in the head-50 the
     driver gate actually runs (until the tail shrinks below 50)."""

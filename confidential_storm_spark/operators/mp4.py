@@ -219,7 +219,10 @@ def _expand_moof(
                 if v == 1
                 else struct.unpack(">I", _rd(data, td[0] + 4, 4, td[1]))[0]
             )
-        if dts > 1 << 62:  # would overflow the int64 tick→ms math
+        # the tick→ms conversion computes dts * 1000 in int64, so the
+        # guard must trip BELOW 2^63/1000 (a 2^53..2^62 tfdt would pass
+        # a 2^62 guard yet silently wrap the multiply)
+        if dts > (1 << 62) // 1000:
             raise ValueError("implausible tfdt decode time")
 
         run_pos = None  # implicit trun offset: end of previous run (§8.8.8)

@@ -5360,6 +5360,234 @@ QUERIES["dedup_media_video"] = QueryDef(
 )
 
 
+# ---------------------------------------------------------------------------
+# round-9 additions: the STREAMING family enters the driver's value-hash
+# gate via deterministic availableNow replay (VERDICT r8 "Next round" #2).
+# Each query runs a real Structured Streaming query — file source, one
+# epoch per micro-batch, stateful operator, foreachBatch sink — whose
+# output depends only on the epoch partition of the input, so a DuckDB
+# twin can re-derive it from the static tables.
+# ---------------------------------------------------------------------------
+
+_HH_EPOCHS, _HH_CAPACITY, _HH_SHARDS = 4, 16, 4
+
+
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup state across micro-batches: documents
+    replay in 4 epochs (originals in epochs 0-1 by doc_id parity,
+    duplicate copies of every doc_id % 3 == 0 doc in epochs 2-3), and
+    the stream must emit each digest exactly once, in its FIRST epoch —
+    a later re-emission (lost state) or a dropped first occurrence
+    shows up as a row/hash mismatch.  Streaming op under test:
+    streaming/stateful.py::dedup_stream (dropDuplicates state store)."""
+    from ..streaming.replay import replay_available_now
+    from ..streaming.stateful import dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    originals = docs.select(
+        "doc_id", "text", (F.col("doc_id") % 2).alias("epoch")
+    )
+    copies = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        "text",
+        (F.col("doc_id") % 2 + 2).alias("epoch"),
+    )
+    out = replay_available_now(
+        spark,
+        originals.unionByName(copies),
+        "epoch",
+        lambda s: dedup_stream(s, "text"),
+        output_mode="append",
+    )
+    return out.select(
+        F.md5("text").alias("digest"), F.col("epoch").alias("first_epoch")
+    ).orderBy("digest")
+
+
+STREAM_DEDUP_REPLAY_SQL = """
+SELECT md5(text) AS digest, MIN(doc_id % 2) AS first_epoch
+FROM documents GROUP BY md5(text) ORDER BY digest
+"""
+
+
+def stream_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed HLL distinct users per event type (chained
+    stateful aggregations, append mode): events replay in 3 epochs
+    plus two far-future sentinel epochs that advance the watermark so
+    every real window closes and emits exactly once; the sentinels'
+    own window never closes, so the output is exactly the closed real
+    windows.  The md5 register math is identical to the certified
+    batch operator, so the DuckDB twin re-derives the estimates
+    bit-for-bit.  Streaming op: streaming/sketches.py::hll_distinct_stream."""
+    from datetime import datetime
+
+    from ..streaming.replay import replay_available_now
+    from ..streaming.sketches import hll_distinct_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "user_id", (F.col("event_id") % 3).alias("epoch")
+    )
+    sent = spark.createDataFrame(
+        [
+            (datetime(2024, 12, 1), "__sentinel", -1, 3),
+            (datetime(2024, 12, 1), "__sentinel", -1, 4),
+        ],
+        "ts timestamp, event_type string, user_id bigint, epoch bigint",
+    )
+    out = replay_available_now(
+        spark,
+        ev.unionByName(sent),
+        "epoch",
+        lambda s: hll_distinct_stream(
+            s,
+            "user_id",
+            ["event_type"],
+            window="3 days",
+            ts_col="ts",
+            watermark_delay="40 days",
+        ),
+        output_mode="append",
+    )
+    return out.orderBy("window_start", "event_type")
+
+
+def _stream_hll_sql() -> str:
+    from ..operators.sketches import hll_distinct_sql
+
+    win = (
+        "TIMESTAMP '1970-01-01' + ((CAST(floor(epoch(ts)) AS BIGINT) // 259200)"
+        " * 259200) * INTERVAL 1 SECOND"
+    )
+    inner = f"(SELECT {win} AS window_start, event_type, user_id FROM events)"
+    hll = hll_distinct_sql(inner, ["window_start", "event_type"], "user_id")
+    return (
+        "SELECT window_start, window_start + INTERVAL 3 DAY AS window_end,"
+        f" event_type, approx_distinct FROM ({hll})"
+        " ORDER BY window_start, event_type"
+    )
+
+
+def stream_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded Misra-Gries heavy hitters replayed over 4 event epochs
+    (event_id % 4): the final per-shard summary after the last merge.
+    The MG merge is associative and merges exactly once per micro-batch,
+    so the summary is a pure function of the epoch sequence — the DuckDB
+    twin unrolls the same 4 merge+compress steps per shard in SQL
+    (ROW_NUMBER picks the (capacity+1)-th largest count as the
+    decrement).  Shards use an md5 map (DuckDB has no crc32).
+    Streaming op: streaming/heavy_hitters.py::heavy_hitters_stream."""
+    from ..streaming.heavy_hitters import heavy_hitters_stream
+    from ..streaming.replay import replay_available_now
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", (F.col("event_id") % _HH_EPOCHS).alias("epoch")
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("_v")), 1, 4), 16, 10).cast("long")
+        % _HH_SHARDS
+    ).cast("int")
+    out = replay_available_now(
+        spark,
+        ev,
+        "epoch",
+        lambda s: heavy_hitters_stream(
+            s,
+            "user_id",
+            capacity=_HH_CAPACITY,
+            num_shards=_HH_SHARDS,
+            shard_expr=shard,
+        ),
+        output_mode="update",
+        latest_per=["shard"],
+    )
+    return out.orderBy("shard", "value")
+
+
+def _stream_hh_sql(
+    n_epochs: int = _HH_EPOCHS,
+    capacity: int = _HH_CAPACITY,
+    num_shards: int = _HH_SHARDS,
+) -> str:
+    """DuckDB twin of the MG replay: exact per-epoch counts, then the
+    Agarwal et al. merge rule unrolled as one CTE chain per epoch —
+    sum counts, subtract the (capacity+1)-th largest, drop <= 0."""
+    parts = [
+        f"""WITH ec AS (
+  SELECT event_id % {n_epochs} AS epoch,
+         CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT)
+              % {num_shards} AS INT) AS shard,
+         CAST(user_id AS VARCHAR) AS value,
+         COUNT(*) AS c
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1, 2, 3
+), sh AS (SELECT DISTINCT shard FROM ec)"""
+    ]
+    prev_s = prev_e = ""
+    for i in range(n_epochs):
+        if i == 0:
+            parts.append(
+                f", m{i} AS (SELECT shard, value, c AS count FROM ec WHERE epoch = {i})"
+            )
+        else:
+            parts.append(
+                f""", m{i} AS (
+  SELECT COALESCE(s.shard, n.shard) AS shard,
+         COALESCE(s.value, n.value) AS value,
+         COALESCE(s.count, 0) + COALESCE(n.c, 0) AS count
+  FROM {prev_s} s FULL OUTER JOIN
+       (SELECT shard, value, c FROM ec WHERE epoch = {i}) n
+    ON s.shard = n.shard AND s.value = n.value)"""
+            )
+        parts.append(
+            f""", k{i} AS (
+  SELECT sh.shard, COALESCE(kk.kth, 0) AS kth FROM sh LEFT JOIN (
+    SELECT shard, MAX(CASE WHEN rn = {capacity + 1} THEN count END) AS kth
+    FROM (SELECT shard, count,
+                 ROW_NUMBER() OVER (PARTITION BY shard ORDER BY count DESC) AS rn
+          FROM m{i})
+    GROUP BY shard) kk ON sh.shard = kk.shard)"""
+        )
+        parts.append(
+            f", s{i} AS (SELECT m.shard, m.value, m.count - k.kth AS count"
+            f" FROM m{i} m JOIN k{i} k ON m.shard = k.shard WHERE m.count > k.kth)"
+        )
+        if i == 0:
+            parts.append(f", e{i} AS (SELECT shard, kth AS err FROM k{i})")
+        else:
+            parts.append(
+                f", e{i} AS (SELECT p.shard, p.err + k.kth AS err"
+                f" FROM {prev_e} p JOIN k{i} k ON p.shard = k.shard)"
+            )
+        prev_s, prev_e = f"s{i}", f"e{i}"
+    parts.append(
+        f"""
+SELECT s.shard, s.value, s.count, e.err AS err_bound
+FROM {prev_s} s JOIN {prev_e} e ON s.shard = e.shard
+ORDER BY s.shard, s.value"""
+    )
+    return "".join(parts)
+
+
+QUERIES["stream_dedup_replay"] = QueryDef(
+    stream_dedup_replay,
+    STREAM_DEDUP_REPLAY_SQL,
+    "streaming exact-dedup state replayed over 4 epochs: each digest emits once, in its first epoch",
+    "streaming",
+)
+QUERIES["stream_hll_replay"] = QueryDef(
+    stream_hll_replay,
+    _stream_hll_sql(),
+    "streaming windowed HLL (chained stateful aggs, watermark-closed windows) replayed to final windows",
+    "streaming",
+)
+QUERIES["stream_heavy_hitters_replay"] = QueryDef(
+    stream_heavy_hitters_replay,
+    _stream_hh_sql(),
+    "streaming sharded Misra-Gries summary replayed over 4 epochs, final state vs unrolled SQL merges",
+    "streaming",
+)
+
+
 # Names the driver's 50-row correctness gate has ALREADY certified
 # (union of CORRECTNESS_r01..r08 green rows — all 131 queries as of
 # round 8).  The driver takes the first 50 entries of queries(), so
@@ -5424,7 +5652,11 @@ _DRIVER_CERTIFIED_PRIOR: frozenset[str] = frozenset(
 # never-certified block so the driver's 50-row gate certifies the
 # round's new work the same round it lands (the rest of the block
 # follows in insertion order and rotates forward next round)
-_ROUND_NEW: tuple[str, ...] = ()
+_ROUND_NEW: tuple[str, ...] = (
+    "stream_dedup_replay",
+    "stream_hll_replay",
+    "stream_heavy_hitters_replay",
+)
 
 
 def _registry_order() -> list[str]:

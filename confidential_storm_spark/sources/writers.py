@@ -355,6 +355,7 @@ def compact_partitioned(
     path: str,
     out_path: str,
     partition_col: str,
+    dedup_cols: tuple[str, ...] = (),
 ) -> int:
     """Small-file compaction that PRESERVES the partition layout — the
     maintenance job for append-maintained partitioned indexes (the
@@ -368,11 +369,28 @@ def compact_partitioned(
     column; at that point the partition is big enough that compaction
     isn't its problem.)  Returns the input file count.  Query results
     are byte-identical before/after: same rows, same partition dirs,
-    fewer files."""
-    import glob
+    fewer files.  ``dedup_cols`` additionally drops duplicate rows on
+    those columns (e.g. a vector id) — the repair step for the one
+    at-least-once crash window in ``streaming.ingest_ann``.
 
+    ``out_path`` must differ from ``path``: overwrite deletes the
+    target before the lazy read executes, so compacting in place would
+    destroy the input.  Swap via a rename after the write.  (The input
+    file count uses a local-filesystem glob; on object stores it
+    returns 0 — informational only.)"""
+    import glob
+    import os
+
+    if os.path.abspath(out_path) == os.path.abspath(path):
+        raise ValueError(
+            "compact_partitioned: out_path must differ from path "
+            "(mode('overwrite') deletes the target before the read runs); "
+            "write to a sibling dir and rename"
+        )
     n_in = len(glob.glob(f"{path}/*/*.parquet")) or len(glob.glob(f"{path}/*.parquet"))
     df = spark.read.parquet(path)
+    if dedup_cols:
+        df = df.dropDuplicates(list(dedup_cols))
     (
         df.repartition(df.select(partition_col).distinct().count(),
                        F.col(partition_col))

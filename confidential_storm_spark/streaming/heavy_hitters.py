@@ -63,13 +63,20 @@ def heavy_hitters_stream(
     value_col: str,
     capacity: int = 64,
     num_shards: int = 8,
+    shard_expr: "F.Column | None" = None,
 ) -> DataFrame:
     """Bounded-state frequent-value summaries over a stream:
     ``(shard, value, count, err_bound)`` per micro-batch (update mode),
     at most ``capacity`` rows per shard.  Take each shard's latest
     emission as its current summary; a batch `groupBy(value)` over the
     union of shard summaries is the global view (values never cross
-    shards, so no cross-shard merge is needed)."""
+    shards, so no cross-shard merge is needed).
+
+    Nulls in ``value_col`` are dropped before sharding (crc32(NULL) is
+    NULL, which would otherwise route them to a None shard key).
+    ``shard_expr`` overrides the shard map (a Column over the
+    stringified value column ``_v``) — e.g. an md5-based map when the
+    summary must be re-derivable in an engine without crc32."""
 
     def process(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -78,10 +85,12 @@ def heavy_hitters_stream(
         counts: dict[str, int]
         err: int
         counts, err = pickle.loads(state.get[0]) if state.exists else ({}, 0)
-        for pdf in pdfs:
-            vals = pdf["_v"].dropna()
-            if not len(vals):
-                continue
+        # one merge per micro-batch (not per Arrow chunk): the merged
+        # summary then depends only on the epoch partition of the
+        # stream, never on how the runtime chopped a batch into chunks
+        chunks = [pdf["_v"] for pdf in pdfs if len(pdf)]
+        if chunks:
+            vals = pd.concat(chunks, ignore_index=True)
             counts, inc = mg_merge(counts, vals.value_counts(), capacity)
             err += inc
         state.update((pickle.dumps((counts, err)),))
@@ -94,9 +103,13 @@ def heavy_hitters_stream(
             }
         )
 
-    with_shard = events.select(
-        F.col(value_col).cast("string").alias("_v")
-    ).withColumn("shard", (F.crc32(F.col("_v")) % num_shards).cast("int"))
+    if shard_expr is None:
+        shard_expr = (F.crc32(F.col("_v")) % num_shards).cast("int")
+    with_shard = (
+        events.select(F.col(value_col).cast("string").alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .withColumn("shard", shard_expr)
+    )
     return with_shard.groupBy("shard").applyInPandasWithState(
         process,
         outputStructType="shard int, value string, count long, err_bound long",

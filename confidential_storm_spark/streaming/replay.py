@@ -1,0 +1,132 @@
+"""Deterministic availableNow replay — the bridge that brings the
+STREAMING operators into the driver's batch value-hash gate.
+
+The driver's correctness oracle is batch-only (DuckDB over the static
+parquet tables), so the stateful streaming operators were previously
+verified only by differential pytest against their batch twins.  This
+module replays a FIXED epoch partition of a batch table through a real
+Structured Streaming query — file source, ``maxFilesPerTrigger=1``,
+``availableNow`` — so one epoch == one micro-batch in a deterministic
+order, and collects the stream's output into a plain DataFrame the
+gate can hash against a DuckDB twin that re-derives the same epoch
+sequence in SQL.
+
+Determinism contract: epoch files are written with strictly increasing
+modification times (the file source orders by mtime), and every
+replayed operator is written so its output depends only on the epoch
+PARTITION of the input, never on row order or Arrow chunking within a
+batch (Misra-Gries merges once per batch; HLL registers are max-merged;
+dedup emits set-valued results).
+
+This is a certification harness: the input is materialized driver-side
+(pyarrow) because the certified tables are small by construction.  The
+operators under replay are the production path — at scale they read
+Kafka/file streams directly and never pass through this module.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["write_epoch_source", "replay_available_now"]
+
+
+def write_epoch_source(df: DataFrame, epoch_col: str, out_dir: str) -> str:
+    """Materialize ``df`` as one parquet FILE per distinct value of
+    ``epoch_col`` (ascending), named ``epoch=NNNN.parquet`` with
+    strictly increasing mtimes, so a file-source stream over
+    ``out_dir`` with ``maxFilesPerTrigger=1`` replays the epochs in
+    order.  Returns the DDL schema string for ``readStream.schema``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = df.toPandas()
+    os.makedirs(out_dir, exist_ok=True)
+    base = time.time() - 86400  # yesterday: never in the future
+    epochs = sorted(pdf[epoch_col].unique())
+    for i, e in enumerate(epochs):
+        part = pdf[pdf[epoch_col] == e]
+        path = os.path.join(out_dir, f"epoch={i:04d}.parquet")
+        # Spark reads TIMESTAMP_MICROS; pandas datetime64[ns] would
+        # otherwise land as nanos and fail the stream's schema check
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            path,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        os.utime(path, (base + 10 * i, base + 10 * i))
+    return ", ".join(f.name + " " + f.dataType.simpleString() for f in df.schema.fields)
+
+
+def replay_available_now(
+    spark: SparkSession,
+    input_df: DataFrame,
+    epoch_col: str,
+    transform,
+    output_mode: str = "append",
+    output_schema: str | None = None,
+    latest_per: list[str] | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Run ``transform(stream_df)`` over a deterministic epoch replay
+    of ``input_df`` and return the collected output as a batch
+    DataFrame.
+
+    ``latest_per`` (update-mode operators): keep only the rows of the
+    LAST micro-batch in which each distinct value of those key columns
+    emitted — i.e. the operator's final state per key — instead of the
+    concatenation of every batch's emission.
+    """
+    work = tempfile.mkdtemp(prefix="css_replay_")
+    try:
+        src = os.path.join(work, "src")
+        ddl = write_epoch_source(input_df, epoch_col, src)
+        stream = (
+            spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        out = transform(stream)
+        if output_schema is None:
+            output_schema = ", ".join(
+                f.name + " " + f.dataType.simpleString() for f in out.schema.fields
+            )
+        batches: list[tuple[int, pd.DataFrame]] = []
+
+        def sink(bdf: DataFrame, bid: int) -> None:
+            batches.append((bid, bdf.toPandas()))
+
+        q = (
+            out.writeStream.outputMode(output_mode)
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt", uuid.uuid4().hex))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        if q.exception() is not None:
+            raise q.exception()
+
+        frames = [p for _, p in sorted(batches, key=lambda t: t[0]) if len(p)]
+        if not frames:
+            return spark.createDataFrame([], output_schema)
+        if latest_per is not None:
+            # final state per key = that key's rows in the last batch
+            # where it appeared
+            latest: dict[tuple, pd.DataFrame] = {}
+            for _, p in sorted(batches, key=lambda t: t[0]):
+                if not len(p):
+                    continue
+                for key, grp in p.groupby(latest_per, sort=False):
+                    latest[key if isinstance(key, tuple) else (key,)] = grp
+            frames = list(latest.values())
+        result = pd.concat(frames, ignore_index=True)
+        return spark.createDataFrame(result, output_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -258,8 +258,11 @@ def hashed_ref_probs(texts: list[str], n_bins: int = 1024, alpha: float = 0.5) -
     n = 0
     for t in texts:
         # same tokenization as functions.text.words: lowercase, split
-        # on non-word runs, drop empties
-        for wd in re.split(r"\W+", t.lower()):
+        # on non-word runs, drop empties.  Java regex \W is ASCII-only
+        # ([^a-zA-Z0-9_]) while Python's is Unicode-aware, so spell the
+        # ASCII class out — otherwise non-ASCII words bin differently
+        # between the reference and the stream and bias the KL.
+        for wd in re.split(r"[^a-zA-Z0-9_]+", t.lower()):
             if not wd:
                 continue
             counts[int(hashlib.md5(wd.encode()).hexdigest()[:8], 16) % n_bins] += 1

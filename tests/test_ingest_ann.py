@@ -75,10 +75,16 @@ def test_ann_ingest_stream_compressed(spark, tmp_path):
 
 
 def test_ann_ingest_replay_is_idempotent(spark, tmp_path):
-    """The epoch ledger makes a checkpoint-replayed batch a no-op:
-    running the same availableNow stream twice with the SAME source
-    (fresh checkpoint, so every epoch replays) appends nothing the
-    second time; with idempotent=False the replay double-appends."""
+    """The (query_id, epoch_id) ledger makes a checkpoint-replayed
+    batch a no-op: after a simulated crash (the last batch's commit
+    marker deleted), restarting from the SAME checkpoint replays that
+    batch, and the ledger must skip the re-append.  With
+    idempotent=False the same replay double-appends.  A FRESH
+    checkpoint over the same source is a NEW logical stream (new query
+    id) and must re-ingest — bare epoch-id keying would silently skip
+    its data (the round-8 advice bug)."""
+    import os
+
     rng = np.random.default_rng(17)
     rows = [(i, rng.normal(size=16).tolist()) for i in range(200)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
@@ -86,25 +92,53 @@ def test_ann_ingest_replay_is_idempotent(spark, tmp_path):
     feed = df.filter(F.col("vec_id") % 4 == 0)
     src = str(tmp_path / "feed")
     feed.repartition(2).write.parquet(src)
+    n_feed = feed.count()
 
-    for flag, expect in ((True, feed.count()), (False, 2 * feed.count())):
-        path = str(tmp_path / f"ivf_{flag}")
-        ivf_write_index(base, path, n_clusters=4)
+    def run(path, ck, flag):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = ann_ingest_stream(stream, path, ck, idempotent=flag)
+        q.awaitTermination(240)
 
-        def run(ck):
-            stream = (
-                spark.readStream.schema(df.schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(src)
-            )
-            q = ann_ingest_stream(stream, path, str(tmp_path / ck), idempotent=flag)
-            q.awaitTermination(240)
-
-        run(f"ck1_{flag}")
-        run(f"ck2_{flag}")  # fresh checkpoint: every epoch replays
-        n_feed_rows = (
+    def feed_rows(path):
+        return (
             spark.read.parquet(f"{path}/vectors")
             .join(feed.select("vec_id"), "vec_id", "left_semi")
             .count()
         )
-        assert n_feed_rows == expect, (flag, n_feed_rows, expect)
+
+    for flag, expect_after_replay in ((True, n_feed), (False, n_feed + n_feed // 2)):
+        path = str(tmp_path / f"ivf_{flag}")
+        ck = str(tmp_path / f"ck_{flag}")
+        ivf_write_index(base, path, n_clusters=4)
+        run(path, ck, flag)
+        assert feed_rows(path) == n_feed
+        # simulate a crash after the last batch's work but before its
+        # checkpoint commit: clone the checkpoint (same metadata, same
+        # query id) minus the last commit marker — restarting from it
+        # replays that batch.  (A clone, not an in-place delete: Spark
+        # detects external edits to a checkpoint it has already used in
+        # this JVM and aborts with a concurrent-usage error.)
+        import shutil
+
+        ck_replay = f"{ck}_replay"
+        shutil.copytree(ck, ck_replay)
+        commits = sorted(
+            f for f in os.listdir(f"{ck_replay}/commits") if not f.startswith(".")
+        )
+        os.remove(f"{ck_replay}/commits/{commits[-1]}")
+        crc = f"{ck_replay}/commits/.{commits[-1]}.crc"
+        if os.path.exists(crc):  # hadoop local-FS checksum sidecar
+            os.remove(crc)
+        run(path, ck_replay, flag)
+        assert feed_rows(path) == expect_after_replay, flag
+
+    # fresh checkpoint = new logical stream: MUST ingest (not skip)
+    path = str(tmp_path / "ivf_fresh")
+    ivf_write_index(base, path, n_clusters=4)
+    run(path, str(tmp_path / "ck_a"), True)
+    run(path, str(tmp_path / "ck_b"), True)  # new query id, same source
+    assert feed_rows(path) == 2 * n_feed

@@ -79,7 +79,12 @@ def main() -> int:
            f"clusters={len(drift)} worst_mean_dist2={worst['mean_dist2']}")
 
     t0 = time.time()
-    n_files_in = compact_partitioned(spark, f"{path}/vectors", f"{work}/compact/vectors", "_cluster")
+    # dedup on vec_id: repairs the one at-least-once crash window in
+    # ann_ingest_stream (append done, ledger commit lost -> replayed)
+    n_files_in = compact_partitioned(
+        spark, f"{path}/vectors", f"{work}/compact/vectors", "_cluster",
+        dedup_cols=("vec_id",),
+    )
     shutil.copytree(f"{path}/centroids", f"{work}/compact/centroids")
     import glob
 

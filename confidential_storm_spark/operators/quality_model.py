@@ -39,6 +39,9 @@ per CCNet, Wenzek et al. 2020 / fastText, Joulin et al. 2016).
 
 from __future__ import annotations
 
+import hashlib
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -48,6 +51,8 @@ __all__ = [
     "linear_probe_train",
     "linear_probe_scores",
     "quality_score_expr",
+    "quality_score_batch",
+    "quality_score_expr_hof",
     "quality_probe_sql",
 ]
 
@@ -314,18 +319,87 @@ ORDER BY doc_id"""
 
 
 def quality_score_expr(weights: list[float], text_col: str = "text") -> F.Column:
-    """The trained model as ONE stateless column expression — score a
-    row WITHOUT the feature relation: re-derive the hashed tf features
-    inline (words -> md5 bucket -> counts via sorted-run fold) and
-    fold v·w in DECIMAL.  Being a pure per-row expression it runs
-    identically in batch and Structured Streaming (no state, no
-    shuffle — model application at ingest is a map stage), and scores
-    match :func:`linear_probe_scores` bit-for-bit.
+    """The trained model as ONE stateless scoring column — score a row
+    WITHOUT the feature relation.  Returns the Arrow-batched vectorized
+    scorer (:func:`quality_score_batch`): the higher-order-function
+    expression tree (:func:`quality_score_expr_hof`) is CodegenFallback
+    in Spark — interpreted eval at ~ms/row, and silently serialized
+    onto the scan's partition count — so every call site used to
+    depend on remembering a repartition + localCheckpoint to amortize
+    it (the round-8 bench's 4.6x cold-run spread).  The pandas UDF has
+    no such trap; both paths are differential-tested bit-for-bit
+    (tests/test_quality_model.py) and both match
+    :func:`linear_probe_scores` and the DuckDB twin exactly."""
+    return quality_score_batch(weights)(F.col(text_col))
 
-    Shape note: per-row bucket counts come from sorting the row's
-    bucket array and folding adjacent runs — O(t log t) per doc
-    JVM-side, no explode/groupBy (which a stream would pay state for).
-    """
+
+def quality_score_batch(weights: list[float]):
+    """Vectorized scorer factory: a scalar pandas UDF reproducing the
+    engine's exact score — Java-regex ASCII tokenization, md5-prefix
+    bucket, per-bucket (count/total)·w term quantized to DECIMAL(30,15)
+    with HALF_UP (Python's shortest float repr matches Java's
+    Double.toString digits, validated bit-for-bit over the corpus and
+    adversarial edges), exact decimal sum + bias, then HALF_UP round
+    to 6.  Stateless and Arrow-batched: the same column works in batch
+    scans and Structured Streaming ingest."""
+    import re as _re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.functions import pandas_udf
+
+    w = [float(x) for x in weights]
+    dim = len(w) - 1
+    q15, q6 = Decimal("1e-15"), Decimal("1e-6")
+    bias = Decimal(repr(1.0 * w[dim])).quantize(q15, ROUND_HALF_UP)
+
+    @pandas_udf("double")
+    def _score(texts: pd.Series) -> pd.Series:
+        split = _re.compile(r"[^a-zA-Z0-9_]+").split
+        memo: dict[str, int] = {}
+
+        def bucket(t: str) -> int:
+            b = memo.get(t)
+            if b is None:
+                b = memo[t] = (
+                    int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+                )
+            return b
+
+        def one(text) -> float | None:
+            if text is None:
+                return None
+            toks = [t for t in split(text.lower()) if t]
+            if not toks:
+                return float(
+                    Decimal(repr(float(bias))).quantize(q6, ROUND_HALF_UP)
+                )
+            tot = float(len(toks))
+            acc = Decimal(0)
+            for b, c in Counter(bucket(t) for t in toks).items():
+                acc += Decimal(repr((c / tot) * w[b])).quantize(
+                    q15, ROUND_HALF_UP
+                )
+            return float(
+                Decimal(repr(float(acc + bias))).quantize(q6, ROUND_HALF_UP)
+            )
+
+        return texts.map(one)
+
+    return _score
+
+
+def quality_score_expr_hof(
+    weights: list[float], text_col: str = "text"
+) -> F.Column:
+    """The scorer as a pure JVM column-expression tree (no Python
+    workers): re-derive the hashed tf features inline (words -> md5
+    bucket -> counts via sorted-run fold) and fold v·w in DECIMAL.
+    Kept as the zero-Python variant and the differential oracle for
+    :func:`quality_score_batch` — but note every higher-order function
+    here is CodegenFallback (interpreted eval): on a hot path, spread
+    the input partitions and materialize the scored frame once, or the
+    first evaluation runs ms/row on the scan's partition count."""
     from ..functions.text import words
 
     dim = len(weights) - 1

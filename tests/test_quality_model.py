@@ -152,6 +152,36 @@ def test_score_expr_matches_feature_path_bit_for_bit(spark):
     assert via_feats == via_expr  # == on floats intended (bit-exact claim)
 
 
+def test_score_batch_matches_hof_expr_bit_for_bit(spark):
+    """The vectorized pandas-UDF scorer (the default path) and the
+    pure-JVM HOF expression tree must agree exactly — including on
+    null / empty / punctuation-only / unicode / long texts — since the
+    UDF reproduces Spark's double->DECIMAL(30,15) HALF_UP cast via the
+    shortest float repr."""
+    from confidential_storm_spark.operators.quality_model import (
+        quality_score_expr,
+        quality_score_expr_hof,
+    )
+
+    docs = _mk(spark, _CORPUS)
+    w = linear_probe_train(hashed_tf_features(docs, dim=64), rule_labels(docs), dim=64, n_iters=3)
+    edge = spark.createDataFrame(
+        [
+            (101, None),
+            (102, ""),
+            (103, "!!! ??? ..."),
+            (104, "Ünïcødé wörds ünïcødé"),
+            (105, "a" * 5000),
+            (106, "x y z " * 3000),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(edge)
+    fast = {r.doc_id: r.s for r in both.select("doc_id", quality_score_expr(w).alias("s")).collect()}
+    hof = {r.doc_id: r.s for r in both.select("doc_id", quality_score_expr_hof(w).alias("s")).collect()}
+    assert fast == hof
+
+
 def test_score_expr_streams_statelessly(spark, tmp_path):
     # train in batch, score a stream: the expression is a pure map,
     # so availableNow micro-batches reproduce the batch scores exactly

@@ -42,6 +42,9 @@ from pyspark.sql import functions as F
 __all__ = [
     "hll_distinct",
     "hll_distinct_sql",
+    "hll_registers_keyed",
+    "hll_merge_registers",
+    "hll_finish_keyed",
     "hll_set_estimates",
     "hll_set_estimates_sql",
     "cms_estimates",
@@ -71,21 +74,36 @@ def _hll_rho(col: Column) -> Column:
     )
 
 
-def hll_distinct(
-    df: DataFrame,
-    key_cols: list[str],
-    value_col: str,
-    out_col: str = "approx_distinct",
+def hll_registers_keyed(
+    df: DataFrame, key_cols: list[str], value_col: str
 ) -> DataFrame:
-    """Per-key HLL distinct count of ``value_col``; returns
-    ``key_cols + [out_col]`` with the estimate rounded to 4 decimals.
-    """
+    """The per-key (register, max-rank) relation — the MERGEABLE
+    partial a rollup table stores: ``key_cols + [_b, _rho]``, at most
+    m rows per key whatever the cardinality.  Because the finish is a
+    pure function of max-per-register, re-grouping these rows by any
+    COARSER key (drop a dimension, widen a time bucket) with
+    ``max(_rho)`` yields exactly the registers a direct scan of the
+    coarser slice would produce — the algebra behind sketch rollup
+    MVs (:mod:`..operators.mv`)."""
     v = F.col(value_col).cast("string")
-    regs = (
+    return (
         df.select(*key_cols, _hll_bucket(v).alias("_b"), _hll_rho(v).alias("_r"))
         .groupBy(*key_cols, "_b")
         .agg(F.max("_r").alias("_rho"))
     )
+
+
+def hll_merge_registers(regs: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Merge a register relation down to coarser keys (register-wise
+    max) — sketch-storage union, never touching raw data."""
+    return regs.groupBy(*key_cols, "_b").agg(F.max("_rho").alias("_rho"))
+
+
+def hll_finish_keyed(
+    regs: DataFrame, key_cols: list[str], out_col: str = "approx_distinct"
+) -> DataFrame:
+    """Per-key estimate from a register relation (integer harmonic
+    sum, linear-counting branch; one double division per key)."""
     # integer harmonic sum: sum over HIT registers of 2^(49-rho);
     # each EMPTY register contributes 2^49 (rho=0), added via V below
     per_key = regs.groupBy(*key_cols).agg(
@@ -101,6 +119,20 @@ def hll_distinct(
         F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double")),
     ).otherwise(e_raw)
     return per_key.select(*key_cols, F.round(est, 4).alias(out_col))
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Per-key HLL distinct count of ``value_col``; returns
+    ``key_cols + [out_col]`` with the estimate rounded to 4 decimals.
+    """
+    return hll_finish_keyed(
+        hll_registers_keyed(df, key_cols, value_col), key_cols, out_col
+    )
 
 
 def hll_distinct_sql(

@@ -1,0 +1,198 @@
+"""KMV / theta sketch — bounded-memory distinct counting WITH direct
+set-operation estimates (union, intersection, difference).
+
+Why another cardinality sketch next to HLL (operators/sketches.py):
+HLL registers merge only under UNION, so its intersection estimate is
+inclusion-exclusion over three union estimates — the error compounds
+and can go negative for small overlaps.  A theta sketch (Dasgupta,
+Lang et al., "Theta-Sketch Framework", and the classic KMV estimator
+of Bar-Yossef et al. 2002) keeps the k MINIMUM hash values of the set;
+because each retained value is an actual sample of the set below the
+threshold theta, intersections and differences are estimated DIRECTLY
+by set arithmetic on the samples: ``|{h in A ∩ B : h < theta}| /
+theta``.  This is the sketch a training-data warehouse keeps per crawl
+snapshot / source / day to answer "how much does source X overlap
+source Y" without rescanning either.
+
+Determinism contract (same policy as the HLL/CMS family): the hash is
+the first 15 hex chars of ``md5(cast(value as string))`` = a uniform
+60-bit integer, identical in Spark and DuckDB; every comparison and
+count happens in INTEGER domain; the single floating division
+(``count * 2^60 / theta``) happens once per output cell, so both
+engines produce bit-identical doubles and the driver's value-hash gate
+certifies the approximate path itself.
+
+Scale design: building a sketch is ``distinct hash -> global k
+smallest`` — Spark plans the per-set build as a partial TakeOrdered on
+every partition (k rows out per partition) then one k-row merge; no
+wide shuffle of the raw data ever happens.  Set operations then touch
+only k-row relations.  k=64 keeps the relative error ~ 1/sqrt(62) ≈
+13% — the point here is the certified algebra; raise k for production
+accuracy (error ~ 1/sqrt(k-2)).
+
+Reference parity note: the reference engine has no sketches at all
+(SURVEY §2 — its only aggregation is the DP histogram family); this
+module is part of the beyond-reference training-data toolkit the
+build brief mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmv_sketch", "theta_set_estimates", "theta_set_estimates_sql"]
+
+# 15 hex chars = 60 bits: fits int64 in both engines with headroom
+_KMV_BITS = 60
+_KMV_SCALE = 1 << _KMV_BITS
+
+
+def _kmv_hash(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_sketch(df: DataFrame, value_col: str, k: int) -> DataFrame:
+    """The k smallest distinct 60-bit hashes of ``value_col`` — the
+    sketch's retained sample, as a one-column (``h``) relation of at
+    most k rows.  ``orderBy().limit()`` plans as TakeOrderedAndProject:
+    each partition emits at most k rows, one k-row merge at the end."""
+    return (
+        df.select(_kmv_hash(F.col(value_col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def _theta_and_retained(sketch: DataFrame, k: int) -> tuple[Column, DataFrame]:
+    """Split a k-minimum sketch into (theta, retained): when the
+    sketch is saturated (exactly k rows) the k-th smallest hash IS the
+    threshold theta and only the k-1 hashes strictly below it are
+    retained samples; an unsaturated sketch has seen every distinct
+    value, so theta = 2^60 and everything is retained (estimates
+    become exact counts)."""
+    stats = sketch.agg(
+        F.max("h").alias("_kth"), F.count(F.lit(1)).alias("_n")
+    )
+    theta = F.when(F.col("_n") >= k, F.col("_kth")).otherwise(
+        F.lit(_KMV_SCALE)
+    )
+    return stats.select(theta.alias("theta")), sketch
+
+
+def theta_set_estimates(
+    df: DataFrame,
+    value_col: str,
+    pred_a: Column,
+    pred_b: Column,
+    k: int = 64,
+) -> DataFrame:
+    """One row of theta-sketch set estimates over two cohorts of
+    ``value_col``: ``est_a``, ``est_b``, ``est_union``,
+    ``est_intersection``, ``est_a_not_b`` (all rounded to 4 decimals),
+    plus the retained-sample sizes the estimates divided.
+
+    The two sketches are built independently (in production they would
+    be READ from sketch storage — they are plain k-row parquet); the
+    set math then never touches the raw data: theta = min(theta_a,
+    theta_b), and every estimate is ``|sample set op| * 2^60 / theta``.
+    """
+    sk_a = kmv_sketch(df.where(pred_a), value_col, k)
+    sk_b = kmv_sketch(df.where(pred_b), value_col, k)
+
+    theta_a, _ = _theta_and_retained(sk_a, k)
+    theta_b, _ = _theta_and_retained(sk_b, k)
+    thetas = (
+        theta_a.select(F.col("theta").alias("theta_a"))
+        .crossJoin(theta_b.select(F.col("theta").alias("theta_b")))
+        .select(
+            "theta_a",
+            "theta_b",
+            F.least("theta_a", "theta_b").alias("theta"),
+        )
+    )
+
+    # retained samples strictly below the COMBINED theta
+    a = sk_a.crossJoin(F.broadcast(thetas)).where(F.col("h") < F.col("theta"))
+    b = sk_b.crossJoin(F.broadcast(thetas)).where(F.col("h") < F.col("theta"))
+    both = a.select("h").intersect(b.select("h"))
+    either = a.select("h").union(b.select("h")).distinct()
+    only_a = a.select("h").exceptAll(both)
+
+    def _est(sample: DataFrame, name: str) -> DataFrame:
+        n = sample.agg(F.count(F.lit(1)).alias("_n"))
+        return n.crossJoin(thetas.select("theta")).select(
+            F.round(
+                F.col("_n").cast("double")
+                * F.lit(float(_KMV_SCALE))
+                / F.col("theta").cast("double"),
+                4,
+            ).alias(f"est_{name}"),
+            F.col("_n").alias(f"n_{name}"),
+        )
+
+    out = (
+        _est(a, "a")
+        .crossJoin(_est(b, "b"))
+        .crossJoin(_est(both, "intersection"))
+        .crossJoin(_est(either, "union"))
+        .crossJoin(_est(only_a, "a_not_b"))
+    )
+    return out.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        "est_intersection",
+        "est_a_not_b",
+        "n_a",
+        "n_b",
+        "n_intersection",
+    )
+
+
+def theta_set_estimates_sql(
+    table: str, value_col: str, pred_a: str, pred_b: str, k: int = 64
+) -> str:
+    """DuckDB twin of :func:`theta_set_estimates` — identical 60-bit
+    md5 hash, identical saturation rule, identical integer set math,
+    one double division per estimate."""
+    scale = _KMV_SCALE
+
+    def _sk(pred: str) -> str:
+        return (
+            f"SELECT DISTINCT CAST('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15)"
+            f" AS BIGINT) AS h FROM {table} WHERE {pred} ORDER BY h LIMIT {k}"
+        )
+
+    return f"""
+WITH sk_a AS ({_sk(pred_a)}),
+sk_b AS ({_sk(pred_b)}),
+th AS (
+  SELECT LEAST(
+    (SELECT CASE WHEN COUNT(*) >= {k} THEN MAX(h) ELSE {scale} END FROM sk_a),
+    (SELECT CASE WHEN COUNT(*) >= {k} THEN MAX(h) ELSE {scale} END FROM sk_b)
+  ) AS theta
+),
+ra AS (SELECT h FROM sk_a WHERE h < (SELECT theta FROM th)),
+rb AS (SELECT h FROM sk_b WHERE h < (SELECT theta FROM th)),
+rboth AS (SELECT h FROM ra INTERSECT SELECT h FROM rb),
+reither AS (SELECT h FROM ra UNION SELECT h FROM rb),
+ronly_a AS (SELECT h FROM ra EXCEPT SELECT h FROM rboth)
+SELECT
+  ROUND(CAST((SELECT COUNT(*) FROM ra) AS DOUBLE) * {float(scale)!r} /
+        CAST((SELECT theta FROM th) AS DOUBLE), 4) AS est_a,
+  ROUND(CAST((SELECT COUNT(*) FROM rb) AS DOUBLE) * {float(scale)!r} /
+        CAST((SELECT theta FROM th) AS DOUBLE), 4) AS est_b,
+  ROUND(CAST((SELECT COUNT(*) FROM reither) AS DOUBLE) * {float(scale)!r} /
+        CAST((SELECT theta FROM th) AS DOUBLE), 4) AS est_union,
+  ROUND(CAST((SELECT COUNT(*) FROM rboth) AS DOUBLE) * {float(scale)!r} /
+        CAST((SELECT theta FROM th) AS DOUBLE), 4) AS est_intersection,
+  ROUND(CAST((SELECT COUNT(*) FROM ronly_a) AS DOUBLE) * {float(scale)!r} /
+        CAST((SELECT theta FROM th) AS DOUBLE), 4) AS est_a_not_b,
+  (SELECT COUNT(*) FROM ra) AS n_a,
+  (SELECT COUNT(*) FROM rb) AS n_b,
+  (SELECT COUNT(*) FROM rboth) AS n_intersection
+"""

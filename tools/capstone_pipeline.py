@@ -46,8 +46,18 @@ DIALS = dict(num_hashes=16, bands=4, shingle_n=3, threshold=0.5, seed=42)
 
 
 def main() -> int:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_capstone"
+    # --monitors: attach the four bounded-state curation monitors
+    # (streaming HLL / Misra-Gries heavy hitters / histogram quantiles
+    # / vocab-KL drift) to the SAME file feed the curated ingest
+    # consumes, running CONCURRENTLY with it — the "filter the crawl
+    # as it lands, watched" shape (VERDICT r8 #8).  Stage rates go to
+    # capstone_{sf}_monitored.csv (the solo capstone CSV is left
+    # untouched — the monitored run is contended by construction);
+    # per-epoch monitor emissions go to capstone_monitors_{sf}.csv.
+    with_monitors = "--monitors" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--monitors"]
+    factor = int(argv[0]) if len(argv) > 0 else 100
+    work = argv[1] if len(argv) > 1 else "/tmp/spark_graft_capstone"
     sf_label = f"sf{factor / 10:g}"
     data_dir = f"/tmp/spark_graft_{sf_label}"
 
@@ -113,13 +123,117 @@ def main() -> int:
     # ---- stage 2: curated streaming ingest over N micro-batches ------------
     src = f"{work}/src"
     docs.repartition(N_INGEST_FILES).write.parquet(src)
+    if with_monitors:
+        # watermark flusher: one doc_id=-1 row in a LATER-mtime file
+        # (file source replays in mtime order, so it is the last
+        # micro-batch); the monitors stamp it 1h ahead so every real
+        # event-time window closes, and the ingest filters it out
+        docs.limit(1).withColumn(
+            "doc_id", F.lit(-1).cast("long")
+        ).write.mode("append").parquet(src)
+
+    monitor_qs: dict[str, tuple] = {}
+    if with_monitors:
+        from confidential_storm_spark.streaming import (
+            hashed_ref_probs,
+            histogram_quantiles_stream,
+            hll_distinct_stream,
+            vocab_kl_stream,
+        )
+        from confidential_storm_spark.streaming.heavy_hitters import (
+            heavy_hitters_stream,
+        )
+
+        ref = hashed_ref_probs(
+            [
+                r["text"]
+                for r in docs.filter(F.abs(F.hash("doc_id")) % 50 == 0)
+                .select("text")
+                .collect()
+            ],
+            n_bins=512,
+        )
+
+        def mon_feed():
+            s = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            base = F.to_timestamp(F.lit("2026-03-01 00:00:00"))
+            return s.select(
+                "doc_id",
+                "source",
+                "text",
+                F.length("text").cast("double").alias("n_chars"),
+                F.when(
+                    F.col("doc_id") < 0,
+                    F.to_timestamp(F.lit("2026-03-01 01:00:00")),
+                )
+                .otherwise(
+                    base
+                    + F.make_interval(secs=(F.col("doc_id") % 50).cast("double"))
+                )
+                .alias("ts"),
+            )
+
+        monitors = {
+            "hll_distinct_sources": (
+                "append",
+                lambda: hll_distinct_stream(
+                    mon_feed(), "source", [], window="1 minute",
+                    watermark_delay="30 seconds",
+                ),
+            ),
+            "heavy_hitter_sources": (
+                "update",
+                lambda: heavy_hitters_stream(
+                    mon_feed().select("source"), "source",
+                    capacity=32, num_shards=4,
+                ),
+            ),
+            "length_quantiles": (
+                "append",
+                lambda: histogram_quantiles_stream(
+                    mon_feed(), "n_chars", qs=(0.5, 0.9, 0.99), lo=0,
+                    width=20, n_buckets=128, window="1 minute",
+                    watermark_delay="30 seconds",
+                ),
+            ),
+            "vocab_kl_drift": (
+                "append",
+                lambda: vocab_kl_stream(
+                    mon_feed(), "text", ref, window="1 minute",
+                    watermark_delay="30 seconds",
+                ),
+            ),
+        }
+
     index_path, survivors_path = f"{work}/index", f"{work}/survivors"
     t0 = time.time()
+    if with_monitors:
+        for name, (mode, make) in monitors.items():
+            collected: list = []
+
+            def capture(df, bid, acc=collected):
+                acc.append((bid, df.collect()))
+
+            mq = (
+                make()
+                .writeStream.outputMode(mode)
+                .foreachBatch(capture)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{work}/mon_ckpt/{name}")
+                .start()
+            )
+            monitor_qs[name] = (mq, collected)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
+    if with_monitors:
+        stream = stream.where(F.col("doc_id") >= 0)  # drop the flusher
     q = curated_ingest_stream(
         stream,
         weights,
@@ -132,6 +246,28 @@ def main() -> int:
     )
     q.awaitTermination()
     wall_ingest = time.time() - t0
+    monitor_rows: list[dict] = []
+    for name, (mq, collected) in monitor_qs.items():
+        mq.awaitTermination()
+        mon_wall = time.time() - t0  # from the common concurrent start
+        for bid, batch in collected:
+            if not batch:
+                continue
+            monitor_rows.append(
+                dict(
+                    monitor=name,
+                    batch_id=bid,
+                    emitted_rows=len(batch),
+                    wall_to_done_s=round(mon_wall, 1),
+                    sample=str(batch[:2])[:200],
+                )
+            )
+        print(
+            f"monitor {name:24s} done at +{mon_wall:6.1f}s, "
+            f"{sum(len(b) for _, b in collected)} rows over "
+            f"{len([1 for _, b in collected if b])} emitting batches",
+            flush=True,
+        )
     survivors = spark.read.parquet(survivors_path)
     n_surv = survivors.count()
     n_rej = spark.read.parquet(f"{work}/rejects").count()
@@ -217,11 +353,19 @@ def main() -> int:
     # ---- outputs ------------------------------------------------------------
     import csv
 
-    csv_path = f"{REPO}/benchmark/capstone_{sf_label}.csv"
+    suffix = "_monitored" if with_monitors else ""
+    csv_path = f"{REPO}/benchmark/capstone_{sf_label}{suffix}.csv"
     with open(csv_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         w.writeheader()
         w.writerows(rows)
+    if with_monitors and monitor_rows:
+        mon_csv = f"{REPO}/benchmark/capstone_monitors_{sf_label}.csv"
+        with open(mon_csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(monitor_rows[0].keys()))
+            w.writeheader()
+            w.writerows(monitor_rows)
+        print(f"wrote {mon_csv}")
     total = sum(r["wall_s"] for r in rows if not r["stage"].startswith("ingest_batch"))
     print(json.dumps({
         "metric": "capstone_wall_sec", "value": round(total, 1), "unit": "sec",

@@ -100,8 +100,12 @@ def theta_set_estimates(
     set math then never touches the raw data: theta = min(theta_a,
     theta_b), and every estimate is ``|sample set op| * 2^60 / theta``.
     """
-    sk_a = kmv_sketch(df.where(pred_a), value_col, k)
-    sk_b = kmv_sketch(df.where(pred_b), value_col, k)
+    # materialize each k-row sketch ONCE: without this the plan
+    # re-derives both sketches from the raw table for every estimate
+    # branch (measured: 37 scans / 71 exchanges at sf0.01) — the set
+    # algebra must run on the k-row relations, not on re-scans
+    sk_a = kmv_sketch(df.where(pred_a), value_col, k).localCheckpoint()
+    sk_b = kmv_sketch(df.where(pred_b), value_col, k).localCheckpoint()
 
     theta_a, _ = _theta_and_retained(sk_a, k)
     theta_b, _ = _theta_and_retained(sk_b, k)
@@ -115,38 +119,53 @@ def theta_set_estimates(
         )
     )
 
-    # retained samples strictly below the COMBINED theta
-    a = sk_a.crossJoin(F.broadcast(thetas)).where(F.col("h") < F.col("theta"))
-    b = sk_b.crossJoin(F.broadcast(thetas)).where(F.col("h") < F.col("theta"))
-    both = a.select("h").intersect(b.select("h"))
-    either = a.select("h").union(b.select("h")).distinct()
-    only_a = a.select("h").exceptAll(both)
-
-    def _est(sample: DataFrame, name: str) -> DataFrame:
-        n = sample.agg(F.count(F.lit(1)).alias("_n"))
-        return n.crossJoin(thetas.select("theta")).select(
-            F.round(
-                F.col("_n").cast("double")
-                * F.lit(float(_KMV_SCALE))
-                / F.col("theta").cast("double"),
-                4,
-            ).alias(f"est_{name}"),
-            F.col("_n").alias(f"n_{name}"),
-        )
-
-    out = (
-        _est(a, "a")
-        .crossJoin(_est(b, "b"))
-        .crossJoin(_est(both, "intersection"))
-        .crossJoin(_est(either, "union"))
-        .crossJoin(_est(only_a, "a_not_b"))
+    # retained samples strictly below the COMBINED theta; then ALL
+    # five set cardinalities come out of ONE full-outer join + ONE
+    # aggregate over the <= 2k retained rows (the membership flags
+    # in_a/in_b encode intersection, union, and difference at once)
+    a = (
+        sk_a.crossJoin(F.broadcast(thetas.select("theta")))
+        .where(F.col("h") < F.col("theta"))
+        .select("h", F.lit(1).alias("in_a"))
     )
-    return out.select(
-        "est_a",
-        "est_b",
-        "est_union",
-        "est_intersection",
-        "est_a_not_b",
+    b = (
+        sk_b.crossJoin(F.broadcast(thetas.select("theta")))
+        .where(F.col("h") < F.col("theta"))
+        .select("h", F.lit(1).alias("in_b"))
+    )
+    counts = (
+        a.join(b, "h", "full_outer")
+        .agg(
+            F.sum("in_a").alias("n_a"),
+            F.sum("in_b").alias("n_b"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_intersection"),
+            F.count(F.lit(1)).alias("n_union"),
+            F.sum(
+                F.col("in_a") * (F.lit(1) - F.coalesce(F.col("in_b"), F.lit(0)))
+            ).alias("n_a_not_b"),
+        )
+        .select(
+            *[
+                F.coalesce(F.col(c), F.lit(0)).alias(c)
+                for c in ("n_a", "n_b", "n_intersection", "n_union", "n_a_not_b")
+            ]
+        )
+    )
+
+    def _est(n_col: str, name: str):
+        return F.round(
+            F.col(n_col).cast("double")
+            * F.lit(float(_KMV_SCALE))
+            / F.col("theta").cast("double"),
+            4,
+        ).alias(f"est_{name}")
+
+    return counts.crossJoin(F.broadcast(thetas.select("theta"))).select(
+        _est("n_a", "a"),
+        _est("n_b", "b"),
+        _est("n_union", "union"),
+        _est("n_intersection", "intersection"),
+        _est("n_a_not_b", "a_not_b"),
         "n_a",
         "n_b",
         "n_intersection",

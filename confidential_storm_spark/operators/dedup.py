@@ -40,6 +40,7 @@ __all__ = [
     "simhash_pairs_sql",
     "simhash_neardup_pairs",
     "hamming_banded_pairs",
+    "hamming_lsh_pairs",
     "embedding_neardup_pairs",
     "embedding_neardup_pairs_lsh",
     "embedding_lsh_pairs_sql",
@@ -665,13 +666,30 @@ def hamming_banded_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     approximate: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs over ANY 64-bit fingerprint relation
     (_id, sig): banded bucket join + exact JVM bit_count(XOR)
     verification — the shared algebra behind text simhash and image
     pHash dedup.  Pigeonhole recall guarantee at
     ``max_hamming <= bands - 1`` (see :func:`simhash_neardup_pairs`);
-    larger thresholds require ``approximate=True``."""
+    larger thresholds require ``approximate=True``.
+
+    ``max_bucket_size`` is the scale valve this join needs beyond
+    ~100k items: with b bands over a 64-bit hash a band value has only
+    ``2^(64/b)`` possibilities (bands=8 -> 256), so the bucket COUNT
+    is fixed at ``b * 2^(64/b)`` and candidate pairs grow
+    QUADRATICALLY with corpus size (measured: the uncapped audio
+    dedup runs 19 s on 55k items at sf1 but explodes past a 40 GB
+    heap at sf10 — ~4.7B candidate pairs by the bucket law).  The cap
+    keeps the deterministically-first ``max_bucket_size`` ids per
+    (band, band_val) bucket — same design as the minhash band index's
+    ``max_bucket_size`` (sources/writers.py): an over-full bucket is
+    a low-information band whose exhaustive verification is the
+    quadratic part; the other bands still vouch for most true pairs.
+    Recall becomes partial (measured per-corpus in
+    benchmark/media_banded_cap.csv); None (default) preserves the
+    exact certified behavior."""
     if max_hamming > bands - 1 and not approximate:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
@@ -697,6 +715,15 @@ def hamming_banded_pairs(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.band_val")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_val").orderBy("_id")
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
     cand = (
         banded.alias("l")
         .join(
@@ -708,6 +735,15 @@ def hamming_banded_pairs(
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
     )
+    return _verify_hamming_pairs(cand, sigs, max_hamming)
+
+
+def _verify_hamming_pairs(
+    cand: DataFrame, sigs: DataFrame, max_hamming: int
+) -> DataFrame:
+    """Exact verification tail shared by the banded and LSH candidate
+    generators: join the signatures back and keep bit_count(XOR) <=
+    max_hamming — JVM-side, codegen, no Python."""
     sh = sigs.select("_id", "sig")
     return (
         cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
@@ -716,6 +752,87 @@ def hamming_banded_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def hamming_lsh_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 7,
+    bits_per_table: int = 16,
+    tables: int = 28,
+    seed: int = 42,
+    max_bucket_size: int | None = 4096,
+) -> DataFrame:
+    """Near-dup pairs over a 64-bit fingerprint relation (_id, sig)
+    via BIT-SAMPLING LSH (Indyk-Motwani) — the scale path where the
+    banded join's key space runs out.
+
+    Why it exists: :func:`hamming_banded_pairs` with b bands keys
+    buckets by 64/b-bit band values, so the TOTAL bucket count is
+    fixed at ``b * 2^(64/b)`` (bands=8 -> 2048) and candidates grow
+    quadratically with corpus size — measured: 19 s at 55k items,
+    heap-death at 550k.  Bit-sampling LSH instead keys each of L
+    tables by k bits sampled (seeded, deterministic) from the 64:
+    bucket space is ``L * 2^k`` (k=16, L=28 -> 1.8M), and k simply
+    grows with log(N) at larger corpora.  Recall for a pair at
+    Hamming distance r is ``1 - (1 - ((64-r)/64)^k)^L`` — at r=7,
+    k=16, L=28 that is 0.9915; candidates are verified EXACTLY
+    (bit_count(XOR)), so precision is always 1.  The trade vs the
+    banded join's pigeonhole guarantee is probabilistic recall —
+    measured per-corpus in benchmark/media_hamming_lsh.csv.
+
+    ``max_bucket_size`` remains a backstop against degenerate buckets
+    (e.g. constant-region fingerprints); with a healthy key space it
+    should almost never bind — keep it well above the expected bucket
+    size so it only clips pathologies."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    positions = [
+        sorted(int(p) for p in rng.choice(64, size=bits_per_table, replace=False))
+        for _ in range(tables)
+    ]
+    sigs = sigs.localCheckpoint(eager=False)  # key build + verify reuse it
+
+    def table_key(ps: list[int]) -> Column:
+        acc = F.lit(0).cast("long")
+        for j, p in enumerate(ps):
+            acc = acc.bitwiseOR(
+                F.shiftleft(F.shiftright(F.col("sig"), p).bitwiseAND(F.lit(1)), j)
+            )
+        return acc
+
+    keyed = sigs.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), table_key(ps).alias("kv"))
+                    for t, ps in enumerate(positions)
+                ]
+            )
+        ).alias("tk"),
+    ).select("_id", "tk.tbl", "tk.kv")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("tbl", "kv").orderBy("_id")
+        keyed = (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
+    cand = (
+        keyed.alias("l")
+        .join(
+            keyed.alias("r"),
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.kv") == F.col("r.kv"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    return _verify_hamming_pairs(cand, sigs, max_hamming)
 
 
 def simhash_neardup_pairs(

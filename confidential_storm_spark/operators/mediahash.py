@@ -276,14 +276,17 @@ def image_blockmean_neardup(
     id_col: str = "media_id",
     max_hamming: int = 7,
     bands: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Image near-dup pairs (id_a, id_b, hamming) over block-mean
     hashes via the shared banded-Hamming join — guaranteed recall at
-    max_hamming <= bands-1."""
+    max_hamming <= bands-1 (partial when max_bucket_size caps hot
+    buckets; see dedup.hamming_banded_pairs)."""
     from .dedup import hamming_banded_pairs
 
     return hamming_banded_pairs(
         image_blockmean_hashes(media, payload_col, id_col),
+        max_bucket_size=max_bucket_size,
         max_hamming=max_hamming,
         bands=bands,
     )
@@ -295,13 +298,16 @@ def audio_energy_neardup(
     id_col: str = "media_id",
     max_hamming: int = 7,
     bands: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Audio near-dup pairs (id_a, id_b, hamming) over energy-contour
-    fingerprints via the shared banded-Hamming join."""
+    fingerprints via the shared banded-Hamming join (partial recall
+    when max_bucket_size caps hot buckets)."""
     from .dedup import hamming_banded_pairs
 
     return hamming_banded_pairs(
         audio_energy_hashes(media, payload_col, id_col),
+        max_bucket_size=max_bucket_size,
         max_hamming=max_hamming,
         bands=bands,
     )

@@ -1,0 +1,102 @@
+"""Bit-sampling Hamming LSH (dedup.hamming_lsh_pairs): recall law,
+exact verification, determinism, and the bucket-law contrast with the
+banded join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from confidential_storm_spark.operators.dedup import (
+    hamming_banded_pairs,
+    hamming_lsh_pairs,
+)
+
+
+def _sig_df(spark, sigs):
+    return spark.createDataFrame(
+        [(i, int(np.int64(np.uint64(s)))) for i, s in enumerate(sigs)],
+        "_id long, sig long",
+    )
+
+
+def _planted_corpus(n=400, r=5, seed=7):
+    """n random 64-bit sigs; the second half is the first half with
+    exactly r bit flips — planted pairs (i, i + n//2)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 1 << 63, size=n // 2, dtype=np.uint64)
+    flipped = base.copy()
+    for i in range(len(flipped)):
+        for p in rng.choice(64, size=r, replace=False):
+            flipped[i] ^= np.uint64(1) << np.uint64(p)
+    return np.concatenate([base, flipped])
+
+
+def test_lsh_finds_planted_pairs_at_recall_law(spark):
+    n, r = 400, 5
+    sigs = _planted_corpus(n, r)
+    df = _sig_df(spark, sigs)
+    got = hamming_lsh_pairs(df, max_hamming=7, bits_per_table=16, tables=28)
+    pairs = {(row.id_a, row.id_b) for row in got.collect()}
+    planted = {(i, i + n // 2) for i in range(n // 2)}
+    found = len(planted & pairs)
+    # theory: recall = 1 - (1 - ((64-5)/64)^16)^28 = 0.9938 at r=5;
+    # allow slack for the random corpus
+    assert found / len(planted) > 0.95
+    # exact verification: every reported pair really is within 7 bits
+    for row in got.collect():
+        h = bin(int(sigs[row.id_a]) ^ int(sigs[row.id_b])).count("1")
+        assert h <= 7 and h == row.hamming
+
+
+def test_lsh_deterministic_across_runs(spark):
+    sigs = _planted_corpus(200, 3)
+    df = _sig_df(spark, sigs)
+    a = sorted(map(tuple, hamming_lsh_pairs(df, max_hamming=7).collect()))
+    b = sorted(map(tuple, hamming_lsh_pairs(df, max_hamming=7).collect()))
+    assert a == b
+
+
+def test_lsh_identical_sigs_always_pair(spark):
+    # distance 0 collides in EVERY table: recall is exactly 1
+    df = _sig_df(spark, [12345, 12345, 99999])
+    got = {(r.id_a, r.id_b) for r in hamming_lsh_pairs(df, max_hamming=7).collect()}
+    assert (0, 1) in got and len(got) == 1
+
+
+def test_lsh_bucket_space_beats_banded(spark):
+    # the design point: banded join key space is b * 2^(64/b) buckets
+    # TOTAL (bands=8 -> 2048); LSH tables give L * 2^k.  On a corpus
+    # of near-constant fingerprints the banded join candidates grow
+    # ~quadratically while LSH's backstop cap bounds them
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 1 << 63, dtype=np.uint64)
+    sigs = [int(base ^ np.uint64(1) << np.uint64(rng.integers(0, 64))) for _ in range(300)]
+    df = _sig_df(spark, np.array(sigs, dtype=np.uint64))
+    capped = hamming_lsh_pairs(
+        df, max_hamming=64, bits_per_table=16, tables=4, max_bucket_size=16
+    )
+    # 4 tables x C(16,2) bounded candidates per bucket cluster; the
+    # uncapped banded join on the same corpus yields ~C(300,2) pairs
+    assert capped.count() < 4 * 16 * 16
+    banded = hamming_banded_pairs(df, max_hamming=63, bands=8, approximate=True)
+    assert banded.count() > 40_000  # ~all pairs collide: the quadratic shape
+
+
+def test_lsh_key_width_respected(spark):
+    # keys must fit bits_per_table bits whatever the sig sign bit does
+    df = _sig_df(spark, np.array([np.uint64((1 << 64) - 1), np.uint64(0)], dtype=np.uint64))
+    from confidential_storm_spark.operators.dedup import _verify_hamming_pairs  # noqa: F401
+
+    got = hamming_lsh_pairs(df, max_hamming=64, bits_per_table=8, tables=2)
+    assert got.count() == 0  # distance 64: never within the radius
+
+
+@pytest.mark.parametrize("r,expected", [(3, 1.0), (7, 0.9915), (10, 0.8521)])
+def test_lsh_recall_law_reference_values(r, expected):
+    # the closed form quoted in the docstring
+    k, L = 16, 28
+    p = (64 - r) / 64
+    recall = 1 - (1 - p**k) ** L
+    assert abs(recall - expected) < 5e-4

@@ -41,6 +41,7 @@ __all__ = [
     "simhash_neardup_pairs",
     "hamming_banded_pairs",
     "hamming_lsh_pairs",
+    "lsh_bit_positions",
     "embedding_neardup_pairs",
     "embedding_neardup_pairs_lsh",
     "embedding_lsh_pairs_sql",
@@ -754,6 +755,25 @@ def _verify_hamming_pairs(
     )
 
 
+def lsh_bit_positions(
+    bits_per_table: int, tables: int, seed: int
+) -> list[list[int]]:
+    """The deterministic sampled-bit layout shared by
+    :func:`hamming_lsh_pairs` and its DuckDB oracle twin
+    (plans/queries.py ``dedup_simhash_lsh``): table t keys on exactly
+    these bit positions, so a pair collides in table t iff
+    ``XOR(sig_a, sig_b)`` has no set bit among them — the mask form
+    the oracle tests.  One source of truth so the Spark path and the
+    certification twin can never drift."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [
+        sorted(int(p) for p in rng.choice(64, size=bits_per_table, replace=False))
+        for _ in range(tables)
+    ]
+
+
 def hamming_lsh_pairs(
     sigs: DataFrame,
     max_hamming: int = 7,
@@ -784,13 +804,7 @@ def hamming_lsh_pairs(
     (e.g. constant-region fingerprints); with a healthy key space it
     should almost never bind — keep it well above the expected bucket
     size so it only clips pathologies."""
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    positions = [
-        sorted(int(p) for p in rng.choice(64, size=bits_per_table, replace=False))
-        for _ in range(tables)
-    ]
+    positions = lsh_bit_positions(bits_per_table, tables, seed)
     sigs = sigs.localCheckpoint(eager=False)  # key build + verify reuse it
 
     def table_key(ps: list[int]) -> Column:

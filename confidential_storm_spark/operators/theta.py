@@ -41,7 +41,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_sketch", "theta_set_estimates", "theta_set_estimates_sql"]
+__all__ = [
+    "kmv_sketch",
+    "kmv_sketch_keyed",
+    "kmv_merge_keyed",
+    "kmv_finish_keyed",
+    "theta_set_estimates",
+    "theta_set_estimates_sql",
+    "kmv_distinct_keyed_sql",
+]
 
 # 15 hex chars = 60 bits: fits int64 in both engines with headroom
 _KMV_BITS = 60
@@ -65,6 +73,111 @@ def kmv_sketch(df: DataFrame, value_col: str, k: int) -> DataFrame:
         .orderBy("h")
         .limit(k)
     )
+
+
+def kmv_sketch_keyed(
+    df: DataFrame, key_cols: list[str], value_col: str, k: int
+) -> DataFrame:
+    """Per-key KMV sketches as one relation: the k smallest distinct
+    60-bit hashes of ``value_col`` within each ``key_cols`` group —
+    ``key_cols + [h]``, at most k rows per key whatever the
+    cardinality.  This relation IS the stored sketch-MV state (same
+    storage shape as :func:`..operators.sketches.hll_registers_keyed`
+    but with direct set-algebra power — see the module docstring).
+
+    Scale shape: one distinct on (key, h) — map-side combined — then a
+    per-key TopK window; nothing downstream ever touches raw data."""
+    from pyspark.sql import Window
+
+    h = df.select(
+        *key_cols, _kmv_hash(F.col(value_col)).alias("h")
+    ).distinct()
+    w = Window.partitionBy(*key_cols).orderBy("h")
+    return (
+        h.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_merge_keyed(
+    sketch: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Merge a keyed-sketch relation down to COARSER keys: distinct
+    hashes across the merged fine keys, k smallest per coarse group.
+    Lossless by the k-min containment argument: every hash in the
+    slice's true global k-minimum is necessarily within its own fine
+    key's k-minimum, so the merge of stored sketches re-derives the
+    slice's sketch BIT-IDENTICALLY to a direct scan — the property the
+    driver's hash gate certifies via :func:`kmv_distinct_keyed_sql`."""
+    from pyspark.sql import Window
+
+    h = sketch.select(*group_cols, "h").distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        h.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_finish_keyed(
+    sketch: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Per-key distinct estimate from a keyed-sketch relation: theta =
+    k-th smallest hash when saturated (else 2^60 = exact mode),
+    retained = hashes strictly below theta, estimate = retained *
+    2^60 / theta — integer domain throughout, ONE double division per
+    key, so the DuckDB twin is bit-identical."""
+    st = sketch.groupBy(*group_cols).agg(
+        F.max("h").alias("_kth"), F.count(F.lit(1)).alias("_n")
+    )
+    theta = F.when(F.col("_n") >= k, F.col("_kth")).otherwise(
+        F.lit(_KMV_SCALE)
+    )
+    retained = F.when(F.col("_n") >= k, F.col("_n") - 1).otherwise(
+        F.col("_n")
+    )
+    return st.select(
+        *group_cols,
+        F.round(
+            retained.cast("double")
+            * F.lit(float(_KMV_SCALE))
+            / theta.cast("double"),
+            4,
+        ).alias("est_distinct"),
+        retained.alias("n_retained"),
+    )
+
+
+def kmv_distinct_keyed_sql(
+    table: str, group_cols: list[str], value_col: str, k: int
+) -> str:
+    """DuckDB twin of ``kmv_sketch_keyed -> kmv_finish_keyed`` built
+    from the RAW table (the lossless-merge proof: the rollup-served
+    estimate must hash-match this direct-scan derivation)."""
+    keys = ", ".join(group_cols)
+    return f"""(
+WITH _h AS (
+  SELECT DISTINCT {keys},
+         CAST('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM {table}
+),
+_r AS (
+  SELECT {keys}, h,
+         ROW_NUMBER() OVER (PARTITION BY {keys} ORDER BY h) AS rn
+  FROM _h
+),
+_sk AS (SELECT {keys}, h FROM _r WHERE rn <= {k}),
+_st AS (SELECT {keys}, MAX(h) AS kth, COUNT(*) AS n FROM _sk GROUP BY {keys})
+SELECT {keys},
+       ROUND(CAST(CASE WHEN n >= {k} THEN n - 1 ELSE n END AS DOUBLE)
+             * {float(_KMV_SCALE)!r}
+             / CAST(CASE WHEN n >= {k} THEN kth ELSE {_KMV_SCALE} END AS DOUBLE),
+             4) AS est_distinct,
+       CASE WHEN n >= {k} THEN n - 1 ELSE n END AS n_retained
+FROM _st
+)"""
 
 
 def _theta_and_retained(sketch: DataFrame, k: int) -> tuple[Column, DataFrame]:

@@ -5879,6 +5879,392 @@ QUERIES["stream_sessions_replay"] = QueryDef(
 )
 
 
+# ---------------------------------------------------------------------------
+# round-9 third wave: the theta rollup MV, the certified bit-sampling
+# LSH path, erasure propagation, and streaming MV maintenance
+# ---------------------------------------------------------------------------
+
+_THETA_WK2 = ("2024-01-08", "2024-01-15")
+_THETA_WK3 = ("2024-01-15", "2024-01-22")
+
+
+def _theta_rollup_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """Standing theta/KMV sketch-MV state: per (day, event_type) k-row
+    KMV sketches of the user set (operators/theta.py
+    ``kmv_sketch_keyed``) — the sketch-valued sibling of the HLL
+    register table, with one extra power: merged slices support DIRECT
+    intersection estimates (HLL registers only union)."""
+    import os
+
+    from ..operators.theta import kmv_sketch_keyed
+
+    path = _index_cache_path(sf_dir, "theta_rollup", THETA_K, table="events")
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        ev = load_table(spark, sf_dir, "events").select(
+            F.to_date("ts").alias("day"), "event_type", "user_id"
+        )
+        kmv_sketch_keyed(ev, ["day", "event_type"], "user_id", THETA_K).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def theta_rollup_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch rollup MV: distinct-user estimates for the full
+    month, week 2, and week 3 — AND the week2∩week3 user overlap —
+    every one answered from the standing per-day k-row sketch table,
+    never re-scanning events.  The slice estimates are bit-identical
+    to direct scans by k-min containment (every hash in a slice's
+    global k-minimum is inside its own day's k-minimum); the overlap
+    rows are what the HLL rollup cannot do: retained hashes are real
+    samples below theta = min(theta_w2, theta_w3), so the intersection
+    is a direct sample count, no inclusion-exclusion.  Oracle:
+    identical integer math re-derived from the RAW table."""
+    from ..operators.theta import (
+        _KMV_SCALE,
+        kmv_finish_keyed,
+        kmv_merge_keyed,
+    )
+
+    k = THETA_K
+    regs = spark.read.parquet(_theta_rollup_artifact(spark, sf_dir))
+
+    def _slice(lo: str, hi: str) -> DataFrame:
+        return kmv_merge_keyed(
+            regs.where(
+                (F.col("day") >= F.lit(lo).cast("date"))
+                & (F.col("day") < F.lit(hi).cast("date"))
+            ),
+            ["event_type"],
+            k,
+        ).localCheckpoint()
+
+    month = kmv_merge_keyed(regs, ["event_type"], k)
+    sk2 = _slice(*_THETA_WK2)
+    sk3 = _slice(*_THETA_WK3)
+
+    def _scoped(sk: DataFrame, scope: str) -> DataFrame:
+        return kmv_finish_keyed(sk, ["event_type"], k).select(
+            F.lit(scope).alias("scope"), "event_type", "est_distinct", "n_retained"
+        )
+
+    def _stats(sk: DataFrame, tag: str) -> DataFrame:
+        return sk.groupBy("event_type").agg(
+            F.max("h").alias(f"_kth{tag}"), F.count(F.lit(1)).alias(f"_n{tag}")
+        )
+
+    def _theta(tag: str) -> Column:
+        return F.when(
+            F.col(f"_n{tag}") >= k, F.col(f"_kth{tag}")
+        ).otherwise(F.lit(_KMV_SCALE))
+
+    th = (
+        _stats(sk2, "2")
+        .join(_stats(sk3, "3"), "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.least(_theta("2"), _theta("3")).alias("theta"),
+        )
+    )
+    ra = sk2.join(th, "event_type").where(F.col("h") < F.col("theta")).select("event_type", "h")
+    rb = sk3.join(th, "event_type").where(F.col("h") < F.col("theta")).select("event_type", "h")
+    ov = ra.join(rb, ["event_type", "h"]).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    overlap = (
+        th.join(ov, "event_type", "left")
+        .select(
+            F.lit("overlap_w2_w3").alias("scope"),
+            "event_type",
+            F.round(
+                F.coalesce(F.col("_cnt"), F.lit(0)).cast("double")
+                * F.lit(float(_KMV_SCALE))
+                / F.col("theta").cast("double"),
+                4,
+            ).alias("est_distinct"),
+            F.coalesce(F.col("_cnt"), F.lit(0)).alias("n_retained"),
+        )
+    )
+    return (
+        _scoped(month, "month")
+        .unionByName(_scoped(sk2, "week2"))
+        .unionByName(_scoped(sk3, "week3"))
+        .unionByName(overlap)
+        .orderBy("scope", "event_type")
+    )
+
+
+def _theta_rollup_sql() -> str:
+    from ..operators.theta import _KMV_SCALE, kmv_distinct_keyed_sql
+
+    k = THETA_K
+    scale = _KMV_SCALE
+
+    def _src(lo: str, hi: str) -> str:
+        return (
+            "(SELECT event_type, user_id FROM events WHERE ts >= TIMESTAMP "
+            f"'{lo}' AND ts < TIMESTAMP '{hi}')"
+        )
+
+    month = kmv_distinct_keyed_sql("events", ["event_type"], "user_id", k)
+    w2 = kmv_distinct_keyed_sql(_src(*_THETA_WK2), ["event_type"], "user_id", k)
+    w3 = kmv_distinct_keyed_sql(_src(*_THETA_WK3), ["event_type"], "user_id", k)
+
+    def _sk(lo: str, hi: str) -> str:
+        return f"""
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM (SELECT DISTINCT event_type,
+                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+          FROM events WHERE ts >= TIMESTAMP '{lo}' AND ts < TIMESTAMP '{hi}')
+  ) WHERE rn <= {k}"""
+
+    return f"""
+WITH sk2 AS ({_sk(*_THETA_WK2)}),
+sk3 AS ({_sk(*_THETA_WK3)}),
+st2 AS (SELECT event_type, MAX(h) AS kth2, COUNT(*) AS n2 FROM sk2 GROUP BY event_type),
+st3 AS (SELECT event_type, MAX(h) AS kth3, COUNT(*) AS n3 FROM sk3 GROUP BY event_type),
+th AS (
+  SELECT COALESCE(st2.event_type, st3.event_type) AS event_type,
+         LEAST(CASE WHEN n2 >= {k} THEN kth2 ELSE {scale} END,
+               CASE WHEN n3 >= {k} THEN kth3 ELSE {scale} END) AS theta
+  FROM st2 FULL OUTER JOIN st3 ON st2.event_type = st3.event_type
+),
+ra AS (SELECT sk2.event_type, h FROM sk2 JOIN th ON sk2.event_type = th.event_type AND h < theta),
+rb AS (SELECT sk3.event_type, h FROM sk3 JOIN th ON sk3.event_type = th.event_type AND h < theta),
+ov AS (SELECT ra.event_type, COUNT(*) AS cnt
+       FROM ra JOIN rb ON ra.event_type = rb.event_type AND ra.h = rb.h
+       GROUP BY ra.event_type)
+SELECT 'month' AS scope, event_type, est_distinct, n_retained FROM ({month}) m
+UNION ALL
+SELECT 'week2' AS scope, event_type, est_distinct, n_retained FROM ({w2}) w2
+UNION ALL
+SELECT 'week3' AS scope, event_type, est_distinct, n_retained FROM ({w3}) w3
+UNION ALL
+SELECT 'overlap_w2_w3' AS scope, th.event_type,
+       ROUND(CAST(COALESCE(cnt, 0) AS DOUBLE) * {float(scale)!r}
+             / CAST(theta AS DOUBLE), 4) AS est_distinct,
+       COALESCE(cnt, 0) AS n_retained
+FROM th LEFT JOIN ov ON th.event_type = ov.event_type
+ORDER BY scope, event_type
+"""
+
+
+SIMHASH_LSH_MAX_HAMMING = 3
+_SIMHASH_LSH_BITS = 16
+_SIMHASH_LSH_TABLES = 28
+_SIMHASH_LSH_SEED = 42
+
+
+def dedup_simhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bit-sampling Hamming-LSH scale path itself under the value
+    hash gate: simhash near-dup pairs found by
+    :func:`operators.dedup.hamming_lsh_pairs` (L seeded bit-sample
+    tables, exact XOR-popcount verification) rather than the banded
+    join.  Unlike ``dedup_simhash_pairs`` (pigeonhole guarantee -> the
+    oracle is the plain all-pairs Hamming join), recall here is
+    probabilistic, so the oracle replicates the COLLISION TEST
+    exactly: pair (a, b) collides in table t iff XOR(sig_a, sig_b)
+    has no set bit among t's sampled positions — a bitmask test the
+    twin bakes in from the same seeded layout
+    (``lsh_bit_positions``).  ``max_bucket_size=None`` so the Spark
+    path and the mask-form oracle are semantically identical."""
+    from ..operators.dedup import hamming_lsh_pairs, simhash64
+
+    sigs = (
+        simhash64(load_table(spark, sf_dir, "documents"))
+        .withColumnRenamed("doc_id", "_id")
+        .withColumnRenamed("simhash", "sig")
+    )
+    return hamming_lsh_pairs(
+        sigs,
+        max_hamming=SIMHASH_LSH_MAX_HAMMING,
+        bits_per_table=_SIMHASH_LSH_BITS,
+        tables=_SIMHASH_LSH_TABLES,
+        seed=_SIMHASH_LSH_SEED,
+        max_bucket_size=None,
+    ).orderBy("id_a", "id_b")
+
+
+def _simhash_lsh_sql() -> str:
+    from ..operators.dedup import lsh_bit_positions, simhash_cte_sql
+
+    masks = []
+    for ps in lsh_bit_positions(
+        _SIMHASH_LSH_BITS, _SIMHASH_LSH_TABLES, _SIMHASH_LSH_SEED
+    ):
+        m = 0
+        for p in ps:
+            m |= 1 << p
+        if m >= 1 << 63:  # two's-complement BIGINT literal
+            m -= 1 << 64
+        masks.append(m)
+    collide = " OR ".join(f"(x & ({m})) = 0" for m in masks)
+    return f"""
+WITH sig AS (SELECT * FROM {simhash_cte_sql('documents')}),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         xor(a.simhash, b.simhash) AS x
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(x) AS INTEGER) AS hamming
+FROM p
+WHERE bit_count(x) <= {SIMHASH_LSH_MAX_HAMMING}
+  AND ({collide})
+ORDER BY id_a, id_b
+"""
+
+
+_ERASE_MOD = 97
+
+
+def erase_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade — the compliance rewrite every
+    100 TB warehouse must run: a small deletion list (customers with
+    ``c_custkey % {mod} == 0``) broadcast-anti-joins out of customer
+    and orders, then the deleted ORDER keys anti-join out of lineitem
+    (the grandchild table never sees the customer key).  Output: the
+    post-erasure per-segment survivor counts and exact-decimal
+    revenue, which the oracle recomputes from scratch — proving the
+    cascade deleted exactly the closure of the deletion list, no more,
+    no less.  Scale shape: the victim list is broadcast; each fact
+    table is rewritten in ONE anti-join scan; nothing quadratic,
+    nothing driver-side."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    victims = cust.where(F.col("c_custkey") % _ERASE_MOD == 0).select("c_custkey")
+    cust_kept = cust.join(F.broadcast(victims), "c_custkey", "left_anti")
+    orders_kept = orders.join(
+        F.broadcast(victims.withColumnRenamed("c_custkey", "o_custkey")),
+        "o_custkey",
+        "left_anti",
+    )
+    dead_orders = orders.join(
+        F.broadcast(victims.withColumnRenamed("c_custkey", "o_custkey")),
+        "o_custkey",
+        "left_semi",
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    li_kept = li.join(dead_orders, "l_orderkey", "left_anti")
+
+    seg_c = cust_kept.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("customers_left")
+    )
+    seg_o = (
+        orders_kept.join(
+            cust_kept.select("c_custkey", "c_mktsegment"),
+            orders_kept.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("orders_left"))
+    )
+    seg_l = (
+        li_kept.join(
+            orders_kept.select("o_orderkey", "o_custkey"),
+            li_kept.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            cust_kept.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("lineitems_left"),
+            F.round(F.sum(_disc_price_dec()), 2).cast("double").alias(
+                "revenue_left"
+            ),
+        )
+    )
+    return (
+        seg_c.join(seg_o, "c_mktsegment")
+        .join(seg_l, "c_mktsegment")
+        .orderBy("c_mktsegment")
+    )
+
+
+ERASE_PROPAGATION_SQL = f"""
+WITH victims AS (SELECT c_custkey FROM customer WHERE c_custkey % {_ERASE_MOD} = 0),
+ck AS (SELECT * FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM victims)),
+ok AS (SELECT * FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM victims)),
+dead_o AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM victims)),
+lk AS (SELECT * FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM dead_o)),
+seg_c AS (SELECT c_mktsegment, COUNT(*) AS customers_left FROM ck GROUP BY c_mktsegment),
+seg_o AS (
+  SELECT c_mktsegment, COUNT(*) AS orders_left
+  FROM ok JOIN ck ON o_custkey = c_custkey GROUP BY c_mktsegment
+),
+seg_l AS (
+  SELECT c_mktsegment, COUNT(*) AS lineitems_left,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+           AS revenue_left
+  FROM lk JOIN ok ON l_orderkey = o_orderkey JOIN ck ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT seg_c.c_mktsegment, customers_left, orders_left, lineitems_left, revenue_left
+FROM seg_c JOIN seg_o ON seg_c.c_mktsegment = seg_o.c_mktsegment
+JOIN seg_l ON seg_c.c_mktsegment = seg_l.c_mktsegment
+ORDER BY seg_c.c_mktsegment
+"""
+
+
+def stream_mv_refresh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous MV maintenance under the hash gate: the exact-money
+    revenue MV (operators/mv.py) maintained by a STREAMING aggregation
+    — orders replay in 4 orderkey epochs, the state store accumulates
+    per-(priority, year) DECIMAL partials across batches, update mode
+    emits each group's running total, and the harness keeps each key's
+    LAST emission = the final MV state.  Finish derives revenue/avg
+    from (exact sum, count).  The oracle is the batch MV's full
+    recompute — streaming arrival order must be invisible."""
+    from ..operators.mv import finish_revenue, revenue_partials
+    from ..streaming.replay import replay_available_now
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        "o_totalprice",
+        (F.col("o_orderkey") % 4).alias("epoch"),
+    )
+    out = replay_available_now(
+        spark,
+        orders,
+        "epoch",
+        lambda s: revenue_partials(s, ["o_orderpriority", "order_year"]),
+        output_mode="update",
+        latest_per=["o_orderpriority", "order_year"],
+    )
+    return finish_revenue(out).orderBy("o_orderpriority", "order_year")
+
+
+QUERIES["theta_rollup_mv"] = QueryDef(
+    theta_rollup_mv,
+    _theta_rollup_sql(),
+    "theta-sketch rollup MV: slice estimates AND direct week-overlap from stored per-day k-min sketches",
+    "training-data",
+)
+QUERIES["dedup_simhash_lsh"] = QueryDef(
+    dedup_simhash_lsh,
+    _simhash_lsh_sql(),
+    "bit-sampling Hamming LSH path certified: seeded mask collision test reproduced in the oracle",
+    "training-data",
+)
+QUERIES["erase_propagation"] = QueryDef(
+    erase_propagation,
+    ERASE_PROPAGATION_SQL,
+    "right-to-erasure cascade: broadcast victim anti-joins, per-segment survivor audit",
+    "training-data",
+)
+QUERIES["stream_mv_refresh_replay"] = QueryDef(
+    stream_mv_refresh_replay,
+    MV_INCREMENTAL_REVENUE_SQL,
+    "streaming MV maintenance: 4-epoch replayed DECIMAL partials, final state == full recompute",
+    "streaming",
+)
+
+
 # Names the driver's 50-row correctness gate has ALREADY certified
 # (union of CORRECTNESS_r01..r08 green rows — all 131 queries as of
 # round 8).  The driver takes the first 50 entries of queries(), so
@@ -5951,6 +6337,10 @@ _ROUND_NEW: tuple[str, ...] = (
     "hll_rollup_mv",
     "sketch_theta_overlap",
     "stream_sessions_replay",
+    "theta_rollup_mv",
+    "dedup_simhash_lsh",
+    "erase_propagation",
+    "stream_mv_refresh_replay",
 )
 
 

@@ -100,3 +100,73 @@ def test_lsh_recall_law_reference_values(r, expected):
     p = (64 - r) / 64
     recall = 1 - (1 - p**k) ** L
     assert abs(recall - expected) < 5e-4
+
+
+def test_lsh_positions_deterministic_layout():
+    from confidential_storm_spark.operators.dedup import lsh_bit_positions
+
+    a = lsh_bit_positions(16, 28, 42)
+    b = lsh_bit_positions(16, 28, 42)
+    assert a == b
+    assert len(a) == 28
+    for ps in a:
+        assert ps == sorted(ps)
+        assert len(set(ps)) == 16
+        assert all(0 <= p < 64 for p in ps)
+    assert lsh_bit_positions(16, 28, 7) != a
+
+
+def test_lsh_pairs_match_mask_rule_reference(spark):
+    # the oracle form: pair collides in table t iff XOR(sig_a, sig_b)
+    # has no set bit among t's sampled positions; the Spark bucket
+    # join must emit exactly the pairs passing (mask rule) AND
+    # (hamming <= r)
+    import random
+
+    from confidential_storm_spark.operators.dedup import (
+        hamming_lsh_pairs,
+        lsh_bit_positions,
+    )
+
+    bits, tables, seed, r = 8, 6, 13, 7
+    rng = random.Random(99)
+    sigs = {}
+    base = rng.getrandbits(64)
+    for i in range(40):
+        if i % 3 == 0:
+            s, flips = base, rng.randrange(0, 12)
+            for p in rng.sample(range(64), flips):
+                s ^= 1 << p
+            sigs[i] = s
+        else:
+            sigs[i] = rng.getrandbits(64)
+
+    def signed(u):
+        return u - (1 << 64) if u >= 1 << 63 else u
+
+    positions = lsh_bit_positions(bits, tables, seed)
+    masks = [sum(1 << p for p in ps) for ps in positions]
+    expected = set()
+    for a in sigs:
+        for b in sigs:
+            if a >= b:
+                continue
+            x = sigs[a] ^ sigs[b]
+            if bin(x).count("1") <= r and any((x & m) == 0 for m in masks):
+                expected.add((a, b))
+
+    df = spark.createDataFrame(
+        [(i, signed(s)) for i, s in sigs.items()], "_id long, sig long"
+    )
+    got = {
+        (row.id_a, row.id_b)
+        for row in hamming_lsh_pairs(
+            df,
+            max_hamming=r,
+            bits_per_table=bits,
+            tables=tables,
+            seed=seed,
+            max_bucket_size=None,
+        ).collect()
+    }
+    assert got == expected

@@ -174,3 +174,60 @@ def test_session_window_boundary_matches_island_rule(spark):
     )
     per_user = sorted((r.user_id, r.n) for r in out)
     assert per_user == [(1, 2), (2, 1), (2, 1)]
+
+
+def test_kmv_keyed_merge_equals_direct_build(spark):
+    # the lossless-merge property the theta rollup MV rests on: per-day
+    # sketches merged down to the coarse key == the sketch built
+    # directly from the slice (k-min containment), and the finished
+    # estimates match bit-for-bit
+    from confidential_storm_spark.operators.theta import (
+        kmv_finish_keyed,
+        kmv_merge_keyed,
+        kmv_sketch_keyed,
+    )
+
+    k = 16
+    rows = [
+        (d, "g%d" % (v % 2), v * 7919 % 501)  # overlapping values across days
+        for d in range(3)
+        for v in range(400)
+    ]
+    df = spark.createDataFrame(rows, "day int, grp string, v int")
+    fine = kmv_sketch_keyed(df, ["day", "grp"], "v", k)
+    merged = kmv_merge_keyed(fine, ["grp"], k)
+    direct = kmv_sketch_keyed(df, ["grp"], "v", k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    est_m = sorted(map(tuple, kmv_finish_keyed(merged, ["grp"], k).collect()))
+    est_d = sorted(map(tuple, kmv_finish_keyed(direct, ["grp"], k).collect()))
+    assert est_m == est_d
+    # a day-range slice rolls up identically too
+    sl = F.col("day") < 2
+    m_sl = kmv_merge_keyed(fine.where(sl), ["grp"], k)
+    d_sl = kmv_sketch_keyed(df.where(sl), ["grp"], "v", k)
+    assert sorted(map(tuple, m_sl.collect())) == sorted(
+        map(tuple, d_sl.collect())
+    )
+
+
+def test_kmv_finish_unsaturated_is_exact(spark):
+    # below k distinct values the sketch retains everything and the
+    # estimate collapses to the exact distinct count
+    from confidential_storm_spark.operators.theta import (
+        kmv_finish_keyed,
+        kmv_sketch_keyed,
+    )
+
+    df = spark.createDataFrame(
+        [("a", v) for v in range(10)] + [("b", v) for v in range(25)],
+        "grp string, v int",
+    )
+    out = {
+        r.grp: (r.est_distinct, r.n_retained)
+        for r in kmv_finish_keyed(
+            kmv_sketch_keyed(df, ["grp"], "v", 64), ["grp"], 64
+        ).collect()
+    }
+    assert out == {"a": (10.0, 10), "b": (25.0, 25)}

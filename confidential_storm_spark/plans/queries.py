@@ -6239,6 +6239,224 @@ def stream_mv_refresh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finish_revenue(out).orderBy("o_orderpriority", "order_year")
 
 
+def stream_quantiles_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed histogram quantiles under the hash gate —
+    the third of the four bounded-state curation monitors certified by
+    replay (HLL and Misra-Gries already have rows).  Events replay in
+    3 epochs plus two far-future sentinel epochs that advance the
+    watermark so every real 3-day window closes exactly once; the
+    per-window estimate is integer bucket counts + one interpolation
+    division, so it is bit-identical to the batch operator whatever
+    the micro-batch chopping — the oracle is the batch math applied
+    per window.  Streaming op:
+    streaming/sketches.py::histogram_quantiles_stream."""
+    from datetime import datetime
+
+    from ..streaming.replay import replay_available_now
+    from ..streaming.sketches import histogram_quantiles_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "value", (F.col("event_id") % 3).alias("epoch")
+    )
+    sent = spark.createDataFrame(
+        [
+            (datetime(2024, 12, 1), 0.0, 3),
+            (datetime(2024, 12, 1), 0.0, 4),
+        ],
+        "ts timestamp, value double, epoch bigint",
+    )
+    out = replay_available_now(
+        spark,
+        ev.unionByName(sent),
+        "epoch",
+        lambda s: histogram_quantiles_stream(
+            s,
+            "value",
+            qs=SQ_QS,
+            window="3 days",
+            ts_col="ts",
+            watermark_delay="40 days",
+        ),
+        output_mode="append",
+    )
+    return out.orderBy("window_start", "q")
+
+
+def _stream_quantiles_sql(
+    qs: tuple[float, ...] = SQ_QS,
+    lo: int = 0,
+    width: int = 10,
+    n_buckets: int = 64,
+    window_s: int = 259200,
+) -> str:
+    """Per-window variant of
+    ``operators.sketches.histogram_quantiles_sql`` over the same
+    3-day tumbling windows the stream closes."""
+    q_vals = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
+    win = (
+        "TIMESTAMP '1970-01-01' + ((CAST(floor(epoch(ts)) AS BIGINT)"
+        f" // {window_s}) * {window_s}) * INTERVAL 1 SECOND"
+    )
+    return f"""
+WITH src AS (SELECT {win} AS ws, value FROM events),
+_bk AS (
+  SELECT ws,
+         LEAST(GREATEST(CAST(FLOOR((value - {lo}) / {width}) AS BIGINT), 0), {n_buckets - 1}) AS _b,
+         COUNT(*) AS _c
+  FROM src GROUP BY 1, 2
+),
+_cum AS (
+  SELECT x.ws AS ws, x._b AS _b, x._c AS _c, SUM(y._c) AS _cum
+  FROM _bk x JOIN _bk y ON y.ws = x.ws AND y._b <= x._b
+  GROUP BY 1, 2, 3
+),
+_n AS (SELECT ws, COUNT(*) AS n FROM src GROUP BY 1),
+_qs(q) AS (VALUES {q_vals}),
+_first AS (
+  SELECT _cum.ws AS ws, q, CEIL(q * n) AS _target, MIN(_b) AS _b
+  FROM _qs, _n, _cum
+  WHERE _cum.ws = _n.ws AND _cum._cum >= CEIL(q * n)
+  GROUP BY 1, 2, 3
+)
+SELECT _first.ws AS window_start,
+       _first.ws + INTERVAL {window_s} SECOND AS window_end,
+       q,
+       ROUND({lo} + _cum._b * {width}.0
+             + {width}.0 * (_target - (_cum._cum - _cum._c)) / _cum._c, 6) AS est
+FROM _first JOIN _cum ON _first.ws = _cum.ws AND _first._b = _cum._b
+ORDER BY window_start, q
+"""
+
+
+_KL_BINS = 64
+_KL_ALPHA = 0.5
+_KL_REF_MOD = 7
+_KL_WINDOW_S = 172800  # 2 days
+
+
+def stream_kl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vocabulary-drift (windowed hashed-unigram KL) under
+    the hash gate — the last of the four curation monitors.  Reference
+    distribution: every 7th document (the same add-alpha smoothing and
+    md5 bucket map on both sides); stream: the other documents with a
+    deterministic synthetic event time (doc_id % 6 days past
+    2024-01-01) replayed in 3 doc_id epochs, 2-day tumbling windows,
+    empty-text sentinels advance the watermark without contributing
+    tokens.  The oracle re-derives BOTH the reference probabilities
+    and each window's exact all-bins KL from the raw table.
+    Streaming op: streaming/sketches.py::vocab_kl_stream."""
+    from datetime import datetime
+
+    from ..streaming.replay import replay_available_now
+    from ..streaming.sketches import hashed_ref_probs, vocab_kl_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref_texts = [
+        r.text
+        for r in docs.where(F.col("doc_id") % _KL_REF_MOD == 0)
+        .select("text")
+        .collect()
+    ]
+    ref = hashed_ref_probs(ref_texts, n_bins=_KL_BINS, alpha=_KL_ALPHA)
+    strm = docs.where(F.col("doc_id") % _KL_REF_MOD != 0).select(
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 6).cast("int")
+        )
+        .cast("timestamp")
+        .alias("ts"),
+        "text",
+        (F.col("doc_id") % 3).alias("epoch"),
+    )
+    sent = spark.createDataFrame(
+        [
+            (datetime(2024, 12, 1), "", 3),
+            (datetime(2024, 12, 1), "", 4),
+        ],
+        "ts timestamp, text string, epoch bigint",
+    )
+    out = replay_available_now(
+        spark,
+        strm.unionByName(sent),
+        "epoch",
+        lambda s: vocab_kl_stream(
+            s,
+            "text",
+            ref,
+            alpha=_KL_ALPHA,
+            window="2 days",
+            ts_col="ts",
+            watermark_delay="40 days",
+        ),
+        output_mode="append",
+    )
+    return out.orderBy("window_start")
+
+
+def _stream_kl_sql() -> str:
+    from ..functions.text import words_sql
+
+    B, alpha, mod, wsec = _KL_BINS, _KL_ALPHA, _KL_REF_MOD, _KL_WINDOW_S
+    ws = words_sql("text")
+    win = (
+        "TIMESTAMP '1970-01-01' + ((CAST(floor(epoch(CAST(DATE '2024-01-01'"
+        f" + (doc_id % 6) * INTERVAL 1 DAY AS TIMESTAMP))) AS BIGINT)"
+        f" // {wsec}) * {wsec}) * INTERVAL 1 SECOND"
+    )
+    return f"""
+WITH refw AS (
+  SELECT unnest({ws}) AS w FROM documents WHERE doc_id % {mod} = 0
+),
+refb AS (
+  SELECT CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % {B} AS b, COUNT(*) AS c
+  FROM refw GROUP BY 1
+),
+refn AS (SELECT COUNT(*) AS n FROM refw),
+bins AS (SELECT unnest(range(0, {B})) AS b),
+qd AS (
+  SELECT bins.b AS b,
+         (COALESCE(refb.c, 0) + {alpha}) / (refn.n + {alpha} * {B}) AS q
+  FROM bins LEFT JOIN refb ON bins.b = refb.b CROSS JOIN refn
+),
+strm AS (
+  SELECT {win} AS ws,
+         unnest({ws}) AS w
+  FROM documents WHERE doc_id % {mod} <> 0
+),
+tok AS (
+  SELECT ws, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % {B} AS b FROM strm
+),
+wc AS (SELECT ws, b, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+wn AS (SELECT ws, COUNT(*) AS n FROM tok GROUP BY 1),
+grid AS (
+  SELECT wn.ws AS ws, wn.n AS n, bins.b AS b, COALESCE(wc.c, 0) AS c
+  FROM wn CROSS JOIN bins
+  LEFT JOIN wc ON wc.ws = wn.ws AND wc.b = bins.b
+)
+SELECT grid.ws AS window_start,
+       grid.ws + INTERVAL {wsec} SECOND AS window_end,
+       MAX(n) AS n_tokens,
+       ROUND(SUM(((c + {alpha}) / (n + {alpha} * {B}))
+                 * ln(((c + {alpha}) / (n + {alpha} * {B})) / q)), 6) AS kl
+FROM grid JOIN qd ON grid.b = qd.b
+GROUP BY grid.ws
+ORDER BY window_start
+"""
+
+
+QUERIES["stream_quantiles_replay"] = QueryDef(
+    stream_quantiles_replay,
+    _stream_quantiles_sql(),
+    "streaming windowed histogram quantiles replayed to closed windows vs per-window batch interpolation",
+    "streaming",
+)
+QUERIES["stream_kl_replay"] = QueryDef(
+    stream_kl_replay,
+    _stream_kl_sql(),
+    "streaming vocab-KL drift monitor replayed: reference probs + exact all-bins window KL re-derived in SQL",
+    "streaming",
+)
+
+
 QUERIES["theta_rollup_mv"] = QueryDef(
     theta_rollup_mv,
     _theta_rollup_sql(),
@@ -6341,6 +6559,8 @@ _ROUND_NEW: tuple[str, ...] = (
     "dedup_simhash_lsh",
     "erase_propagation",
     "stream_mv_refresh_replay",
+    "stream_quantiles_replay",
+    "stream_kl_replay",
 )
 
 

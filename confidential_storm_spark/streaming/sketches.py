@@ -218,8 +218,11 @@ def vocab_kl_stream(
         .groupBy("window", "_b")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
+    # sort_array pins the double-summation order of the finishing fold
+    # (collect_list order is otherwise partition-dependent), so the
+    # rounded KL is a pure function of the window's rows
     packed = per_bin.groupBy("window").agg(
-        F.collect_list(F.struct("_b", "_c")).alias("_h")
+        F.sort_array(F.collect_list(F.struct("_b", "_c"))).alias("_h")
     )
     n_tok = F.aggregate(F.col("_h"), F.lit(0).cast("long"), lambda a, x: a + x["_c"])
     with_n = packed.withColumn("_n", n_tok)

@@ -34,6 +34,8 @@ __all__ = [
     "shingles",
     "minhash_signature",
     "minhash_lsh_pairs",
+    "containment_pairs",
+    "containment_pairs_sql",
     "ngram_jaccard_pairs",
     "simhash64",
     "simhash_sql",
@@ -341,6 +343,117 @@ def minhash_lsh_pairs(
         verified.filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    containment_threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Near-SUBSET pairs via an exact shingle inverted index:
+    ``containment = |A∩B| / min(|A|, |B|)`` — the asymmetric question
+    minhash LSH cannot ask.  Jaccard resemblance punishes size skew
+    (a paragraph quoted inside a book has jaccard ≈ |A|/|B| ≈ 0), so
+    quoted/embedded/boilerplate-wrapped documents never band-collide;
+    containment ≥ τ finds exactly those (Broder 1997's *containment*,
+    beside the *resemblance* the minhash family certifies).
+
+    Algorithm: the distinct word-``shingle_n``-gram hashes of every
+    doc become an inverted postings relation (shingle → doc); a
+    self-equi-join on the shingle key counts ``|A∩B|`` per co-posting
+    pair in one ``groupBy``, and doc set sizes join back onto the
+    (tiny) surviving pair set.  Shuffles: postings by shingle, pair
+    counts by (id_a, id_b), sizes join — all key-partitioned, no
+    cartesian anywhere.
+
+    Scale: candidate volume is Σ_s df(s)², so one boilerplate shingle
+    posted by millions of docs is quadratic death — ``max_shingle_df``
+    drops shingles above the document-frequency cap via a broadcast
+    anti-join (prefix-filtering's stop-shingle rule; same law as the
+    banded join's hot-bucket cap).  The cap changes semantics
+    honestly: containment is then measured over the sub-cap shingle
+    universe — denominators count the SURVIVING shingles, so the
+    ratio stays a true containment of the filtered sets (and the
+    DuckDB twin mirrors the cap exactly).  Returns
+    (id_a, id_b, containment) with id_a < id_b.
+    """
+    sh = (
+        _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_id")
+        .select("_id", shingles_udf(F.col(text_col), shingle_n).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+    )
+    post = sh.select("_id", F.explode("_sh").alias("_s"))
+    if max_shingle_df is not None:
+        hot = (
+            post.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("_s")
+        )
+        post = post.join(F.broadcast(hot), "_s", "left_anti")
+    # postings are reused three ways (pair counts + both size legs);
+    # materialize once so the shingle UDF runs a single pass
+    post = post.localCheckpoint(eager=False)
+    sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_len"))
+    inter = (
+        post.alias("l")
+        .join(
+            post.alias("r"),
+            (F.col("l._s") == F.col("r._s")) & (F.col("l._id") < F.col("r._id")),
+        )
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_len", "_la"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_len", "_lb"), "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("_inter").cast("double") / F.least("_la", "_lb"), 6),
+        )
+    )
+    return out.filter(F.col("containment") >= containment_threshold).select(
+        "id_a", "id_b", "containment"
+    )
+
+
+def containment_pairs_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    containment_threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
+) -> str:
+    """DuckDB twin of :func:`containment_pairs` (cap mirrored)."""
+    cap = (
+        ""
+        if max_shingle_df is None
+        else f"""
+hot AS (SELECT _s FROM post0 GROUP BY _s HAVING COUNT(*) > {max_shingle_df}),"""
+    )
+    post_src = "post0" if max_shingle_df is None else "(SELECT * FROM post0 ANTI JOIN hot USING (_s))"
+    return f"""
+WITH docs AS (SELECT {id_col} AS _id, {shingles_sql(text_col, shingle_n)} AS _sh FROM {table}),
+sh AS (SELECT _id, _sh FROM docs WHERE len(_sh) > 0),
+post0 AS (SELECT _id, unnest(_sh) AS _s FROM sh),{cap}
+post AS (SELECT * FROM {post_src}),
+sz AS (SELECT _id, COUNT(*) AS _len FROM post GROUP BY _id),
+inter AS (
+  SELECT l._id AS id_a, r._id AS id_b, COUNT(*) AS _i
+  FROM post l JOIN post r ON l._s = r._s AND l._id < r._id
+  GROUP BY 1, 2),
+c AS (
+  SELECT id_a, id_b,
+         ROUND(CAST(_i AS DOUBLE) / LEAST(a._len, b._len), 6) AS containment
+  FROM inter JOIN sz a ON inter.id_a = a._id JOIN sz b ON inter.id_b = b._id)
+SELECT id_a, id_b, containment FROM c
+WHERE containment >= {containment_threshold}
+ORDER BY id_a, id_b
+"""
 
 
 def incremental_minhash_against_index(

@@ -6483,6 +6483,304 @@ QUERIES["stream_mv_refresh_replay"] = QueryDef(
 )
 
 
+# ---------------------------------------------------------------------------
+# round-9 wave 4: per-group closed-form model fitting, containment
+# (near-subset) dedup, calendar-spine gap-fill, and the last two
+# pytest-only streaming families (stream-stream interval join, trending
+# top-k) brought into the driver hash gate via the replay harness.
+# ---------------------------------------------------------------------------
+
+_TREND_ORIGIN = "2024-01-01"  # events table spans January 2024 at every SF
+
+
+def events_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of daily event volume — the
+    many-small-models shape (a model per group) solved with exact
+    sufficient statistics instead of per-group Python: one
+    map-side-combinable aggregate builds (n, Σx, Σy, Σxy, Σx², Σy²)
+    per type, a stateless 5-row projection finishes slope/intercept/r².
+    Every statistic is an exact DECIMAL(38,0) integer, so the single
+    IEEE divisions reproduce bit-for-bit in the DuckDB twin.
+    Operator: operators/fit.py::grouped_linear_fit."""
+    from ..operators.fit import grouped_linear_fit
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit(_TREND_ORIGIN).cast("date")).alias(
+                "day_idx"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return grouped_linear_fit(daily, ["event_type"], "day_idx", "n_events").orderBy(
+        "event_type"
+    )
+
+
+def _trend_fit_sql() -> str:
+    from ..operators.fit import grouped_linear_fit_sql
+
+    daily = (
+        f"(SELECT event_type,"
+        f" date_diff('day', DATE '{_TREND_ORIGIN}', CAST(ts AS DATE)) AS day_idx,"
+        f" COUNT(*) AS n_events FROM events GROUP BY 1, 2)"
+    )
+    return (
+        grouped_linear_fit_sql(daily, ["event_type"], "day_idx", "n_events")
+        + " ORDER BY event_type"
+    )
+
+
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine resample: per-event-type daily counts LEFT-joined
+    onto the full January day spine (missing days surface as explicit
+    zeros — a raw GROUP BY silently drops them and corrupts any
+    downstream rolling statistic), then a 7-day trailing moving
+    average over the gap-free series.  The spine is
+    types × sequence(dates) — explode of a generated array, never a
+    driver-side loop; the rolling frame is rowsBetween(-6, 0) over the
+    per-type partition, valid only BECAUSE the spine made the series
+    dense (one row per day).  ma7 is one division of exact integer
+    (sum, count) per row, so the twin reproduces it bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    spine = (
+        daily.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01").cast("date"), F.lit("2024-01-31").cast("date")
+                )
+            ).alias("day"),
+        )
+    )
+    filled = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return filled.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(F.avg("n_events").over(w), 6).alias("ma7"),
+    ).orderBy("event_type", "day")
+
+
+GAPFILL_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2),
+spine AS (
+  SELECT t.event_type, d.day
+  FROM (SELECT DISTINCT event_type FROM daily) t,
+       (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                      INTERVAL 1 DAY))::DATE AS day) d),
+filled AS (
+  SELECT s.event_type, s.day, COALESCE(daily.n_events, 0) AS n_events
+  FROM spine s LEFT JOIN daily ON s.event_type = daily.event_type AND s.day = daily.day)
+SELECT event_type, day, n_events,
+       ROUND(AVG(n_events) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+FROM filled
+ORDER BY event_type, day
+"""
+
+CONTAINMENT_THRESHOLD = 0.6
+CONTAINMENT_MAX_DF = 1000
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-subset pairs (containment = |A∩B| / min(|A|,|B|)) via the
+    exact shingle inverted index — the asymmetric dedup question the
+    minhash family cannot ask (jaccard punishes size skew, so a doc
+    quoted inside a larger one never band-collides).  Operator:
+    operators/dedup.py::containment_pairs (stop-shingle DF cap
+    mirrored in the twin)."""
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        shingle_n=SHINGLE_N,
+        containment_threshold=CONTAINMENT_THRESHOLD,
+        max_shingle_df=CONTAINMENT_MAX_DF,
+    ).orderBy("id_a", "id_b")
+
+
+def _containment_sql() -> str:
+    from ..operators.dedup import containment_pairs_sql
+
+    return containment_pairs_sql(
+        shingle_n=SHINGLE_N,
+        containment_threshold=CONTAINMENT_THRESHOLD,
+        max_shingle_df=CONTAINMENT_MAX_DF,
+    )
+
+
+def stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join certified through the
+    replay harness: view and purchase slices of ONE epoch-partitioned
+    event stream self-join on user_id with the purchase bounded to
+    [view_ts, view_ts + 1 hour].  An INNER stream-stream join emits
+    each matched pair exactly once (when its later side arrives), so
+    the concatenated micro-batch outputs equal the batch interval join
+    whatever the epoch chopping — the DuckDB twin is the plain SQL
+    join.  The certification watermark (90 days > the data span)
+    drops nothing; bounded-state eviction under a tight watermark is
+    pinned by the differential pytest
+    (tests/test_streaming_joins.py).  Streaming op:
+    streaming/joins.py::interval_join_streams."""
+    from ..streaming.joins import interval_join_streams
+    from ..streaming.replay import replay_available_now
+
+    ev_raw = load_table(spark, sf_dir, "events")
+    # watermarks require TIMESTAMP (parquet surfaces TIMESTAMP_NTZ) —
+    # same micros normalization as the event-window queries
+    ev = ev_raw.select(
+        "event_id",
+        F.timestamp_micros(ts_to_micros(ev_raw)).alias("ts"),
+        "user_id",
+        "event_type",
+        (F.col("event_id") % 3).alias("epoch"),
+    )
+
+    def xf(s: DataFrame) -> DataFrame:
+        views = s.where(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("view_id"), "ts"
+        )
+        buys = s.where(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts"
+        )
+        j = interval_join_streams(
+            views, buys, "user_id", upper="1 hour", watermark="90 days", how="inner"
+        )
+        return j.select(
+            "user_id",
+            "view_id",
+            F.col("ts").alias("view_ts"),
+            F.col("r_event_id").alias("purchase_id"),
+            F.col("r_ts").alias("purchase_ts"),
+        )
+
+    out = replay_available_now(spark, ev, "epoch", xf, output_mode="append")
+    return out.orderBy("view_id", "purchase_id")
+
+
+STREAM_JOIN_REPLAY_SQL = """
+SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+ORDER BY view_id, purchase_id
+"""
+
+_TRENDING_K = 10
+_TRENDING_WINDOW_S = 172800  # 2 days
+
+
+def stream_trending_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trending-words stream certified: documents replay in 3
+    doc-id epochs with a deterministic synthetic event time
+    (2024-01-01 + doc_id%6 days — the documents table carries no
+    timestamp), windowed word counts close under the watermark (two
+    far-future sentinel epochs advance it so every real window emits
+    exactly once; the sentinels' empty text explodes to no words, so
+    their own window never emits), then the batch top-k release
+    transform ranks each closed window.  Streaming op:
+    streaming/trending.py::windowed_wordcounts_stream +
+    top_k_per_window."""
+    from datetime import datetime
+
+    from ..streaming.replay import replay_available_now
+    from ..streaming.trending import top_k_per_window, windowed_wordcounts_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("doc_id") % 6) * 86400
+        ).alias("ts"),
+        "text",
+        (F.col("doc_id") % 3).alias("epoch"),
+    )
+    sent = spark.createDataFrame(
+        [
+            (datetime(2024, 12, 1), "", 3),
+            (datetime(2024, 12, 1), "", 4),
+        ],
+        "ts timestamp, text string, epoch bigint",
+    )
+    counts = replay_available_now(
+        spark,
+        docs.unionByName(sent),
+        "epoch",
+        lambda s: windowed_wordcounts_stream(
+            s, window="2 days", watermark="1 hour", ts_col="ts", text_col="text"
+        ),
+        output_mode="append",
+    )
+    return top_k_per_window(counts, k=_TRENDING_K).select(
+        "window_start", "window_end", "word", "n", "rank"
+    )
+
+
+def _stream_trending_sql() -> str:
+    win = (
+        "TIMESTAMP '1970-01-01' + ((CAST(floor(epoch(ts)) AS BIGINT)"
+        f" // {_TRENDING_WINDOW_S}) * {_TRENDING_WINDOW_S}) * INTERVAL 1 SECOND"
+    )
+    return f"""
+WITH d AS (
+  SELECT TIMESTAMP '2024-01-01' + (doc_id % 6) * INTERVAL 1 DAY AS ts, text
+  FROM documents),
+w AS (SELECT {win} AS window_start, unnest({words_sql("text")}) AS word FROM d),
+c AS (SELECT window_start, word, COUNT(*) AS n FROM w GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, word) AS rank FROM c)
+SELECT window_start, window_start + INTERVAL {_TRENDING_WINDOW_S} SECOND AS window_end,
+       word, n, rank
+FROM r WHERE rank <= {_TRENDING_K}
+ORDER BY window_start, rank
+"""
+
+
+QUERIES["events_trend_fit"] = QueryDef(
+    events_trend_fit,
+    _trend_fit_sql(),
+    "per-group closed-form OLS trend via exact sufficient statistics (one combinable agg pass)",
+    "training-data",
+)
+QUERIES["events_daily_gapfill"] = QueryDef(
+    events_daily_gapfill,
+    GAPFILL_SQL,
+    "calendar-spine gap-fill with explicit zeros + 7-day trailing moving average",
+    "training-data",
+)
+QUERIES["dedup_containment"] = QueryDef(
+    dedup_containment,
+    _containment_sql(),
+    "near-subset pairs via exact shingle inverted index (containment, not jaccard)",
+    "training-data",
+)
+QUERIES["stream_join_replay"] = QueryDef(
+    stream_join_replay,
+    STREAM_JOIN_REPLAY_SQL,
+    "stream-stream interval join replayed over 3 epochs == batch interval join",
+    "streaming",
+)
+QUERIES["stream_trending_replay"] = QueryDef(
+    stream_trending_replay,
+    _stream_trending_sql(),
+    "trending words: watermark-closed windowed counts + top-k release, replayed to closed windows",
+    "streaming",
+)
+
+
 # Names the driver's 50-row correctness gate has ALREADY certified
 # (union of CORRECTNESS_r01..r08 green rows — all 131 queries as of
 # round 8).  The driver takes the first 50 entries of queries(), so
@@ -6561,6 +6859,11 @@ _ROUND_NEW: tuple[str, ...] = (
     "stream_mv_refresh_replay",
     "stream_quantiles_replay",
     "stream_kl_replay",
+    "events_trend_fit",
+    "events_daily_gapfill",
+    "dedup_containment",
+    "stream_join_replay",
+    "stream_trending_replay",
 )
 
 

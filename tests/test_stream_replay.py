@@ -105,3 +105,80 @@ def test_dedup_replay_suppresses_cross_epoch_duplicates(spark, sf_dir):
     digests = [r["digest"] for r in rows]
     assert len(digests) == len(set(digests))
     assert all(r["first_epoch"] in (0, 1) for r in rows)
+
+
+def test_interval_join_replay_matches_batch_join(spark, sf_dir):
+    """The replayed stream-stream interval join emits exactly the batch
+    interval join's pair set, each pair once, whatever the epoch
+    chopping — the inner-join determinism contract the DuckDB oracle
+    relies on."""
+    from confidential_storm_spark.plans.queries import stream_join_replay
+    from confidential_storm_spark.sources.tables import load_table, ts_to_micros
+
+    streamed = sorted(
+        (r["view_id"], r["purchase_id"])
+        for r in stream_join_replay(spark, sf_dir).collect()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts", F.timestamp_micros(ts_to_micros(ev)))
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = sorted(
+        (r["view_id"], r["purchase_id"])
+        for r in v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    )
+    assert streamed == batch
+    assert len(streamed) == len(set(streamed))  # each pair exactly once
+
+
+def test_trending_replay_closed_windows_and_ranks(spark, sf_dir):
+    """Every real window closes exactly once (sentinel window absent),
+    ranks are 1..k dense per window, and counts equal a batch replay
+    of the same synthetic timestamps."""
+    from confidential_storm_spark.functions.text import words
+    from confidential_storm_spark.plans.queries import (
+        _TRENDING_K,
+        stream_trending_replay,
+    )
+    from confidential_storm_spark.sources.tables import load_table
+
+    rows = stream_trending_replay(spark, sf_dir).collect()
+    assert rows, "no closed windows emitted"
+    by_window: dict = {}
+    for r in rows:
+        # 2-day windows are epoch-aligned: the first real window starts
+        # 2023-12-31 (contains 2024-01-01); the sentinel's December-2024
+        # window must never appear
+        assert r["window_start"] < __import__("datetime").datetime(2024, 2, 1)
+        by_window.setdefault(r["window_start"], []).append(r)
+    for ws, grp in by_window.items():
+        ranks = sorted(r["rank"] for r in grp)
+        assert ranks == list(range(1, len(grp) + 1))
+        assert len(grp) <= _TRENDING_K
+        ns = [r["n"] for r in sorted(grp, key=lambda r: r["rank"])]
+        assert ns == sorted(ns, reverse=True)
+    # batch twin: same synthetic ts -> same per-window counts
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.timestamp_seconds(F.lit(1704067200) + (F.col("doc_id") % 6) * 86400).alias("ts"),
+        "text",
+    )
+    batch = {
+        (r["w"]["start"], r["word"]): r["n"]
+        for r in docs.select(F.col("ts"), F.explode(words(F.col("text"))).alias("word"))
+        .groupBy(F.window("ts", "2 days").alias("w"), "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert batch[(r["window_start"], r["word"])] == r["n"]

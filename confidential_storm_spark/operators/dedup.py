@@ -868,6 +868,85 @@ def _verify_hamming_pairs(
     )
 
 
+def hamming_banded_probe(
+    spark: SparkSession,
+    batch_sigs: DataFrame,
+    index_path: str,
+    max_hamming: int = 7,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-duplicates of a NEW batch of 64-bit fingerprints against a
+    frozen corpus's standing Hamming band index
+    (``sources.writers.write_hamming_band_index``) — the media sibling
+    of ``incremental_minhash_against_index``: at 100 TB the corpus's
+    media is never re-decoded or re-hashed per ingest; each batch
+    hashes only ITS OWN payloads, bands its signatures, and joins the
+    persisted (band, band_val) relation.  The index rows carry the
+    corpus sig, so exact ``bit_count(XOR)`` verification happens
+    inside the same join — no second corpus pass, no payload fetch.
+
+    Returns (new_id, corpus_id, hamming) for every batch/corpus pair
+    within ``max_hamming``.  Recall: exhaustive at
+    ``max_hamming <= bands - 1`` by the pigeonhole argument (partial
+    only where the index capped hot buckets at write).  Cost: the
+    probe side is bands rows per BATCH item; the join is a hash join
+    on (band, band_val) against a band-partition-pruned scan — linear
+    in batch size for healthy bucket sizes.
+
+    The index's band count is persisted beside it and must match the
+    probe's — banding differently silently finds nothing, so a
+    mismatch raises."""
+    params = {
+        r["name"]: r["value"]
+        for r in spark.read.parquet(f"{index_path}/params").collect()
+    }
+    if int(params["bands"]) != bands:
+        raise ValueError(
+            f"hamming band index at {index_path} was built with "
+            f"bands={int(params['bands'])}, probe asked for {bands}"
+        )
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee "
+            f"of bands-1={bands - 1}"
+        )
+    bits_per_band = 64 // bands
+    mask = (1 << bits_per_band) - 1
+    probe = batch_sigs.select(
+        F.col("_id").alias("new_id"),
+        F.col("sig").alias("sig_a"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("new_id", "sig_a", "bb.band", "bb.band_val")
+    index = spark.read.parquet(f"{index_path}/bands").select(
+        F.col("_id").alias("corpus_id"),
+        F.col("sig").alias("sig_b"),
+        "band",
+        "band_val",
+    )
+    return (
+        probe.join(index, ["band", "band_val"])
+        .select("new_id", "corpus_id", "sig_a", "sig_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_id", "corpus_id", "hamming")
+    )
+
+
 def lsh_bit_positions(
     bits_per_table: int, tables: int, seed: int
 ) -> list[list[int]]:

@@ -465,6 +465,24 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
 ORDER BY id_a, id_b"""
 
 
+def image_probe_pairs_sql(max_hamming: int = 7) -> str:
+    """DuckDB twin of the INCREMENTAL image path (standing index +
+    batch probe, plans/queries.py ``dedup_media_probe``): batch = the
+    perturbed copies (media_id >= PERT_OFFSET), index = the originals;
+    exact batch x corpus Hamming join (sound because the banded probe
+    is exhaustive at max_hamming <= bands-1 and the gate-SF index is
+    written uncapped)."""
+    stok = "CAST(src AS VARCHAR)"
+    return f"""WITH {_MEDIA_CTE},
+{_image_sig_cte(stok)}
+SELECT a.media_id AS new_id, b.media_id AS corpus_id,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM _sig a JOIN _sig b
+  ON a.media_id >= {PERT_OFFSET} AND b.media_id < {PERT_OFFSET}
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+ORDER BY new_id, corpus_id"""
+
+
 def audio_energy_pairs_sql(max_hamming: int = 7) -> str:
     """DuckDB twin of media_corpus('audio') -> audio_energy_neardup."""
     stok = "CAST(src AS VARCHAR)"

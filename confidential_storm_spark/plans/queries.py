@@ -5291,6 +5291,7 @@ def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
         knn_ivfpq_incremental(spark, sf_dir).collect()
     _neardup_pairs_indexed(spark, sf_dir)
     _mhband_artifact(spark, sf_dir)
+    _imgband_artifact(spark, sf_dir)
     # trained models are standing artifacts too: the quality probe and
     # the BPE tokenizer train once per corpus (session memo) — paying
     # that inside whichever query happens to run first showed up as a
@@ -6781,6 +6782,264 @@ QUERIES["stream_trending_replay"] = QueryDef(
 )
 
 
+# ---------------------------------------------------------------------------
+# round-9 wave 5: pipeline contract checking, CDC snapshot diff, and the
+# standing media-hash index (incremental media ingest)
+# ---------------------------------------------------------------------------
+
+_DQ_PRICE_CAP = 100_000.0  # deliberately violated: the report must
+_DQ_SPECIFIED = "4-NOT SPECIFIED"  # exercise the FAIL path through the gate
+
+
+def _dq_check_list():
+    """The declared orders-table contract, shared verbatim by the
+    Spark builder and the DuckDB twin (one source of truth for names,
+    metrics, and bounds).  Two constraints are deliberately violated
+    by the data (price cap, priority-specified) so the report's
+    ``passed`` column is non-constant and the hash gate certifies the
+    FAIL path, not just a vacuous all-green report."""
+    from ..operators.quality_checks import (
+        Check,
+        completeness,
+        conformity,
+        uniqueness,
+    )
+
+    c_comp, s_comp = completeness("o_custkey")
+    c_uni, s_uni = uniqueness("o_orderkey")
+    c_status, s_status = conformity(
+        lambda: F.col("o_orderstatus").isin("O", "F", "P"),
+        "o_orderstatus IN ('O', 'F', 'P')",
+    )
+    c_prio, s_prio = conformity(
+        lambda: F.col("o_orderpriority").rlike("^[1-5]-"),
+        "regexp_matches(o_orderpriority, '^[1-5]-')",
+    )
+    c_spec, s_spec = conformity(
+        lambda: F.col("o_orderpriority") != F.lit(_DQ_SPECIFIED),
+        f"o_orderpriority <> '{_DQ_SPECIFIED}'",
+    )
+    c_date, s_date = conformity(
+        lambda: (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2002-01-01").cast("timestamp")),
+        "o_orderdate >= TIMESTAMP '1995-01-01'"
+        " AND o_orderdate < TIMESTAMP '2002-01-01'",
+    )
+    return [
+        Check("complete_custkey", c_comp, s_comp, lo=1.0),
+        Check("orderdate_in_range", c_date, s_date, lo=1.0),
+        Check("priority_shape", c_prio, s_prio, lo=1.0),
+        Check("priority_specified", c_spec, s_spec, lo=1.0),
+        Check(
+            "size_min_1000", lambda: F.count(F.lit(1)), "COUNT(*)", lo=1000.0
+        ),
+        Check("status_domain", c_status, s_status, lo=1.0),
+        Check(
+            "totalprice_max_cap",
+            lambda: F.max("o_totalprice"),
+            "MAX(o_totalprice)",
+            hi=_DQ_PRICE_CAP,
+        ),
+        Check(
+            "totalprice_min_nonneg",
+            lambda: F.min("o_totalprice"),
+            "MIN(o_totalprice)",
+            lo=0.0,
+        ),
+        Check("unique_orderkey", c_uni, s_uni, lo=1.0),
+    ]
+
+
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality report over the orders
+    table: nine algebraic constraints (volume, completeness, key
+    uniqueness, two value-range, domain membership, regex shape, two
+    deliberately-failing) compiled into ONE aggregation pass, plus the
+    referential-integrity orphan count against customer (broadcast
+    anti-join).  Operator: operators/quality_checks.py::check_suite —
+    adding a constraint adds an agg column, never a scan; this is the
+    landing-batch contract gate a 100 TB ingest runs before
+    publishing."""
+    from ..operators.quality_checks import check_suite, referential_check
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    report = check_suite(orders, _dq_check_list())
+    ref = referential_check(orders, "o_custkey", customer, "c_custkey").select(
+        F.lit("ref_customer_orphans").alias("constraint"),
+        F.col("value"),
+        (F.col("value") <= F.lit(0.0)).alias("passed"),
+    )
+    return (
+        report.unionByName(ref)
+        .select(
+            "constraint",
+            F.round(F.col("value"), 6).alias("value"),
+            F.col("passed").cast("int").alias("passed"),
+        )
+        .orderBy("constraint")
+    )
+
+
+def _dq_sql() -> str:
+    from ..operators.quality_checks import check_suite_sql
+
+    orphans = (
+        "(SELECT COUNT(*) FROM orders o WHERE NOT EXISTS "
+        "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))"
+    )
+    extra = f"""UNION ALL
+SELECT 'ref_customer_orphans' AS "constraint",
+       CAST({orphans} AS DOUBLE) AS value,
+       {orphans} <= 0 AS passed"""
+    inner = check_suite_sql("orders", _dq_check_list(), extra_rows=extra)
+    return f"""
+SELECT "constraint", ROUND(value, 6) AS value, CAST(passed AS INT) AS passed
+FROM ({inner}) ORDER BY "constraint"
+"""
+
+
+# the two snapshot windows deliberately overlap: customers active only
+# in the early non-overlap age out (delete), only in the late one
+# appear (insert), and the shared middle's differing order sets update
+_SNAP_OLD = ("1995-07-01", "1997-01-01")
+_SNAP_NEW = ("1996-01-01", "1997-07-01")
+
+
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two published per-customer rollups (18-month
+    sliding windows of orders): one full-outer join on the key emits
+    only the keys whose state changed, classified insert / delete /
+    update with old and new values side by side — the delta relation
+    an incremental sink (writers.merge_upsert, a search index, a
+    feature store) applies instead of a full republish.  Operator:
+    operators/cdc.py::snapshot_diff."""
+    from ..operators.cdc import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def snap(lo: str, hi: str) -> DataFrame:
+        return (
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+            )
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast(_PRICE_D))
+                .cast("double")
+                .alias("total"),
+            )
+        )
+
+    return snapshot_diff(
+        snap(*_SNAP_OLD),
+        snap(*_SNAP_NEW),
+        keys=["custkey"],
+        compare_cols=["n_orders", "total"],
+    ).orderBy("custkey")
+
+
+def _snapshot_diff_sql() -> str:
+    from ..operators.cdc import snapshot_diff_sql
+
+    def snap(lo: str, hi: str) -> str:
+        return (
+            "SELECT o_custkey AS custkey, COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+            f"FROM orders WHERE o_orderdate >= TIMESTAMP '{lo}' "
+            f"AND o_orderdate < TIMESTAMP '{hi}' GROUP BY o_custkey"
+        )
+
+    inner = snapshot_diff_sql(
+        snap(*_SNAP_OLD),
+        snap(*_SNAP_NEW),
+        keys=["custkey"],
+        compare_cols=["n_orders", "total"],
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY custkey"
+
+
+def _imgband_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """Standing Hamming band index over the ORIGINAL image corpus's
+    block-mean hashes (sources/writers.write_hamming_band_index) —
+    built once per corpus, probed by every ingest.  Uncapped at the
+    gate SFs so the certified output is exact (the pigeonhole
+    guarantee needs every bucket); ``max_bucket_size`` is the
+    measured scale valve (benchmark/media_banded_cap.csv)."""
+    import os
+
+    from ..operators.mediahash import (
+        PERT_OFFSET,
+        image_blockmean_hashes,
+        media_corpus,
+    )
+    from ..sources.writers import write_hamming_band_index
+
+    path = _index_cache_path(sf_dir, "imgband", 8, table="documents")
+    if not os.path.exists(f"{path}/params/_SUCCESS"):
+        docs = load_table(spark, sf_dir, "documents")
+        corpus = media_corpus(docs, "image").where(
+            F.col("media_id") < PERT_OFFSET
+        )
+        write_hamming_band_index(
+            image_blockmean_hashes(corpus), path, bands=8, max_bucket_size=None
+        )
+    return path
+
+
+def dedup_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurring-ingest media near-dup: the perturbed copies arrive as
+    a NEW batch and probe the original corpus's STANDING band index —
+    the corpus's media is never re-decoded or re-hashed per ingest
+    (its banded signature relation is a persisted artifact); the batch
+    decodes and hashes only ITS OWN payloads and joins on
+    (band, band_val), with exact Hamming verified from the sig the
+    index rows carry.  The media sibling of dedup_minhash_incremental:
+    per-ingest cost is linear in the batch, not the corpus.  Operator:
+    operators/dedup.py::hamming_banded_probe."""
+    from ..operators.dedup import hamming_banded_probe
+    from ..operators.mediahash import (
+        PERT_OFFSET,
+        image_blockmean_hashes,
+        media_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _imgband_artifact(spark, sf_dir)
+    batch = media_corpus(docs, "image").where(F.col("media_id") >= PERT_OFFSET)
+    return hamming_banded_probe(
+        spark, image_blockmean_hashes(batch), path, max_hamming=7, bands=8
+    ).orderBy("new_id", "corpus_id")
+
+
+def _media_probe_sql() -> str:
+    from ..operators.mediahash import image_probe_pairs_sql
+
+    return image_probe_pairs_sql(max_hamming=7)
+
+
+QUERIES["dq_constraints"] = QueryDef(
+    dq_constraints,
+    _dq_sql(),
+    "Deequ-style one-pass data-quality contract report (incl. referential check and FAIL rows)",
+    "training-data",
+)
+QUERIES["snapshot_diff_orders"] = QueryDef(
+    snapshot_diff_orders,
+    _snapshot_diff_sql(),
+    "CDC keyed snapshot diff: insert/delete/update delta between two published rollups",
+    "training-data",
+)
+QUERIES["dedup_media_probe"] = QueryDef(
+    dedup_media_probe,
+    _media_probe_sql(),
+    "incremental media ingest: batch probes the standing Hamming band index of the frozen corpus",
+    "multimodal",
+)
+
+
 # Names the driver's 50-row correctness gate has ALREADY certified
 # (union of CORRECTNESS_r01..r08 green rows — all 131 queries as of
 # round 8).  The driver takes the first 50 entries of queries(), so
@@ -6864,6 +7123,9 @@ _ROUND_NEW: tuple[str, ...] = (
     "dedup_containment",
     "stream_join_replay",
     "stream_trending_replay",
+    "dq_constraints",
+    "snapshot_diff_orders",
+    "dedup_media_probe",
 )
 
 

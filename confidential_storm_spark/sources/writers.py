@@ -40,6 +40,7 @@ __all__ = [
     "write_orc",
     "read_orc",
     "write_jsonl",
+    "write_hamming_band_index",
     "write_bpe_vocab",
     "read_bpe_vocab",
 ]
@@ -469,3 +470,64 @@ def read_bpe_vocab(spark: SparkSession, path: str) -> list[tuple[str, str]]:
     """The merge list back in apply order."""
     rows = spark.read.parquet(f"{path}/merges").orderBy("merge_rank").collect()
     return [(r["left"], r["right"]) for r in rows]
+
+
+def write_hamming_band_index(
+    sigs: DataFrame,
+    path: str,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
+) -> None:
+    """Persist a 64-bit-fingerprint corpus's banded relation — the
+    standing near-dup index media ingest probes
+    (``operators.dedup.hamming_banded_probe``), sibling of
+    ``write_minhash_band_index`` for the Hamming family (simhash,
+    image block-mean, audio energy-contour, video frame hashes).
+
+    Input ``sigs`` is any (_id long, sig long) relation.  Layout:
+    ``{path}/bands`` holds (_id, sig, band, band_val) partitioned by
+    band — the sig rides along (8 bytes x bands rows) so a probe
+    verifies exact Hamming without a second corpus pass; ``{path}/
+    params`` records the band count so a probe banding differently
+    fails loudly.  Hot buckets (> ``max_bucket_size`` ids per
+    (band, band_val)) are dropped AT WRITE, same cap + recall
+    reasoning as the minhash index: with b bands a band value has
+    only 2^(64/b) possibilities, so bucket population grows linearly
+    with corpus and candidate fan-out per probe with it; a dropped
+    low-information band still leaves the other bands vouching for
+    true pairs within the pigeonhole guarantee."""
+    bits_per_band = 64 // bands
+    mask = (1 << bits_per_band) - 1
+    banded = sigs.select(
+        "_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "sig", "bb.band", "bb.band_val")
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "band_val")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "band_val")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "band_val"], "left_anti")
+    banded.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
+    params = [
+        ("bands", bands),
+        ("max_bucket_size", -1 if max_bucket_size is None else max_bucket_size),
+    ]
+    sigs.sparkSession.createDataFrame(
+        params, "name string, value long"
+    ).write.mode("overwrite").parquet(f"{path}/params")

@@ -34,7 +34,14 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["Check", "check_suite", "referential_check", "check_suite_sql"]
+__all__ = [
+    "Check",
+    "check_suite",
+    "suite_metric_columns",
+    "suite_report",
+    "referential_check",
+    "check_suite_sql",
+]
 
 
 @dataclass(frozen=True)
@@ -100,18 +107,48 @@ def conformity(
     )
 
 
-def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
+def check_suite(
+    df: DataFrame, checks: list[Check], by: list[str] | None = None
+) -> DataFrame:
     """Evaluate every declared check in ONE aggregation pass.
 
-    Returns (constraint string, value double, passed boolean), one row
-    per check, ordered by constraint name.  Plan: a single partial ->
-    final HashAggregate over ``df`` (one row out), then a stateless
-    explode of that row into the report relation — adding a constraint
-    adds a column to the agg, never a scan.
+    Returns (by..., constraint string, value double, passed boolean),
+    one row per check (per group when ``by`` is given — the per-batch
+    / per-partition / per-source contract report), ordered by the
+    group then constraint name.  Plan: a single partial -> final
+    HashAggregate over ``df`` (one row per group out), then a
+    stateless explode of that row into the report relation — adding a
+    constraint adds a column to the agg, never a scan.  Every metric
+    is algebraic, so the same agg runs as a streaming aggregation
+    (update mode) for a live per-epoch contract monitor.
     """
-    agged = df.agg(
-        *[c.metric().cast("double").alias(f"_m{i}") for i, c in enumerate(checks)]
+    by = by or []
+    agged = (
+        df.groupBy(*by).agg(*suite_metric_columns(checks))
+        if by
+        else df.agg(*suite_metric_columns(checks))
     )
+    return suite_report(agged, checks, by)
+
+
+def suite_metric_columns(checks: list[Check]) -> list[Column]:
+    """The suite's aggregate columns (``_m0.._mN``) — exposed so a
+    STREAMING aggregation can compute the same metrics per group
+    (every metric is algebraic, hence update-mode legal) and feed the
+    rows to :func:`suite_report` batch-side."""
+    return [
+        c.metric().cast("double").alias(f"_m{i}") for i, c in enumerate(checks)
+    ]
+
+
+def suite_report(
+    agged: DataFrame, checks: list[Check], by: list[str] | None = None
+) -> DataFrame:
+    """Explode a ``(by..., _m0.._mN)`` metric relation (from
+    :func:`suite_metric_columns`) into the ordered
+    (by..., constraint, value, passed) report."""
+    by = by or []
+
     def _passed(c: Check, i: int) -> Column:
         m = F.col(f"_m{i}")
         ok = F.lit(True)
@@ -132,9 +169,9 @@ def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
         ]
     )
     return (
-        agged.select(F.explode(rows).alias("r"))
-        .select("r.constraint", "r.value", "r.passed")
-        .orderBy("constraint")
+        agged.select(*by, F.explode(rows).alias("r"))
+        .select(*by, "r.constraint", "r.value", "r.passed")
+        .orderBy(*by, "constraint")
     )
 
 
@@ -153,12 +190,18 @@ def referential_check(
 
 
 def check_suite_sql(
-    relation: str, checks: list[Check], extra_rows: str = ""
+    relation: str,
+    checks: list[Check],
+    extra_rows: str = "",
+    by: list[str] | None = None,
 ) -> str:
     """DuckDB twin of :func:`check_suite` over ``relation``: the same
-    one-pass aggregate, exploded by a lateral over the constraint
+    one-pass aggregate, exploded by a UNION ALL over the constraint
     list.  ``extra_rows`` appends UNION ALL report rows (e.g. the
     referential check, which aggregates a different relation)."""
+    by = by or []
+    bysel = "".join(f"{b}, " for b in by)
+    group = f"  GROUP BY {', '.join(by)}\n" if by else ""
     metrics = ",\n         ".join(
         f"CAST({c.metric_sql} AS DOUBLE) AS _m{i}" for i, c in enumerate(checks)
     )
@@ -172,17 +215,18 @@ def check_suite_sql(
         return " AND ".join(conds) if conds else "TRUE"
 
     rows = "\nUNION ALL\n".join(
-        f'SELECT \'{c.name}\' AS "constraint", _m{i} AS value, '
+        f'SELECT {bysel}\'{c.name}\' AS "constraint", _m{i} AS value, '
         f"{bound(c, i)} AS passed FROM _agg"
         for i, c in enumerate(checks)
     )
+    order = "".join(f"{b}, " for b in by) + '"constraint"'
     return f"""
 WITH _agg AS (
-  SELECT {metrics}
+  SELECT {bysel}{metrics}
   FROM {relation}
-)
+{group})
 SELECT * FROM (
 {rows}
 {extra_rows}
-) ORDER BY "constraint"
+) ORDER BY {order}
 """

@@ -49,6 +49,9 @@ __all__ = [
     "hll_set_estimates_sql",
     "cms_estimates",
     "cms_estimates_sql",
+    "cms_sketch_rows",
+    "cms_join_size",
+    "cms_join_size_sql",
     "histogram_quantiles",
     "histogram_quantiles_sql",
 ]
@@ -459,4 +462,98 @@ SELECT q, ROUND({lo} + _cum._b * {width}.0
               + {width}.0 * (_target - (_cum._cum - _cum._c)) / _cum._c, 6) AS est
 FROM _first JOIN _cum ON _first._b = _cum._b
 ORDER BY q
+"""
+
+
+def cms_join_size(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Equi-join cardinality estimate WITHOUT running the join: the
+    Count-Min inner product (Cormode & Muthukrishnan 2005, §4.2).
+    |A ⋈ B on key| = Σ_k f_A(k)·f_B(k), and for each sketch row d,
+    Σ_slot a_d[slot]·b_d[slot] upper-bounds that sum (colliding keys
+    only ADD cross terms); the estimate is the min over rows.
+
+    Returns one row ``(est_join_size, exact_join_size)``.  Cost: each
+    side is one map-side-combinable groupBy into its ≤ depth·width-row
+    sketch; the inner product joins two tiny relations — at 100 TB
+    this is how a pipeline prices a proposed join (skew detection,
+    shuffle sizing, plan gating) from sketches it maintains anyway,
+    instead of running the join to see.  The exact value is computed
+    here per-key (Σ over the key's two group counts — never
+    materializing the joined rows) because the certified row should
+    expose the estimate's error; a production probe drops it.
+    """
+    a = cms_sketch_rows(df_a, col_a, depth)
+    b = cms_sketch_rows(df_b, col_b, depth)
+    est = (
+        a.join(b.withColumnRenamed("_n", "_nb"), ["_d", "_slot"])
+        .groupBy("_d")
+        .agg(F.sum(F.col("_n") * F.col("_nb")).alias("_ip"))
+        .agg(F.min("_ip").cast("long").alias("est_join_size"))
+    )
+    fa = df_a.groupBy(F.col(col_a).cast("string").alias("_k")).agg(
+        F.count(F.lit(1)).alias("_ca")
+    )
+    fb = df_b.groupBy(F.col(col_b).cast("string").alias("_k")).agg(
+        F.count(F.lit(1)).alias("_cb")
+    )
+    exact = fa.join(fb, "_k").agg(
+        F.sum(F.col("_ca") * F.col("_cb")).cast("long").alias("exact_join_size")
+    )
+    return est.crossJoin(exact)
+
+
+def cms_sketch_rows(df: DataFrame, value_col: str, depth: int = CMS_DEPTH) -> DataFrame:
+    """The materialized CMS: (_d, _slot, _n) counter rows (≤
+    depth·width of them, whatever the input size) — the broadcastable
+    standing artifact both the point estimates and the inner product
+    consume."""
+    v = F.col(value_col).cast("string")
+    rows = F.array(
+        *[
+            F.struct(F.lit(d).alias("_d"), _cms_slot(v, d).alias("_slot"))
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("_h"))
+        .select(F.col("_h._d").alias("_d"), F.col("_h._slot").alias("_slot"))
+        .groupBy("_d", "_slot")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+
+
+def cms_join_size_sql(
+    rel_a: str, col_a: str, rel_b: str, col_b: str, depth: int = CMS_DEPTH
+) -> str:
+    """DuckDB twin of :func:`cms_join_size`."""
+
+    def sketch(rel: str, col: str) -> str:
+        return f"""(
+  SELECT dd.d AS _d,
+         CAST('0x' || substr(md5(dd.d || ':' || CAST({col} AS VARCHAR)), 1, 15) AS BIGINT)
+             % {CMS_WIDTH} AS _slot,
+         COUNT(*) AS _n
+  FROM {rel} CROSS JOIN (SELECT unnest(range(0, {depth})) AS d) dd
+  GROUP BY 1, 2
+)"""
+
+    return f"""
+WITH _sa AS {sketch(rel_a, col_a)},
+_sb AS {sketch(rel_b, col_b)},
+_ip AS (
+  SELECT _sa._d, SUM(_sa._n * _sb._n) AS _ip
+  FROM _sa JOIN _sb USING (_d, _slot) GROUP BY _sa._d
+),
+_est AS (SELECT CAST(MIN(_ip) AS BIGINT) AS est_join_size FROM _ip),
+_fa AS (SELECT CAST({col_a} AS VARCHAR) AS _k, COUNT(*) AS _ca FROM {rel_a} GROUP BY 1),
+_fb AS (SELECT CAST({col_b} AS VARCHAR) AS _k, COUNT(*) AS _cb FROM {rel_b} GROUP BY 1),
+_ex AS (SELECT CAST(SUM(_ca * _cb) AS BIGINT) AS exact_join_size
+        FROM _fa JOIN _fb USING (_k))
+SELECT est_join_size, exact_join_size FROM _est CROSS JOIN _ex
 """

@@ -7040,6 +7040,168 @@ QUERIES["dedup_media_probe"] = QueryDef(
 )
 
 
+# ---------------------------------------------------------------------------
+# round-9 wave 6: dataset content digest, sketch join-size pricing, and the
+# streaming per-epoch contract monitor
+# ---------------------------------------------------------------------------
+
+_FP_COLS = ["doc_id", "text", "lang", "n_chars"]  # int/string only: exact
+# cross-engine string forms (floats/timestamps need a canonical format)
+
+
+def dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source order-insensitive content digest of the documents
+    table: sum of per-row 60-bit md5 hashes mod 2^61-1 plus exact row
+    count — the reproducibility primitive two pipeline sites compare
+    WITHOUT moving data (partition layout, task order, and engine are
+    all invisible by commutativity).  One map-side-combinable pass.
+    Operator: operators/fingerprint_ds.py::dataset_digest."""
+    from ..operators.fingerprint_ds import dataset_digest
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dataset_digest(docs, _FP_COLS, by=["source"])
+
+
+def _fingerprint_sql() -> str:
+    from ..operators.fingerprint_ds import dataset_digest_sql
+
+    return dataset_digest_sql("documents", _FP_COLS, by=["source"])
+
+
+def sketch_cms_joinsize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join cardinality priced from sketches, not by running the join:
+    the CMS inner product over the view-side and purchase-side
+    user_id frequency sketches upper-bounds |views ⋈ purchases| (min
+    over depth rows tightens it) — how a 100 TB pipeline sizes a
+    proposed shuffle / detects a skew blow-up from the ≤ depth·width
+    standing sketches it maintains anyway.  The exact size rides along
+    (computed per-key, never materializing joined rows) so the
+    certified row exposes the estimate's error.  Operator:
+    operators/sketches.py::cms_join_size."""
+    from ..operators.sketches import cms_join_size
+
+    ev = load_table(spark, sf_dir, "events")
+    return cms_join_size(
+        ev.where(F.col("event_type") == "view"),
+        "user_id",
+        ev.where(F.col("event_type") == "purchase"),
+        "user_id",
+    )
+
+
+def _cms_joinsize_sql() -> str:
+    from ..operators.sketches import cms_join_size_sql
+
+    return cms_join_size_sql(
+        "(SELECT * FROM events WHERE event_type = 'view')",
+        "user_id",
+        "(SELECT * FROM events WHERE event_type = 'purchase')",
+        "user_id",
+    )
+
+
+_SDQ_TYPES = ("click", "error", "purchase", "signup", "view")
+_SDQ_VALUE_CAP = 400.0  # epoch 0's max (490.02 at sf0.01) fails; 1-3 pass
+
+
+def _sdq_check_list():
+    """The per-epoch events contract the STREAMING monitor evaluates —
+    every metric algebraic, hence legal in an update-mode streaming
+    aggregation.  The value cap is chosen so epochs genuinely split
+    pass/fail at the gate SFs (a contract monitor whose rows all agree
+    certifies nothing about the FAIL path)."""
+    from ..operators.quality_checks import Check, completeness, conformity
+
+    c_comp, s_comp = completeness("props")
+    c_nonneg, s_nonneg = conformity(lambda: F.col("value") >= 0, "value >= 0")
+    type_list = ", ".join(f"'{t}'" for t in _SDQ_TYPES)
+    c_dom, s_dom = conformity(
+        lambda: F.col("event_type").isin(*_SDQ_TYPES),
+        f"event_type IN ({type_list})",
+    )
+    return [
+        Check("complete_props", c_comp, s_comp, lo=1.0),
+        Check("size_min_1", lambda: F.count(F.lit(1)), "COUNT(*)", lo=1.0),
+        Check("type_domain", c_dom, s_dom, lo=1.0),
+        Check(
+            "value_cap",
+            lambda: F.max("value"),
+            "MAX(value)",
+            hi=_SDQ_VALUE_CAP,
+        ),
+        Check("value_nonneg", c_nonneg, s_nonneg, lo=1.0),
+    ]
+
+
+def stream_dq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DQ contract as a LIVE per-epoch monitor under the hash
+    gate: events replay in 4 epochs, a streaming aggregation keyed by
+    epoch computes the suite's algebraic metrics in update mode (the
+    state store carries one metric row per epoch), the harness keeps
+    each epoch's final emission, and the batch-side explode renders
+    the (epoch, constraint, value, passed) report — the landing-batch
+    gate of ``dq_constraints`` running against the stream as it lands
+    instead of after it.  Operators:
+    quality_checks.suite_metric_columns + suite_report over
+    streaming/replay.py."""
+    from ..operators.quality_checks import suite_metric_columns, suite_report
+    from ..streaming.replay import replay_available_now
+
+    checks = _sdq_check_list()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "props", (F.col("event_id") % 4).alias("epoch")
+    )
+    out = replay_available_now(
+        spark,
+        ev,
+        "epoch",
+        lambda s: s.groupBy("epoch").agg(*suite_metric_columns(checks)),
+        output_mode="update",
+        latest_per=["epoch"],
+    )
+    return suite_report(out, checks, ["epoch"]).select(
+        "epoch",
+        "constraint",
+        F.round(F.col("value"), 6).alias("value"),
+        F.col("passed").cast("int").alias("passed"),
+    )
+
+
+def _stream_dq_sql() -> str:
+    from ..operators.quality_checks import check_suite_sql
+
+    inner = check_suite_sql(
+        "(SELECT event_type, value, props, event_id % 4 AS epoch FROM events)",
+        _sdq_check_list(),
+        by=["epoch"],
+    )
+    return f"""
+SELECT epoch, "constraint", ROUND(value, 6) AS value,
+       CAST(passed AS INT) AS passed
+FROM ({inner}) ORDER BY epoch, "constraint"
+"""
+
+
+QUERIES["dataset_fingerprint"] = QueryDef(
+    dataset_fingerprint,
+    _fingerprint_sql(),
+    "order-insensitive per-source content digest (sum of row hashes mod 2^61-1)",
+    "training-data",
+)
+QUERIES["sketch_cms_joinsize"] = QueryDef(
+    sketch_cms_joinsize,
+    _cms_joinsize_sql(),
+    "CMS inner-product join-size estimate vs exact (price the shuffle from sketches)",
+    "training-data",
+)
+QUERIES["stream_dq_replay"] = QueryDef(
+    stream_dq_replay,
+    _stream_dq_sql(),
+    "per-epoch streaming DQ contract monitor replayed to final state",
+    "streaming",
+)
+
+
 # Names the driver's 50-row correctness gate has ALREADY certified
 # (union of CORRECTNESS_r01..r08 green rows — all 131 queries as of
 # round 8).  The driver takes the first 50 entries of queries(), so
@@ -7126,6 +7288,9 @@ _ROUND_NEW: tuple[str, ...] = (
     "dq_constraints",
     "snapshot_diff_orders",
     "dedup_media_probe",
+    "dataset_fingerprint",
+    "sketch_cms_joinsize",
+    "stream_dq_replay",
 )
 
 

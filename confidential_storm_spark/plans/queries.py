@@ -7202,6 +7202,53 @@ QUERIES["stream_dq_replay"] = QueryDef(
 )
 
 
+def stream_digest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The content digest maintained INCREMENTALLY — continuous
+    integrity monitoring of a growing table: documents replay in 3
+    doc-id epochs, a streaming aggregation accumulates each source's
+    exact DECIMAL hash-sum and row count in the state store (sum is
+    the digest's whole design point: a commutative monoid, so
+    per-batch update order is invisible), and the final per-source
+    state modded by the Mersenne prime must equal the batch
+    ``dataset_fingerprint`` of the same table — certified by sharing
+    its DuckDB twin verbatim.  At 100 TB this is a standing checksum
+    updated per ingest batch for the cost of the batch, never a table
+    rescan."""
+    from ..operators.fingerprint_ds import DIGEST_MOD, row_hash60
+    from ..streaming.replay import replay_available_now
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", *_FP_COLS, (F.col("doc_id") % 3).alias("epoch")
+    )
+
+    def xf(s: DataFrame) -> DataFrame:
+        return (
+            s.select("source", row_hash60(_FP_COLS).alias("_h"))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("_h").cast("decimal(38,0)")).alias("_sum"),
+            )
+        )
+
+    out = replay_available_now(
+        spark, docs, "epoch", xf, output_mode="update", latest_per=["source"]
+    )
+    return out.select(
+        "source",
+        "n_rows",
+        (F.col("_sum") % F.lit(DIGEST_MOD)).cast("long").alias("digest"),
+    ).orderBy("source")
+
+
+QUERIES["stream_digest_replay"] = QueryDef(
+    stream_digest_replay,
+    _fingerprint_sql(),
+    "content digest maintained incrementally by a streaming agg == batch digest",
+    "streaming",
+)
+
+
 # Names the driver's 50-row correctness gate has ALREADY certified
 # (union of CORRECTNESS_r01..r08 green rows — all 131 queries as of
 # round 8).  The driver takes the first 50 entries of queries(), so
@@ -7291,6 +7338,7 @@ _ROUND_NEW: tuple[str, ...] = (
     "dataset_fingerprint",
     "sketch_cms_joinsize",
     "stream_dq_replay",
+    "stream_digest_replay",
 )
 
 

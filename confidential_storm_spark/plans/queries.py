@@ -6545,6 +6545,21 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type partition, valid only BECAUSE the spine made the series
     dense (one row per day).  ma7 is one division of exact integer
     (sum, count) per row, so the twin reproduces it bit-for-bit."""
+    filled = _daily_filled(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return filled.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(F.avg("n_events").over(w), 6).alias("ma7"),
+    ).orderBy("event_type", "day")
+
+
+def _daily_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense per-(event_type, day) January series shared by the
+    gap-fill and day-over-day queries: daily counts LEFT-joined onto
+    the types × sequence(dates) spine, absent days as explicit
+    zeros."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events")
@@ -6561,16 +6576,69 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("day"),
         )
     )
-    filled = spine.join(daily, ["event_type", "day"], "left").select(
+    return spine.join(daily, ["event_type", "day"], "left").select(
         "event_type", "day", F.coalesce("n_events", F.lit(0)).alias("n_events")
     )
-    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+
+
+def events_dod_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day movement on the gap-filled series — the
+    lag/lead/ntile window family over a provably dense partition
+    (offset windows are only correct when one row == one day, which
+    is exactly what the spine guarantees; on the raw GROUP BY a
+    missing day silently turns "yesterday" into "last week").
+    delta/next_delta are exact integer differences; pct_change is one
+    division of exact integers (NULL on a zero base); volume_quartile
+    is NTILE(4) under a TOTAL order (n_events, day) so tie assignment
+    cannot differ between engines."""
+    filled = _daily_filled(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    wq = Window.partitionBy("event_type").orderBy("n_events", "day")
+    prev = F.lag("n_events").over(w)
     return filled.select(
         "event_type",
         "day",
         "n_events",
-        F.round(F.avg("n_events").over(w), 6).alias("ma7"),
+        (F.col("n_events") - prev).alias("delta"),
+        F.round(
+            F.when(prev > 0, (F.col("n_events") - prev).cast("double") / prev),
+            6,
+        ).alias("pct_change"),
+        (F.lead("n_events").over(w) - F.col("n_events")).alias("next_delta"),
+        F.ntile(4).over(wq).alias("volume_quartile"),
     ).orderBy("event_type", "day")
+
+
+_FILLED_CTE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2),
+spine AS (
+  SELECT t.event_type, d.day
+  FROM (SELECT DISTINCT event_type FROM daily) t,
+       (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                      INTERVAL 1 DAY))::DATE AS day) d),
+filled AS (
+  SELECT s.event_type, s.day, COALESCE(daily.n_events, 0) AS n_events
+  FROM spine s LEFT JOIN daily ON s.event_type = daily.event_type AND s.day = daily.day)
+"""
+
+DOD_SQL = (
+    _FILLED_CTE
+    + """
+SELECT event_type, day, n_events,
+       n_events - LAG(n_events) OVER w AS delta,
+       ROUND(CASE WHEN LAG(n_events) OVER w > 0
+                  THEN CAST(n_events - LAG(n_events) OVER w AS DOUBLE)
+                       / LAG(n_events) OVER w END, 6) AS pct_change,
+       LEAD(n_events) OVER w - n_events AS next_delta,
+       NTILE(4) OVER (PARTITION BY event_type ORDER BY n_events, day)
+           AS volume_quartile
+FROM filled
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+ORDER BY event_type, day
+"""
+)
 
 
 GAPFILL_SQL = """
@@ -6760,6 +6828,12 @@ QUERIES["events_daily_gapfill"] = QueryDef(
     events_daily_gapfill,
     GAPFILL_SQL,
     "calendar-spine gap-fill with explicit zeros + 7-day trailing moving average",
+    "training-data",
+)
+QUERIES["events_dod_change"] = QueryDef(
+    events_dod_change,
+    DOD_SQL,
+    "lag/lead/ntile day-over-day movement on the provably dense gap-filled series",
     "training-data",
 )
 QUERIES["dedup_containment"] = QueryDef(
@@ -7339,6 +7413,7 @@ _ROUND_NEW: tuple[str, ...] = (
     "sketch_cms_joinsize",
     "stream_dq_replay",
     "stream_digest_replay",
+    "events_dod_change",
 )
 
 

@@ -112,7 +112,14 @@ def snapshot_diff_sql(
     compare_cols: list[str],
 ) -> str:
     """DuckDB twin of :func:`snapshot_diff` over two relation
-    subqueries (each must expose the key and compared columns)."""
+    subqueries (each must expose the key and compared columns).
+
+    Caveat the Spark side does not share: presence is detected via
+    ``o.<key> IS NULL`` on the first key column, so a snapshot whose
+    KEY itself can be NULL would misclassify that row (the operator
+    uses explicit presence markers instead).  Use NULL-free keys in
+    twinned relations — the registry query aggregates by custkey,
+    which is non-null by construction."""
     kj = " AND ".join(f"o.{k} IS NOT DISTINCT FROM n.{k}" for k in keys)
     same = " AND ".join(
         f"o.{c} IS NOT DISTINCT FROM n.{c}" for c in compare_cols

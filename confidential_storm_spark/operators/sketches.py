@@ -490,10 +490,17 @@ def cms_join_size(
     """
     a = cms_sketch_rows(df_a, col_a, depth)
     b = cms_sketch_rows(df_b, col_b, depth)
+    # DECIMAL(38,0) accumulation: slot counts at warehouse scale can
+    # make n*nb exceed int64, and Spark's non-ANSI long sum would wrap
+    # silently (DuckDB's twin already sums in HUGEINT)
     est = (
         a.join(b.withColumnRenamed("_n", "_nb"), ["_d", "_slot"])
         .groupBy("_d")
-        .agg(F.sum(F.col("_n") * F.col("_nb")).alias("_ip"))
+        .agg(
+            F.sum(
+                (F.col("_n") * F.col("_nb")).cast("decimal(38,0)")
+            ).alias("_ip")
+        )
         .agg(F.min("_ip").cast("long").alias("est_join_size"))
     )
     fa = df_a.groupBy(F.col(col_a).cast("string").alias("_k")).agg(
@@ -503,7 +510,9 @@ def cms_join_size(
         F.count(F.lit(1)).alias("_cb")
     )
     exact = fa.join(fb, "_k").agg(
-        F.sum(F.col("_ca") * F.col("_cb")).cast("long").alias("exact_join_size")
+        F.sum((F.col("_ca") * F.col("_cb")).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("exact_join_size")
     )
     return est.crossJoin(exact)
 

@@ -496,6 +496,11 @@ def write_hamming_band_index(
     with corpus and candidate fan-out per probe with it; a dropped
     low-information band still leaves the other bands vouching for
     true pairs within the pigeonhole guarantee."""
+    if 64 % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide 64 evenly — a remainder would "
+            "silently exclude the top bits from every bucket key"
+        )
     bits_per_band = 64 // bands
     mask = (1 << bits_per_band) - 1
     banded = sigs.select(

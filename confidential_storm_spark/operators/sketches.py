@@ -52,6 +52,8 @@ __all__ = [
     "cms_sketch_rows",
     "cms_join_size",
     "cms_join_size_sql",
+    "cms_join_hotkeys",
+    "cms_join_hotkeys_sql",
     "histogram_quantiles",
     "histogram_quantiles_sql",
 ]
@@ -565,4 +567,114 @@ _fb AS (SELECT CAST({col_b} AS VARCHAR) AS _k, COUNT(*) AS _cb FROM {rel_b} GROU
 _ex AS (SELECT CAST(SUM(_ca * _cb) AS BIGINT) AS exact_join_size
         FROM _fa JOIN _fb USING (_k))
 SELECT est_join_size, exact_join_size FROM _est CROSS JOIN _ex
+"""
+
+
+def cms_join_hotkeys(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    k: int = 10,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """The skew advisor: which keys dominate a proposed equi-join,
+    priced WITHOUT shuffling side B.  Side A's top-``k`` keys by exact
+    frequency (TakeOrdered — deterministic under the (count DESC, key)
+    total order) probe side B's Count-Min sketch; each key's estimated
+    join contribution is ``cnt_a * cms_b(key)``.  The exact
+    contribution rides along for the certified row (computed per-key
+    from B's group counts, never materializing joined rows).
+
+    Returns k rows (key, cnt_a, est_cnt_b, est_contrib, exact_contrib)
+    ordered by (cnt_a DESC, key).  At 100 TB this is the pre-flight a
+    pipeline runs before a fact-fact join: the top-k scan of A is one
+    map-side-combinable pass + a k-row TakeOrdered; pricing is a k-row
+    broadcast probe of B's ≤ depth·width standing sketch — if one
+    key's est_contrib dwarfs the rest, route it to the salted join
+    (operators/skew.py) or AQE skew split before paying the shuffle.
+    """
+    topk = (
+        df_a.groupBy(F.col(col_a).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt_a"))
+        .orderBy(F.desc("cnt_a"), F.col("key"))
+        .limit(k)
+    )
+    sketch_b = cms_sketch_rows(df_b, col_b, depth)
+    probes = topk.select(
+        "key",
+        "cnt_a",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("_d"),
+                        _cms_slot(F.col("key"), d).alias("_slot"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("_h"),
+    ).select("key", "cnt_a", F.col("_h._d").alias("_d"), F.col("_h._slot").alias("_slot"))
+    est = (
+        probes.join(F.broadcast(sketch_b), ["_d", "_slot"], "left")
+        .groupBy("key", "cnt_a")
+        .agg(F.min(F.coalesce(F.col("_n"), F.lit(0))).alias("est_cnt_b"))
+    )
+    exact_b = df_b.groupBy(F.col(col_b).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("_cb")
+    )
+    return (
+        est.join(F.broadcast(exact_b), "key", "left")
+        .select(
+            "key",
+            "cnt_a",
+            "est_cnt_b",
+            (F.col("cnt_a") * F.col("est_cnt_b"))
+            .cast("decimal(38,0)")
+            .cast("long")
+            .alias("est_contrib"),
+            (F.col("cnt_a") * F.coalesce(F.col("_cb"), F.lit(0)))
+            .cast("decimal(38,0)")
+            .cast("long")
+            .alias("exact_contrib"),
+        )
+        .orderBy(F.desc("cnt_a"), F.col("key"))
+    )
+
+
+def cms_join_hotkeys_sql(
+    rel_a: str, col_a: str, rel_b: str, col_b: str, k: int = 10, depth: int = CMS_DEPTH
+) -> str:
+    """DuckDB twin of :func:`cms_join_hotkeys`."""
+    return f"""
+WITH _topk AS (
+  SELECT CAST({col_a} AS VARCHAR) AS key, COUNT(*) AS cnt_a
+  FROM {rel_a} GROUP BY 1 ORDER BY cnt_a DESC, key LIMIT {k}
+),
+_sb AS (
+  SELECT dd.d AS _d,
+         CAST('0x' || substr(md5(dd.d || ':' || CAST({col_b} AS VARCHAR)), 1, 15) AS BIGINT)
+             % {CMS_WIDTH} AS _slot,
+         COUNT(*) AS _n
+  FROM {rel_b} CROSS JOIN (SELECT unnest(range(0, {depth})) AS d) dd
+  GROUP BY 1, 2
+),
+_probe AS (
+  SELECT t.key, t.cnt_a, dd.d AS _d,
+         CAST('0x' || substr(md5(dd.d || ':' || t.key), 1, 15) AS BIGINT)
+             % {CMS_WIDTH} AS _slot
+  FROM _topk t CROSS JOIN (SELECT unnest(range(0, {depth})) AS d) dd
+),
+_est AS (
+  SELECT p.key, p.cnt_a, MIN(COALESCE(_sb._n, 0)) AS est_cnt_b
+  FROM _probe p LEFT JOIN _sb USING (_d, _slot)
+  GROUP BY p.key, p.cnt_a
+),
+_fb AS (SELECT CAST({col_b} AS VARCHAR) AS key, COUNT(*) AS _cb FROM {rel_b} GROUP BY 1)
+SELECT e.key, e.cnt_a, e.est_cnt_b,
+       CAST(e.cnt_a * e.est_cnt_b AS BIGINT) AS est_contrib,
+       CAST(e.cnt_a * COALESCE(f._cb, 0) AS BIGINT) AS exact_contrib
+FROM _est e LEFT JOIN _fb f USING (key)
+ORDER BY cnt_a DESC, key
 """

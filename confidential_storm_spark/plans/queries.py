@@ -7323,6 +7323,40 @@ QUERIES["stream_digest_replay"] = QueryDef(
 )
 
 
+def sketch_join_hotkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-flight skew advisor for a proposed fact-fact join:
+    lineitem's 10 hottest orderkeys (exact one-pass top-k under a
+    total order) probe the orders-side CMS for their estimated match
+    counts — per-key join contribution priced from a broadcastable
+    sketch before any shuffle is paid.  Keys whose est_contrib dwarfs
+    the rest get routed to salted_join / AQE skew split.  Operator:
+    operators/sketches.py::cms_join_hotkeys (exact contribution rides
+    along to expose the estimate's error in the certified row)."""
+    from ..operators.sketches import cms_join_hotkeys
+
+    return cms_join_hotkeys(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        load_table(spark, sf_dir, "orders"),
+        "o_orderkey",
+        k=10,
+    )
+
+
+def _join_hotkeys_sql() -> str:
+    from ..operators.sketches import cms_join_hotkeys_sql
+
+    return cms_join_hotkeys_sql("lineitem", "l_orderkey", "orders", "o_orderkey", k=10)
+
+
+QUERIES["sketch_join_hotkeys"] = QueryDef(
+    sketch_join_hotkeys,
+    _join_hotkeys_sql(),
+    "skew advisor: side-A hot keys priced against side-B CMS before the join",
+    "training-data",
+)
+
+
 # Names the driver's 50-row correctness gate has ALREADY certified
 # (union of CORRECTNESS_r01..r08 green rows — all 131 queries as of
 # round 8).  The driver takes the first 50 entries of queries(), so
@@ -7414,6 +7448,7 @@ _ROUND_NEW: tuple[str, ...] = (
     "stream_dq_replay",
     "stream_digest_replay",
     "events_dod_change",
+    "sketch_join_hotkeys",
 )
 
 

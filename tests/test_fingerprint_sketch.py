@@ -115,3 +115,21 @@ def test_check_suite_grouped_reports_per_group(spark):
     assert [(r["epoch"], r["constraint"]) for r in rep] == sorted(
         (r["epoch"], r["constraint"]) for r in rep
     )
+
+
+def test_cms_join_hotkeys_ranks_and_bounds(spark):
+    from confidential_storm_spark.operators.sketches import cms_join_hotkeys
+
+    a = spark.createDataFrame(
+        [(k,) for k in [7] * 50 + [3] * 20 + [5] * 5 + [9]], "k long"
+    )
+    b = spark.createDataFrame([(k,) for k in [7] * 4 + [3] * 2 + [11]], "k long")
+    rows = cms_join_hotkeys(a, "k", b, "k", k=3).collect()
+    assert [r["key"] for r in rows] == ["7", "3", "5"]  # cnt desc, key tiebreak
+    by = {r["key"]: r for r in rows}
+    assert by["7"]["exact_contrib"] == 200 and by["3"]["exact_contrib"] == 40
+    assert by["5"]["exact_contrib"] == 0  # absent on side B
+    for r in rows:  # CMS never underestimates
+        assert r["est_contrib"] >= r["exact_contrib"]
+    # tiny domain -> no collisions -> estimates exact
+    assert by["7"]["est_contrib"] == 200 and by["5"]["est_contrib"] == 0

@@ -710,3 +710,49 @@ SELECT t.doc_id,
 FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id
 ORDER BY t.doc_id
 """
+
+
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy of the character distribution, in bits/char —
+    the classic cheap repetitiveness signal for crawl curation (a
+    keyboard-mash or boilerplate-loop page sits far below natural
+    text's ~4.1 bits/char; near-zero means one symbol dominates).
+
+    Arrow-batched pandas UDF (the per-doc histogram is a data-dependent
+    sparse map, which Spark's fixed-schema expressions can't build
+    without exploding one row per character — a corpus-sized shuffle
+    for a per-row statistic).  Linear in corpus bytes, no shuffle:
+    the 100 TB cost is exactly one codegen'd scan + one Arrow hop.
+
+    The ``+ 0.0`` normalizes IEEE ``-0.0`` (a single-symbol doc yields
+    ``-(1.0 * log2 1.0) = -0.0``) so the value hash matches engines
+    that print ``0.0``."""
+    import numpy as np
+    import pandas as pd
+
+    @pandas_udf("double")
+    def _ent(s: pd.Series) -> pd.Series:
+        out = np.zeros(len(s), dtype=np.float64)
+        for i, t in enumerate(s):
+            if not t:
+                continue
+            _, cnt = np.unique(np.array(list(t)), return_counts=True)
+            p = cnt / cnt.sum()
+            out[i] = -(p * np.log2(p)).sum() + 0.0
+        return pd.Series(out)
+
+    return _ent(text)
+
+
+def char_entropy_sql(col: str = "text") -> str:
+    """DuckDB twin of :func:`char_entropy` as a pure scalar expression
+    (per-row list algebra: distinct symbols -> counts -> -sum p log2 p;
+    quadratic in per-doc alphabet size, fine for an oracle)."""
+    cs = f"string_split({col}, '')"
+    return (
+        f"CASE WHEN length({col}) = 0 THEN 0.0 ELSE "
+        f"list_sum(list_transform(list_distinct({cs}), u -> "
+        f"-(CAST(len(list_filter({cs}, x -> x = u)) AS DOUBLE) / length({col})) "
+        f"* log2(CAST(len(list_filter({cs}, x -> x = u)) AS DOUBLE) / length({col}))"
+        f")) + 0.0 END"
+    )

@@ -273,3 +273,97 @@ scored AS (
 )
 SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
 """
+
+
+def centroid_outliers(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    z_threshold: float = 2.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space outlier detection: fit k-means, then score every
+    vector by the z-score of its squared distance to its assigned
+    centroid WITHIN that cluster — the standard curation probe for
+    mislabeled / off-distribution / garbage embeddings (an outlier is
+    far from its own cluster's core, not just far from a global mean,
+    so dense and sparse regions each keep their own scale).
+
+    Plan shape: k-means fit (cached iterate), one Arrow assignment
+    pass, then JVM-only arithmetic — the k-row centroid table is
+    broadcast, dist2 folds left-to-right inside codegen (bit-compatible
+    with the DuckDB twin's ``list_sum``), and the per-cluster
+    mean/stddev aggregate is k rows.  No shuffle wider than the k-row
+    stats join.  ``stddev_pop`` (not sample) so a singleton cluster
+    yields 0, which the z-guard maps to z = 0, never NULL."""
+    spark = df.sparkSession
+    cids, C = kmeans_fit(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    assigned = kmeans_assign(df, cids, C, vec_col=vec_col).select(
+        id_col, "cluster", vec_col
+    )
+    cent = spark.createDataFrame(
+        [(int(c), [float(x) for x in C[i]]) for i, c in enumerate(cids)],
+        "cluster long, _centroid array<double>",
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("_centroid"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    scored = assigned.join(F.broadcast(cent), "cluster").select(
+        id_col, "cluster", dist2.alias("_d2")
+    )
+    stats = scored.groupBy("cluster").agg(
+        F.avg("_d2").alias("_m"), F.stddev_pop("_d2").alias("_s")
+    )
+    z_raw = (F.col("_d2") - F.col("_m")) / F.col("_s")
+    return (
+        scored.join(F.broadcast(stats), "cluster")
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.round("_d2", 6).alias("dist2"),
+            F.round(F.when(F.col("_s") > 0, z_raw).otherwise(F.lit(0.0)), 4).alias("z_score"),
+            F.when((F.col("_s") > 0) & (z_raw > F.lit(z_threshold)), F.lit(True))
+            .otherwise(F.lit(False))
+            .alias("is_outlier"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def centroid_outliers_sql(
+    k: int = 8,
+    iters: int = 4,
+    z_threshold: float = 2.0,
+    dim: int = 64,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`centroid_outliers`: same unrolled Lloyd
+    trajectory as :func:`kmeans_sql`, extended with the dist2 /
+    per-cluster z-score tail."""
+    sq = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i])))"
+    )
+    return (
+        _kmeans_ctes(k, iters, dim, table, vec_col, id_col)
+        + f""",
+d AS (SELECT p.{id_col}, a.cid AS cluster, {sq} AS dist2
+      FROM pts p JOIN afinal a USING ({id_col}) JOIN c{iters} c ON a.cid = c.cid),
+st AS (SELECT cluster, AVG(dist2) AS m, stddev_pop(dist2) AS s FROM d GROUP BY cluster)
+SELECT d.{id_col}, d.cluster,
+       ROUND(d.dist2, 6) AS dist2,
+       ROUND(CASE WHEN st.s > 0 THEN (d.dist2 - st.m) / st.s ELSE 0.0 END, 4) AS z_score,
+       CASE WHEN st.s > 0 AND (d.dist2 - st.m) / st.s > {z_threshold!r} THEN TRUE ELSE FALSE END AS is_outlier
+FROM d JOIN st USING (cluster)
+ORDER BY d.{id_col}
+"""
+    )

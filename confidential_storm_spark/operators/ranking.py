@@ -180,3 +180,70 @@ SELECT _id AS {id_col}, term, tf,
        ROUND(tf * ln(CAST(_n AS DOUBLE) / _df), 6) AS tfidf
 FROM tfc JOIN dfreq USING (term) CROSS JOIN stats
 """
+
+
+def inverted_index(
+    df: DataFrame,
+    min_df: int = 5,
+    max_df_ratio: float = 0.79,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the posting-list relation ``(word, df, postings)``
+    — the search-index build step of a curation warehouse (BM25/TF-IDF
+    above SCORE against term stats; this op persists the index itself
+    so lookups become a join, not a corpus scan).
+
+    Two-pass on purpose: document frequencies are computed and pruned
+    FIRST (``min_df`` kills hapax noise, ``max_df_ratio`` kills
+    stopwords), and only surviving terms aggregate their posting
+    arrays — so the giant stopword postings (the skewed keys: at 100 TB
+    "the" would collect a posting per document) are never built.  The
+    corpus-size scalar is a 1-row broadcast; both groupBys are
+    map-side combinable and keyed by word (hash-distributed, pruned of
+    the hot head by construction)."""
+    dw = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("word"))
+        .distinct()
+    )
+    dfreq = dw.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    total = df.select(F.count(F.lit(1)).alias("_n"))
+    kept = (
+        dfreq.crossJoin(F.broadcast(total))
+        .filter((F.col("df") >= min_df) & (F.col("df") <= F.lit(max_df_ratio) * F.col("_n")))
+        .select("word", "df")
+    )
+    return (
+        dw.join(kept, "word")
+        .groupBy("word")
+        .agg(
+            F.first("df").alias("df"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("postings"),
+        )
+        .orderBy("word")
+    )
+
+
+def inverted_index_sql(
+    min_df: int = 5,
+    max_df_ratio: float = 0.79,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`inverted_index` (same prune-then-collect
+    shape)."""
+    ws = words_sql(text_col)
+    return f"""
+WITH dw AS (SELECT DISTINCT doc_id, word FROM
+            (SELECT {id_col} AS doc_id, unnest({ws}) AS word FROM {table})),
+dfreq AS (SELECT word, COUNT(*) AS df FROM dw GROUP BY word),
+tot AS (SELECT COUNT(*) AS n FROM {table}),
+kept AS (SELECT word, df FROM dfreq, tot
+         WHERE df >= {min_df} AND df <= {max_df_ratio!r} * n)
+SELECT k.word, k.df,
+       array_to_string(list(d.doc_id ORDER BY d.doc_id), ',') AS postings
+FROM kept k JOIN dw d USING (word)
+GROUP BY k.word, k.df
+ORDER BY k.word
+"""

@@ -532,3 +532,122 @@ r AS (
 SELECT query_id, neg_id, cosine, rank FROM r WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the middle rung of the compression ladder
+# ---------------------------------------------------------------------------
+
+
+def sq8_minmax(
+    df: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) of an embedding column — the SQ8
+    codebook.  One narrow scan + a dim-row aggregate (map-side
+    combinable, collect is d rows — the k-row-reduction pattern this
+    repo allows at the driver)."""
+    rows = (
+        df.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("d")
+        .collect()
+    )
+    return [r["lo"] for r in rows], [r["hi"] for r in rows]
+
+
+def _sq8_recon(vec: Column, los: list[float], his: list[float]) -> Column:
+    """Reconstructed (de-quantized) vector: each coordinate snapped to
+    the nearest of 256 evenly spaced levels on that dimension's
+    [lo, hi] range.  floor(x + 0.5) instead of round() so both engines
+    share one tie rule; degenerate dims (hi == lo) reconstruct to the
+    constant."""
+    dim = len(los)
+    lo_arr = F.array(*[F.lit(float(v)) for v in los])
+    hi_arr = F.array(*[F.lit(float(v)) for v in his])
+    v = vec.cast("array<double>")
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.when(
+            F.element_at(hi_arr, i) == F.element_at(lo_arr, i),
+            F.element_at(lo_arr, i),
+        ).otherwise(
+            F.element_at(lo_arr, i)
+            + F.floor(
+                F.lit(255.0)
+                * (F.element_at(v, i) - F.element_at(lo_arr, i))
+                / (F.element_at(hi_arr, i) - F.element_at(lo_arr, i))
+                + F.lit(0.5)
+            )
+            * (F.element_at(hi_arr, i) - F.element_at(lo_arr, i))
+            / F.lit(255.0)
+        ),
+    )
+
+
+def sq8_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k over SQ8-quantized vectors — the
+    4x-compression rung between raw floats (``brute_force_topk``) and
+    IVF-PQ's 32x (``operators/pq.py``).  At 100 TB the win is the
+    scan: one byte per dimension instead of four moves the
+    brute-force scan from IO-bound to CPU-bound, with recall loss
+    bounded by the per-dim quantization step (range/255 — far inside
+    cosine's top-k margins for natural embeddings).
+
+    The codebook is 2·d doubles (driver-collected, broadcast as
+    literals); scoring folds left-to-right in doubles exactly like
+    :func:`cosine_to_query`, so the DuckDB twin reproduces the hash.
+    Plan: one scan + TakeOrdered — no shuffle, no join."""
+    los, his = sq8_minmax(df, vec_col)
+    q = [float(x) for x in query]
+    qn = float(np.sqrt(sum(x * x for x in q)))
+    qcol = F.array(*[F.lit(x) for x in q])
+    rv = _sq8_recon(F.col(vec_col), los, his)
+    dot = F.aggregate(F.zip_with(rv, qcol, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
+    vn = F.sqrt(F.aggregate(rv, F.lit(0.0), lambda s, x: s + x * x))
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(dot / (vn * F.lit(qn)), 6).alias("approx_cosine"),
+        )
+        .orderBy(F.desc("approx_cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sq8_topk_sql(
+    k: int = 10,
+    dim: int = 64,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: int = 0,
+) -> str:
+    """DuckDB twin of :func:`sq8_topk`: the codebook is derived
+    in-SQL from the same data (MIN/MAX of identical doubles are
+    bit-identical to the Spark-collected literals)."""
+    return f"""
+WITH pts AS (SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+             FROM {table}),
+qv AS (SELECT v AS q FROM pts WHERE {id_col} = {query_id}),
+mm AS (SELECT i AS d, MIN(v[i]) AS lo, MAX(v[i]) AS hi
+       FROM pts CROSS JOIN range(1, {dim + 1}) r(i) GROUP BY i),
+cb AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM mm),
+rec AS (SELECT {id_col},
+               list_transform(range(1, {dim + 1}), i ->
+                 CASE WHEN cb.hi[i] = cb.lo[i] THEN cb.lo[i]
+                      ELSE cb.lo[i] + floor(255.0 * (v[i] - cb.lo[i]) /
+                           (cb.hi[i] - cb.lo[i]) + 0.5) * (cb.hi[i] - cb.lo[i]) / 255.0
+                 END) AS rv
+        FROM pts, cb)
+SELECT {id_col}, ROUND(list_cosine_similarity(rv, qv.q), 6) AS approx_cosine
+FROM rec, qv
+ORDER BY approx_cosine DESC, {id_col}
+LIMIT {k}
+"""

@@ -7357,6 +7357,242 @@ QUERIES["sketch_join_hotkeys"] = QueryDef(
 )
 
 
+# ---------------------------------------------------------------------------
+# Round-9 wave 7: entropy signal, inverted index, canonical dedup,
+# split-leakage audit, SQ8 ANN, embedding outliers
+# ---------------------------------------------------------------------------
+
+CHAR_ENTROPY_LOW = 4.0  # bits/char; this corpus spans [3.68, 4.23]
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (bits/char): keyboard mash and
+    boilerplate loops score far below natural text; the flag threshold
+    sits at this corpus's ~P10.  One Arrow-batched linear pass — the
+    histogram is per-row, so there is no shuffle at any scale."""
+    from ..functions.text import char_entropy
+
+    scored = load_table(spark, sf_dir, "documents").select(
+        "doc_id", char_entropy(F.col("text")).alias("_e")
+    )
+    return scored.select(
+        "doc_id",
+        F.round("_e", 4).alias("char_entropy"),
+        (F.col("_e") < F.lit(CHAR_ENTROPY_LOW)).alias("is_low_entropy"),
+    ).orderBy("doc_id")
+
+
+def _char_entropy_sql() -> str:
+    from ..functions.text import char_entropy_sql
+
+    e = char_entropy_sql("text")
+    return (
+        f"SELECT doc_id, ROUND({e}, 4) AS char_entropy, "
+        f"{e} < {CHAR_ENTROPY_LOW!r} AS is_low_entropy "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
+QUERIES["text_char_entropy"] = QueryDef(
+    text_char_entropy,
+    _char_entropy_sql(),
+    "Shannon char entropy per doc + low-entropy flag",
+    "training-data",
+)
+
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list index build (word -> df -> sorted postings) with
+    df-range pruning BEFORE postings aggregation, so stopword-sized
+    posting lists are never materialized — the skew-safe index-build
+    shape for a 100 TB corpus."""
+    from ..operators.ranking import inverted_index
+
+    return inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+def _inverted_index_sql() -> str:
+    from ..operators.ranking import inverted_index_sql
+
+    return inverted_index_sql()
+
+
+QUERIES["text_inverted_index"] = QueryDef(
+    text_inverted_index,
+    _inverted_index_sql(),
+    "df-pruned posting-list construction over the corpus",
+    "training-data",
+)
+
+
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster -> CANONICAL: after connected components over the
+    near-dup graph, pick each cluster's representative by the
+    keep-longest policy (max ``n_chars``, doc_id tiebreak) — the step
+    that turns "these k docs are the same" into "keep THIS one",
+    completing the dedup lifecycle (pairs -> clusters -> canonical ->
+    rewrite).  Reads the standing pair index like ``dedup_clusters``;
+    the representative choice is one window function over the
+    cluster assignment — no extra shuffle beyond the cluster key."""
+    from ..operators.dedup import neardup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _neardup_pairs_indexed(spark, sf_dir)
+    cl = neardup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    joined = cl.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("canonical_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_canonical_sql() -> str:
+    # same recursive-CTE component labelling as _dedup_clusters_sql,
+    # extended with the keep-longest window over each component
+    pair_body = _minhash_sql(MINHASH_MAX_BUCKET).replace("ORDER BY id_a, id_b", "")
+    return f"""
+WITH RECURSIVE pairs AS ({pair_body}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, label) AS (
+  SELECT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON r.id = e.src
+),
+cc AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
+asg AS (SELECT d.doc_id,
+               COALESCE(cc.component, d.doc_id) AS cluster_id,
+               d.n_chars
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.id)
+SELECT doc_id, cluster_id,
+       FIRST_VALUE(doc_id) OVER (
+           PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+       ) AS canonical_id,
+       doc_id = FIRST_VALUE(doc_id) OVER (
+           PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+       ) AS is_kept
+FROM asg
+ORDER BY doc_id
+"""
+
+
+QUERIES["dedup_canonical"] = QueryDef(
+    dedup_canonical,
+    _dedup_canonical_sql(),
+    "keep-longest canonical representative per near-dup cluster",
+    "training-data",
+)
+
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: near-duplicate pairs that STRADDLE the
+    deterministic train/val/test hash split — the self-check every
+    dataset release needs (a test doc with a train near-twin inflates
+    eval).  Composes the standing near-dup pair index with the
+    split_assign expression: pairs ⋈ two split tags, filter mixed —
+    per-audit cost is the pair relation, never a corpus rescan."""
+    from ..operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = split_assign(docs, SPLIT_WEIGHTS).select("doc_id", "split")
+    pairs = _neardup_pairs_indexed(spark, sf_dir)
+    a = split.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "split_a")
+    b = split.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "split_b")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _split_leakage_sql() -> str:
+    from ..operators.sampling import split_assign_sql
+
+    pair_body = _minhash_sql(MINHASH_MAX_BUCKET).replace("ORDER BY id_a, id_b", "")
+    sa = split_assign_sql(SPLIT_WEIGHTS, id_col="id_a")
+    sb = split_assign_sql(SPLIT_WEIGHTS, id_col="id_b")
+    return f"""
+WITH pairs AS ({pair_body}),
+tagged AS (SELECT id_a, id_b, jaccard, {sa} AS split_a, {sb} AS split_b FROM pairs)
+SELECT id_a, id_b, split_a, split_b, jaccard
+FROM tagged WHERE split_a <> split_b
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES["split_leakage"] = QueryDef(
+    split_leakage,
+    _split_leakage_sql(),
+    "near-dup pairs straddling the train/val/test split",
+    "training-data",
+)
+
+
+def knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized approximate top-k — the 4x-compression
+    rung between raw-float brute force and IVF-PQ's 32x: one byte per
+    dimension turns the 100 TB exact scan IO-bound -> CPU-bound while
+    keeping per-dim error at range/255."""
+    from ..operators.similarity import sq8_topk
+
+    q = _query_vec(spark, sf_dir)
+    return sq8_topk(load_table(spark, sf_dir, "embeddings"), q, k=KNN_K)
+
+
+def _knn_sq8_sql() -> str:
+    from ..operators.similarity import sq8_topk_sql
+
+    return sq8_topk_sql(k=KNN_K, dim=EMB_DIM)
+
+
+QUERIES["knn_sq8"] = QueryDef(
+    knn_sq8,
+    _knn_sq8_sql(),
+    "scalar-quantized (SQ8) approximate cosine top-k",
+    "training-data",
+)
+
+
+def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier probe: per-cluster z-score of squared
+    distance to the assigned k-means centroid — flags off-distribution
+    / garbage vectors for curation triage at each cluster's own
+    scale."""
+    from ..operators.clustering import centroid_outliers
+
+    return centroid_outliers(
+        load_table(spark, sf_dir, "embeddings"), k=KMEANS_K, iters=KMEANS_ITERS
+    )
+
+
+def _emb_outliers_sql() -> str:
+    from ..operators.clustering import centroid_outliers_sql
+
+    return centroid_outliers_sql(KMEANS_K, KMEANS_ITERS, dim=EMB_DIM)
+
+
+QUERIES["emb_outliers"] = QueryDef(
+    emb_outliers,
+    _emb_outliers_sql(),
+    "per-cluster centroid-distance z-score outlier flags",
+    "training-data",
+)
+
+
 # Names the driver's 50-row correctness gate has ALREADY certified
 # (union of CORRECTNESS_r01..r08 green rows — all 131 queries as of
 # round 8).  The driver takes the first 50 entries of queries(), so
@@ -7449,6 +7685,12 @@ _ROUND_NEW: tuple[str, ...] = (
     "stream_digest_replay",
     "events_dod_change",
     "sketch_join_hotkeys",
+    "text_char_entropy",
+    "text_inverted_index",
+    "dedup_canonical",
+    "split_leakage",
+    "knn_sq8",
+    "emb_outliers",
 )
 
 

@@ -1,0 +1,157 @@
+"""Round-9 wave 7 operators: char entropy, inverted index, canonical
+dedup selection, split-leakage audit, SQ8 quantized ANN, centroid
+outliers."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_char_entropy_known_values(spark):
+    from confidential_storm_spark.functions.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(0, "aaaa"), (1, "ab" * 8), (2, ""), (3, "aab b")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["e"]
+        for r in df.select("doc_id", F.round(char_entropy(F.col("text")), 6).alias("e")).collect()
+    }
+    assert got[0] == 0.0  # single symbol (and not -0.0)
+    assert got[1] == 1.0  # two equiprobable symbols
+    assert got[2] == 0.0  # empty text
+    expected = -(0.4 * math.log2(0.4) * 2 + 0.2 * math.log2(0.2))
+    assert got[3] == pytest.approx(expected, abs=1e-6)
+    assert str(got[0]) == "0.0"  # -0.0 would break the value hash
+
+
+def test_char_entropy_matches_duckdb_expression(spark):
+    import duckdb
+
+    from confidential_storm_spark.functions.text import char_entropy, char_entropy_sql
+
+    rows = [(i, t) for i, t in enumerate(["hello world", "zzzzz", "the quick brown fox", "a"])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["e"]
+        for r in df.select("doc_id", F.round(char_entropy(F.col("text")), 6).alias("e")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(
+        con.sql(f"SELECT doc_id, ROUND({char_entropy_sql('text')}, 6) FROM t").fetchall()
+    )
+    assert got == want
+
+
+def test_inverted_index_prunes_and_sorts(spark):
+    from confidential_storm_spark.operators.ranking import inverted_index
+
+    # 10 docs: "common" in all 10 (pruned by max_df_ratio=0.5),
+    # "mid" in docs 0,2,4 (kept with min_df=2), "rare" once (pruned)
+    rows = [
+        (i, "common " + ("mid " if i % 2 == 0 and i < 5 else "") + ("rare" if i == 7 else ""))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = inverted_index(df, min_df=2, max_df_ratio=0.5).collect()
+    assert [r["word"] for r in out] == ["mid"]
+    assert out[0]["df"] == 3
+    assert out[0]["postings"] == "0,2,4"
+
+
+def test_canonical_query_keeps_longest(spark):
+    # certified end-to-end at sf0.01 by the registry gate; here: the
+    # canonical choice is the longest member, ties to lowest doc_id
+    from confidential_storm_spark.operators.dedup import neardup_clusters
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (9, 50)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    from pyspark.sql import Window
+
+    cl = neardup_clusters(docs.withColumn("text", F.lit("x")), pairs).select(
+        "doc_id", "cluster_id"
+    )
+    joined = cl.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    got = {
+        r["doc_id"]: r["canon"]
+        for r in joined.withColumn("canon", F.first("doc_id").over(w)).collect()
+    }
+    assert got[1] == 2 and got[2] == 2 and got[3] == 2  # longest wins, tie -> doc 2
+    assert got[9] == 9  # singleton is its own canonical
+
+
+def test_sq8_reconstruction_error_bounded(spark):
+    from confidential_storm_spark.operators.similarity import _sq8_recon, sq8_minmax
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    los, his = sq8_minmax(df)
+    out = df.select("vec_id", _sq8_recon(F.col("embedding"), los, his).alias("rv")).collect()
+    step = (np.array(his) - np.array(los)) / 255.0
+    for r in out:
+        err = np.abs(np.array(r["rv"]) - vecs[r["vec_id"]].astype(np.float64))
+        assert (err <= step / 2 + 1e-12).all()
+
+
+def test_sq8_topk_close_to_exact(spark, sf_dir):
+    from confidential_storm_spark.operators.similarity import brute_force_topk, sq8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in sq8_topk(emb, q, k=10).collect()]
+    # 8-bit quantization on 64 dims: recall@10 should be near-perfect
+    assert len(set(exact) & set(approx)) >= 8
+    assert approx[0] == 0  # the query vector itself still ranks first
+
+
+def test_centroid_outliers_flags_planted_point(spark):
+    from confidential_storm_spark.operators.clustering import centroid_outliers
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(60, 4)) * 0.05
+    base[:30] += np.array([1.0, 0, 0, 0])
+    base[30:] += np.array([-1.0, 0, 0, 0])
+    base[59] = [-1.0, 3.0, 0, 0]  # planted far point in cluster 2's half
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    out = centroid_outliers(df, k=2, iters=4, z_threshold=2.0).collect()
+    flagged = {r["vec_id"] for r in out if r["is_outlier"]}
+    assert 59 in flagged
+    assert len(flagged) <= 5
+    zs = {r["vec_id"]: r["z_score"] for r in out}
+    assert zs[59] > 2.0
+
+
+def test_split_leakage_tags_are_consistent(spark, sf_dir):
+    from confidential_storm_spark.operators.sampling import split_assign
+    from confidential_storm_spark.plans.queries import SPLIT_WEIGHTS, split_leakage
+
+    out = split_leakage(spark, sf_dir).collect()
+    assert len(out) > 0
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tags = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(docs, SPLIT_WEIGHTS).select("doc_id", "split").collect()
+    }
+    for r in out:
+        assert r["split_a"] == tags[r["id_a"]]
+        assert r["split_b"] == tags[r["id_b"]]
+        assert r["split_a"] != r["split_b"]

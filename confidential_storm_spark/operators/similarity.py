@@ -556,13 +556,16 @@ def sq8_minmax(
     return [r["lo"] for r in rows], [r["hi"] for r in rows]
 
 
-def _sq8_recon(vec: Column, los: list[float], his: list[float]) -> Column:
+def _sq8_recon(
+    vec: Column, los: list[float], his: list[float], levels: int = 256
+) -> Column:
     """Reconstructed (de-quantized) vector: each coordinate snapped to
-    the nearest of 256 evenly spaced levels on that dimension's
+    the nearest of ``levels`` evenly spaced levels on that dimension's
     [lo, hi] range.  floor(x + 0.5) instead of round() so both engines
     share one tie rule; degenerate dims (hi == lo) reconstruct to the
     constant."""
     dim = len(los)
+    top = float(levels - 1)
     lo_arr = F.array(*[F.lit(float(v)) for v in los])
     hi_arr = F.array(*[F.lit(float(v)) for v in his])
     v = vec.cast("array<double>")
@@ -574,13 +577,13 @@ def _sq8_recon(vec: Column, los: list[float], his: list[float]) -> Column:
         ).otherwise(
             F.element_at(lo_arr, i)
             + F.floor(
-                F.lit(255.0)
+                F.lit(top)
                 * (F.element_at(v, i) - F.element_at(lo_arr, i))
                 / (F.element_at(hi_arr, i) - F.element_at(lo_arr, i))
                 + F.lit(0.5)
             )
             * (F.element_at(hi_arr, i) - F.element_at(lo_arr, i))
-            / F.lit(255.0)
+            / F.lit(top)
         ),
     )
 
@@ -650,4 +653,151 @@ SELECT {id_col}, ROUND(list_cosine_similarity(rv, qv.q), 6) AS approx_cosine
 FROM rec, qv
 ORDER BY approx_cosine DESC, {id_col}
 LIMIT {k}
+"""
+
+
+def _fold_cosine(vec: Column, qvec: Column) -> Column:
+    """Cosine between two array columns, folded left-to-right in
+    doubles (same order both engines)."""
+    a = vec.cast("array<double>")
+    b = qvec.cast("array<double>")
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    an = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+    bn = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+    return dot / (an * bn)
+
+
+def grouped_topk(
+    scored: DataFrame, group_col: str, score_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Per-group top-k under the registry's total order (rounded score
+    DESC, id ASC).  Declarative window + rank filter on purpose:
+    Spark >= 3.5 plans ``row_number() <= k`` as WindowGroupLimit —
+    per-partition partial top-k BEFORE the shuffle — so the M-query
+    scatter-gather ships M·k·P candidate rows, not M·N scores."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.desc(score_col), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def sq8_recall_eval(
+    df: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched ANN evaluation harness: recall@k of the quantized scan
+    against the exact scan, per (method, query) — the measurement loop
+    any production ANN deployment runs continuously (serve
+    approximate, audit recall on a query sample).  Two rungs share the
+    same codebook: ``sq8`` (256 levels — near-lossless at this dim)
+    and ``sq4`` (16 levels — visibly lossy), so the certified rows pin
+    BOTH the compression ladder's safe step and its failure onset.
+    The ``n_queries`` lowest-id vectors play the query batch
+    (broadcast — the corpus never re-shuffles per query); all rankings
+    share one total order (rounded cosine DESC, id ASC) so the
+    comparison is deterministic cross-engine."""
+    q = (
+        df.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    )
+    corpus = df.select(id_col, vec_col)
+    scored = corpus.join(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col),
+        F.round(_fold_cosine(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
+    )
+    exact = grouped_topk(scored, "query_id", "cosine", id_col, k).select(
+        "query_id", id_col
+    )
+
+    los, his = sq8_minmax(df, vec_col)
+    approx = None
+    for method, levels in (("sq4", 16), ("sq8", 256)):
+        rv = _sq8_recon(F.col(vec_col), los, his, levels=levels)
+        ascored = corpus.join(F.broadcast(q)).select(
+            "query_id",
+            F.col(id_col),
+            F.round(_fold_cosine(rv, F.col("_qv")), 6).alias("cosine"),
+        )
+        top = grouped_topk(ascored, "query_id", "cosine", id_col, k).select(
+            F.lit(method).alias("method"), "query_id", id_col
+        )
+        approx = top if approx is None else approx.unionByName(top)
+
+    hits = (
+        exact.join(approx, ["query_id", id_col])
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    ks = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("_k"))
+    methods = approx.select("method").distinct()
+    return (
+        methods.crossJoin(ks)
+        .join(hits, ["method", "query_id"], "left")
+        .select(
+            "method",
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("_k"), 4).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("method", "query_id")
+    )
+
+
+def sq8_recall_eval_sql(
+    n_queries: int = 8,
+    k: int = 10,
+    dim: int = 64,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`sq8_recall_eval`."""
+    return f"""
+WITH pts AS (SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+             FROM {table}),
+q AS (SELECT {id_col} AS query_id, v AS qv FROM pts WHERE {id_col} < {n_queries}),
+mm AS (SELECT i AS d, MIN(v[i]) AS lo, MAX(v[i]) AS hi
+       FROM pts CROSS JOIN range(1, {dim + 1}) r(i) GROUP BY i),
+cb AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM mm),
+rec AS (SELECT m.method, m.top, p.{id_col},
+               list_transform(range(1, {dim + 1}), i ->
+                 CASE WHEN cb.hi[i] = cb.lo[i] THEN cb.lo[i]
+                      ELSE cb.lo[i] + floor(m.top * (p.v[i] - cb.lo[i]) /
+                           (cb.hi[i] - cb.lo[i]) + 0.5) * (cb.hi[i] - cb.lo[i]) / m.top
+                 END) AS rv
+        FROM pts p CROSS JOIN cb
+        CROSS JOIN (VALUES ('sq4', 15.0), ('sq8', 255.0)) m(method, top)),
+exact AS (
+  SELECT query_id, {id_col} FROM (
+    SELECT q.query_id, p.{id_col},
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+               ORDER BY ROUND(list_cosine_similarity(p.v, q.qv), 6) DESC, p.{id_col})
+               AS rn
+    FROM pts p CROSS JOIN q
+  ) WHERE rn <= {k}
+),
+approx AS (
+  SELECT method, query_id, {id_col} FROM (
+    SELECT r.method, q.query_id, r.{id_col},
+           ROW_NUMBER() OVER (PARTITION BY r.method, q.query_id
+               ORDER BY ROUND(list_cosine_similarity(r.rv, q.qv), 6) DESC, r.{id_col})
+               AS rn
+    FROM rec r CROSS JOIN q
+  ) WHERE rn <= {k}
+),
+hits AS (SELECT method, query_id, COUNT(*) AS n_hits
+         FROM exact JOIN approx USING (query_id, {id_col}) GROUP BY method, query_id),
+ks AS (SELECT query_id, COUNT(*) AS kk FROM exact GROUP BY query_id),
+methods AS (SELECT DISTINCT method FROM approx)
+SELECT methods.method, ks.query_id,
+       COALESCE(hits.n_hits, 0) AS n_hits,
+       ROUND(COALESCE(hits.n_hits, 0) / ks.kk, 4) AS recall_at_k
+FROM methods CROSS JOIN ks LEFT JOIN hits USING (method, query_id)
+ORDER BY methods.method, ks.query_id
 """

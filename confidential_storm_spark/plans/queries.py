@@ -7593,6 +7593,33 @@ QUERIES["emb_outliers"] = QueryDef(
 )
 
 
+def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation harness as a first-class query: recall@k of the
+    sq8/sq4 quantized scans vs the exact scan over a broadcast query
+    batch — grouped top-k via window rank <= k, which Spark >= 3.5
+    plans as WindowGroupLimit (per-partition partial top-k before the
+    shuffle)."""
+    from ..operators.similarity import sq8_recall_eval
+
+    return sq8_recall_eval(
+        load_table(spark, sf_dir, "embeddings"), n_queries=8, k=KNN_K
+    )
+
+
+def _knn_recall_eval_sql() -> str:
+    from ..operators.similarity import sq8_recall_eval_sql
+
+    return sq8_recall_eval_sql(n_queries=8, k=KNN_K, dim=EMB_DIM)
+
+
+QUERIES["knn_recall_eval"] = QueryDef(
+    knn_recall_eval,
+    _knn_recall_eval_sql(),
+    "recall@k audit of sq8/sq4 quantized scans vs exact, per query",
+    "training-data",
+)
+
+
 # Names the driver's 50-row correctness gate has ALREADY certified
 # (union of CORRECTNESS_r01..r08 green rows — all 131 queries as of
 # round 8).  The driver takes the first 50 entries of queries(), so
@@ -7691,6 +7718,7 @@ _ROUND_NEW: tuple[str, ...] = (
     "split_leakage",
     "knn_sq8",
     "emb_outliers",
+    "knn_recall_eval",
 )
 
 

@@ -155,3 +155,32 @@ def test_split_leakage_tags_are_consistent(spark, sf_dir):
         assert r["split_a"] == tags[r["id_a"]]
         assert r["split_b"] == tags[r["id_b"]]
         assert r["split_a"] != r["split_b"]
+
+
+def test_recall_eval_sq8_dominates_sq4(spark, sf_dir):
+    from confidential_storm_spark.operators.similarity import sq8_recall_eval
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sq8_recall_eval(emb, n_queries=4, k=10).collect()
+    assert len(out) == 8  # 2 methods x 4 queries
+    r = {(row["method"], row["query_id"]): row["recall_at_k"] for row in out}
+    for qid in range(4):
+        assert r[("sq8", qid)] >= r[("sq4", qid)]
+        assert r[("sq8", qid)] >= 0.8
+
+
+def test_grouped_topk_uses_window_group_limit(spark, sf_dir):
+    from confidential_storm_spark.operators.similarity import _fold_cosine, grouped_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    scored = emb.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(_fold_cosine(F.col("embedding"), F.col("_qv")), 6).alias("cosine"),
+    )
+    plan = grouped_topk(scored, "query_id", "cosine", "vec_id", 5)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # partial top-k before the shuffle

@@ -7455,9 +7455,10 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_canonical_sql() -> str:
+def _canonical_cte_chain() -> str:
     # same recursive-CTE component labelling as _dedup_clusters_sql,
-    # extended with the keep-longest window over each component
+    # extended with the keep-longest window over each component;
+    # shared by the canonical query and the dataset card
     pair_body = _minhash_sql(MINHASH_MAX_BUCKET).replace("ORDER BY id_a, id_b", "")
     return f"""
 WITH RECURSIVE pairs AS ({pair_body}),
@@ -7475,17 +7476,24 @@ cc AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
 asg AS (SELECT d.doc_id,
                COALESCE(cc.component, d.doc_id) AS cluster_id,
                d.n_chars
-        FROM documents d LEFT JOIN cc ON d.doc_id = cc.id)
-SELECT doc_id, cluster_id,
-       FIRST_VALUE(doc_id) OVER (
-           PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
-       ) AS canonical_id,
-       doc_id = FIRST_VALUE(doc_id) OVER (
-           PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
-       ) AS is_kept
-FROM asg
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.id),
+canon AS (SELECT doc_id, cluster_id,
+                 FIRST_VALUE(doc_id) OVER (
+                     PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+                 ) AS canonical_id
+          FROM asg)"""
+
+
+def _dedup_canonical_sql() -> str:
+    return (
+        _canonical_cte_chain()
+        + """
+SELECT doc_id, cluster_id, canonical_id,
+       doc_id = canonical_id AS is_kept
+FROM canon
 ORDER BY doc_id
 """
+    )
 
 
 QUERIES["dedup_canonical"] = QueryDef(
@@ -7620,6 +7628,134 @@ QUERIES["knn_recall_eval"] = QueryDef(
 )
 
 
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: corpus token share covered by the
+    top-V most frequent words, for every prefix V of the
+    frequency-ranked vocabulary — the curve a tokenizer-vocab-size
+    decision reads ("which V covers 99%?" is a lookup on this
+    relation).  Counts are exact integers; the running total is a
+    window cumsum under a total order (count DESC, word ASC), so the
+    curve is deterministic cross-engine.
+
+    Scale note: the cumsum window has no PARTITION BY, which Spark
+    executes as a single sorted partition — correct for any realistic
+    vocabulary (|vocab| rows, millions at web scale, AFTER the
+    corpus-sized aggregation has already reduced the data); the
+    corpus-scale work (explode + groupBy word) is all map-side
+    combinable."""
+    from ..functions.text import explode_words
+
+    wc = (
+        explode_words(load_table(spark, sf_dir, "documents"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = wc.agg(F.sum("n").alias("_t"))
+    order = [F.desc("n"), F.col("word")]
+    w_rank = Window.orderBy(*order)
+    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        wc.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(w_rank).alias("rank"),
+            "word",
+            "n",
+            F.round(F.sum("n").over(w_cum) / F.col("_t"), 6).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _vocab_coverage_sql() -> str:
+    ws = words_sql("text")
+    return f"""
+WITH tok AS (SELECT unnest({ws}) AS word FROM documents),
+wc AS (SELECT word, COUNT(*) AS n FROM tok GROUP BY word),
+tot AS (SELECT SUM(n) AS t FROM wc)
+SELECT ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank,
+       word, n,
+       ROUND(SUM(n) OVER (ORDER BY n DESC, word ROWS UNBOUNDED PRECEDING) / t, 6)
+           AS cum_share
+FROM wc, tot
+ORDER BY rank
+"""
+
+
+QUERIES["text_vocab_coverage"] = QueryDef(
+    text_vocab_coverage,
+    _vocab_coverage_sql(),
+    "token-share coverage curve over the frequency-ranked vocabulary",
+    "training-data",
+)
+
+
+def docs_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the summary table a dataset release
+    ships: doc/token volumes, mean length, corpus token share, and the
+    near-dup rate (from the SAME canonical assignment the dedup
+    lifecycle certifies, so the card's dup_rate is the rate the
+    rewrite will actually realize).  One pass over documents + the
+    standing cluster assignment; everything map-side combinable."""
+    from ..functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup_canonical(spark, sf_dir).select("doc_id", "is_kept")
+    per = (
+        docs.join(kept, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text")).cast("long")).alias("n_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum((~F.col("is_kept")).cast("long")).alias("n_dupes"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "avg_chars",
+            F.round(F.col("n_tokens") / F.col("_t"), 6).alias("token_share"),
+            "n_dupes",
+            F.round(F.col("n_dupes") / F.col("n_docs"), 6).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dataset_card_sql() -> str:
+    ws = words_sql("text")
+    return (
+        _canonical_cte_chain()
+        + f""",
+k AS (SELECT doc_id, doc_id = canonical_id AS is_kept FROM canon),
+per AS (SELECT d.source, COUNT(*) AS n_docs,
+               CAST(SUM(len({ws})) AS BIGINT) AS n_tokens,
+               ROUND(AVG(d.n_chars), 4) AS avg_chars,
+               CAST(SUM(CASE WHEN NOT k.is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes
+        FROM documents d JOIN k USING (doc_id) GROUP BY d.source),
+tot AS (SELECT SUM(n_tokens) AS t FROM per)
+SELECT source, n_docs, n_tokens, avg_chars,
+       ROUND(n_tokens / t, 6) AS token_share,
+       n_dupes,
+       ROUND(n_dupes / CAST(n_docs AS DOUBLE), 6) AS dup_rate
+FROM per, tot
+ORDER BY source
+"""
+    )
+
+
+QUERIES["docs_dataset_card"] = QueryDef(
+    docs_dataset_card,
+    _dataset_card_sql(),
+    "per-source dataset card: volumes, length, token share, dup rate",
+    "training-data",
+)
+
+
 # Names the driver's 50-row correctness gate has ALREADY certified
 # (union of CORRECTNESS_r01..r08 green rows — all 131 queries as of
 # round 8).  The driver takes the first 50 entries of queries(), so
@@ -7719,6 +7855,8 @@ _ROUND_NEW: tuple[str, ...] = (
     "knn_sq8",
     "emb_outliers",
     "knn_recall_eval",
+    "text_vocab_coverage",
+    "docs_dataset_card",
 )
 
 

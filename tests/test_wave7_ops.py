@@ -184,3 +184,23 @@ def test_grouped_topk_uses_window_group_limit(spark, sf_dir):
     )
     plan = grouped_topk(scored, "query_id", "cosine", "vec_id", 5)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan  # partial top-k before the shuffle
+
+
+def test_vocab_coverage_monotone_ends_at_one(spark, sf_dir):
+    from confidential_storm_spark.plans.queries import text_vocab_coverage
+
+    out = text_vocab_coverage(spark, sf_dir).collect()
+    shares = [r["cum_share"] for r in out]
+    assert shares == sorted(shares)
+    assert shares[-1] == 1.0
+    assert out[0]["rank"] == 1 and out[0]["n"] >= out[-1]["n"]
+
+
+def test_dataset_card_shares_sum_to_one(spark, sf_dir):
+    from confidential_storm_spark.plans.queries import docs_dataset_card
+
+    out = docs_dataset_card(spark, sf_dir).collect()
+    assert abs(sum(r["token_share"] for r in out) - 1.0) < 1e-3
+    for r in out:
+        assert 0.0 <= r["dup_rate"] <= 1.0
+        assert r["n_dupes"] <= r["n_docs"]

@@ -709,8 +709,14 @@ def sq8_recall_eval(
         F.col(id_col),
         F.round(_fold_cosine(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
     )
-    exact = grouped_topk(scored, "query_id", "cosine", id_col, k).select(
-        "query_id", id_col
+    # materialize the M·k-row top-k relations once: every downstream
+    # consumer (hits, per-query k, method spine) would otherwise
+    # re-evaluate the full corpus scoring lineage — the plan audit
+    # showed 12 corpus scans without this
+    exact = (
+        grouped_topk(scored, "query_id", "cosine", id_col, k)
+        .select("query_id", id_col)
+        .localCheckpoint(eager=True)
     )
 
     los, his = sq8_minmax(df, vec_col)
@@ -726,6 +732,7 @@ def sq8_recall_eval(
             F.lit(method).alias("method"), "query_id", id_col
         )
         approx = top if approx is None else approx.unionByName(top)
+    approx = approx.localCheckpoint(eager=True)
 
     hits = (
         exact.join(approx, ["query_id", id_col])

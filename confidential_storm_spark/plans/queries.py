@@ -7756,6 +7756,146 @@ QUERIES["docs_dataset_card"] = QueryDef(
 )
 
 
+ANOMALY_Z = 2.5  # |z| over the trailing week; 11 flags at sf0.01
+
+
+def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly days per event type: each day's count z-scored
+    against the TRAILING week (frame -7..-1 — the current day never
+    contaminates its own baseline), on the gap-filled series where
+    offset frames are actually correct (a silently-missing day would
+    shift "last week" and corrupt every baseline after it).  The
+    ingest-monitoring shape: flags both spikes and droughts, each
+    type at its own scale.  z is gated on a FULL prior week with
+    nonzero spread, so early days and constant series yield z = 0,
+    never NULL/inf."""
+    filled = _daily_filled(spark, sf_dir)
+    wp = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    )
+    m = F.avg("n_events").over(wp)
+    s = F.stddev_pop("n_events").over(wp)
+    c = F.count("n_events").over(wp)
+    ok = (c >= 7) & (s > 0)
+    z_raw = (F.col("n_events") - m) / s
+    return filled.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(F.when(c >= 1, m).otherwise(F.lit(0.0)), 6).alias("mean_prev7"),
+        F.round(F.when(ok, z_raw).otherwise(F.lit(0.0)), 4).alias("z_score"),
+        F.when(ok & (F.abs(z_raw) > F.lit(ANOMALY_Z)), F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    ).orderBy("event_type", "day")
+
+
+ANOMALY_SQL = (
+    _FILLED_CTE
+    + f"""
+SELECT event_type, day, n_events,
+       CASE WHEN COUNT(n_events) OVER w >= 1
+            THEN ROUND(AVG(n_events) OVER w, 6) ELSE 0.0 END AS mean_prev7,
+       CASE WHEN COUNT(n_events) OVER w >= 7 AND stddev_pop(n_events) OVER w > 0
+            THEN ROUND((n_events - AVG(n_events) OVER w)
+                       / stddev_pop(n_events) OVER w, 4)
+            ELSE 0.0 END AS z_score,
+       CASE WHEN COUNT(n_events) OVER w >= 7 AND stddev_pop(n_events) OVER w > 0
+                 AND abs((n_events - AVG(n_events) OVER w)
+                         / stddev_pop(n_events) OVER w) > {ANOMALY_Z!r}
+            THEN TRUE ELSE FALSE END AS is_anomaly
+FROM filled
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+ORDER BY event_type, day
+"""
+)
+
+
+QUERIES["events_anomaly_days"] = QueryDef(
+    events_anomaly_days,
+    ANOMALY_SQL,
+    "trailing-week z-score anomaly flags on the gap-filled daily series",
+    "training-data",
+)
+
+
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty: the fraction of a doc's distinct shingles
+    whose FIRST corpus occurrence (min doc_id) is this doc — the
+    incremental-contribution signal behind "dedup the crawl in
+    arrival order" curation (a doc whose grams all appeared earlier
+    adds nothing even if no single pair crosses the near-dup
+    threshold).  Same shingle universe as the minhash family, so the
+    numbers compose with the dedup lifecycle.  Shape: one gram
+    explode + a first-occurrence groupBy + a per-doc ratio — the same
+    gram-keyed shuffle dedup_spans already pays, nothing quadratic."""
+    from ..operators.dedup import shingles_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    dg = docs.select(
+        "doc_id", F.explode(shingles_udf(F.col("text"), SHINGLE_N)).alias("g")
+    )
+    first = dg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        dg.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.round(
+                F.when(
+                    F.col("n_shingles") > 0,
+                    F.col("n_novel") / F.col("n_shingles"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _text_novelty_sql() -> str:
+    from ..operators.dedup import shingles_sql
+
+    sh = shingles_sql("text", SHINGLE_N)
+    return f"""
+WITH dg AS (SELECT doc_id, unnest({sh}) AS g FROM documents),
+fst AS (SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY g),
+per AS (SELECT dg.doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN dg.doc_id = fst.first_doc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM dg JOIN fst USING (g) GROUP BY dg.doc_id)
+SELECT d.doc_id,
+       COALESCE(per.n_shingles, 0) AS n_shingles,
+       COALESCE(per.n_novel, 0) AS n_novel,
+       ROUND(CASE WHEN COALESCE(per.n_shingles, 0) > 0
+                  THEN per.n_novel / CAST(per.n_shingles AS DOUBLE)
+                  ELSE 0.0 END, 6) AS novelty
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+QUERIES["text_novelty"] = QueryDef(
+    text_novelty,
+    _text_novelty_sql(),
+    "first-occurrence shingle novelty fraction per doc",
+    "training-data",
+)
+
+
 # Names the driver's 50-row correctness gate has ALREADY certified
 # (union of CORRECTNESS_r01..r08 green rows — all 131 queries as of
 # round 8).  The driver takes the first 50 entries of queries(), so
@@ -7857,6 +7997,8 @@ _ROUND_NEW: tuple[str, ...] = (
     "knn_recall_eval",
     "text_vocab_coverage",
     "docs_dataset_card",
+    "events_anomaly_days",
+    "text_novelty",
 )
 
 

@@ -204,3 +204,45 @@ def test_dataset_card_shares_sum_to_one(spark, sf_dir):
     for r in out:
         assert 0.0 <= r["dup_rate"] <= 1.0
         assert r["n_dupes"] <= r["n_docs"]
+
+
+def test_anomaly_days_gating(spark, sf_dir):
+    from confidential_storm_spark.plans.queries import events_anomaly_days
+
+    out = events_anomaly_days(spark, sf_dir).collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for rows in by_type.values():
+        rows.sort(key=lambda r: r["day"])
+        # first 7 days can never have a full prior week -> z gated to 0
+        for r in rows[:7]:
+            assert r["z_score"] == 0.0 and not r["is_anomaly"]
+        for r in rows:
+            if r["is_anomaly"]:
+                assert abs(r["z_score"]) > 2.5
+
+
+def test_novelty_first_doc_is_fully_novel(spark):
+    from pyspark.sql import functions as F
+
+    from confidential_storm_spark.plans.queries import SHINGLE_N  # noqa: F401
+    from confidential_storm_spark.operators.dedup import shingles_udf
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"), (2, "unrelated words entirely here")],
+        "doc_id long, text string",
+    )
+    dg = docs.select("doc_id", F.explode(shingles_udf(F.col("text"), 3)).alias("g"))
+    first = dg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        dg.join(first, "g")
+        .groupBy("doc_id")
+        .agg(F.sum((F.col("doc_id") == F.col("first_doc")).cast("long")).alias("novel"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = {r["doc_id"]: r["novel"] / r["n"] for r in per}
+    assert got[0] == 1.0  # first occurrence of everything
+    assert got[1] == 0.0  # exact repeat contributes nothing
+    assert got[2] == 1.0  # disjoint text fully novel

@@ -246,3 +246,24 @@ def test_novelty_first_doc_is_fully_novel(spark):
     assert got[0] == 1.0  # first occurrence of everything
     assert got[1] == 0.0  # exact repeat contributes nothing
     assert got[2] == 1.0  # disjoint text fully novel
+
+
+def test_stream_novelty_totals_match_batch_universe(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from confidential_storm_spark.operators.dedup import shingles_udf
+    from confidential_storm_spark.plans.queries import SHINGLE_N, stream_novelty_replay
+
+    out = stream_novelty_replay(spark, sf_dir).collect()
+    assert [r["epoch"] for r in out] == sorted(r["epoch"] for r in out)
+    cum = 0
+    for r in out:
+        cum += r["n_new_grams"]
+        assert r["distinct_grams_cum"] == cum
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    universe = (
+        docs.select(F.explode(shingles_udf(F.col("text"), SHINGLE_N)).alias("g"))
+        .agg(F.countDistinct("g"))
+        .head()[0]
+    )
+    assert cum == universe  # every distinct gram attributed exactly once

@@ -8021,6 +8021,132 @@ QUERIES["stream_anomaly_replay"] = QueryDef(
 )
 
 
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health card: mean / spread / range and
+    a dead-dimension flag per coordinate — the table that catches a
+    truncated export, a dead encoder unit, or per-dim scale drift
+    before it silently poisons every cosine downstream (a dead dim
+    also wastes an SQ8 codebook slot — `sq8_minmax` reads this same
+    distribution).  One narrow scan + a d-row aggregate; map-side
+    combinable, no shuffle wider than d rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+        )
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("x"), 6).alias("mean"),
+            F.round(F.stddev_pop("x"), 6).alias("std"),
+            F.round(F.min("x"), 6).alias("min_v"),
+            F.round(F.max("x"), 6).alias("max_v"),
+            (F.max("x") == F.min("x")).alias("is_dead"),
+        )
+        .orderBy("dim")
+    )
+
+
+EMB_DIM_STATS_SQL = f"""
+WITH pts AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+x AS (SELECT i - 1 AS dim, v[i] AS x FROM pts CROSS JOIN range(1, {EMB_DIM + 1}) r(i))
+SELECT dim, COUNT(*) AS n,
+       ROUND(AVG(x), 6) AS mean,
+       ROUND(stddev_pop(x), 6) AS std,
+       ROUND(MIN(x), 6) AS min_v,
+       ROUND(MAX(x), 6) AS max_v,
+       MAX(x) = MIN(x) AS is_dead
+FROM x GROUP BY dim ORDER BY dim
+"""
+
+
+QUERIES["emb_dim_stats"] = QueryDef(
+    emb_dim_stats,
+    EMB_DIM_STATS_SQL,
+    "per-dimension embedding health: mean/std/range + dead-dim flag",
+    "training-data",
+)
+
+
+def dedup_method_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-agreement matrix for the dedup families: pair counts and
+    pairwise intersections of the minhash-LSH, simhash-Hamming, and
+    containment pair relations at their REGISTRY dials — the audit
+    that tells an operator what each family uniquely contributes
+    (jaccard misses the near-subsets containment finds; simhash's
+    bit-level similarity fires on different frontier pairs than
+    shingle jaccard).  Each relation is the already-certified
+    operator; the matrix itself is a tiny tagged self-join over
+    pair-id keys."""
+    from ..operators.dedup import containment_pairs, simhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    rels = {
+        "minhash": _neardup_pairs_indexed(spark, sf_dir).select("id_a", "id_b"),
+        "simhash": simhash_neardup_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING).select(
+            "id_a", "id_b"
+        ),
+        "containment": containment_pairs(
+            docs,
+            shingle_n=SHINGLE_N,
+            containment_threshold=CONTAINMENT_THRESHOLD,
+            max_shingle_df=CONTAINMENT_MAX_DF,
+        ).select("id_a", "id_b"),
+    }
+    tagged = None
+    for name, rel in rels.items():
+        t = rel.select(F.lit(name).alias("method"), "id_a", "id_b")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    tagged = tagged.localCheckpoint(eager=True)
+    a = tagged.select(F.col("method").alias("method_a"), "id_a", "id_b")
+    b = tagged.select(F.col("method").alias("method_b"), "id_a", "id_b")
+    return (
+        a.join(b, ["id_a", "id_b"])
+        .groupBy("method_a", "method_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .orderBy("method_a", "method_b")
+    )
+
+
+def _method_overlap_sql() -> str:
+    from ..operators.dedup import containment_pairs_sql, simhash_pairs_sql
+
+    mh = _minhash_sql(MINHASH_MAX_BUCKET).replace("ORDER BY id_a, id_b", "")
+    sh = simhash_pairs_sql(max_hamming=SIMHASH_MAX_HAMMING).replace(
+        "ORDER BY id_a, id_b", ""
+    )
+    ct = containment_pairs_sql(
+        shingle_n=SHINGLE_N,
+        containment_threshold=CONTAINMENT_THRESHOLD,
+        max_shingle_df=CONTAINMENT_MAX_DF,
+    ).replace("ORDER BY id_a, id_b", "")
+    return f"""
+WITH mh AS ({mh}),
+sh AS ({sh}),
+ct AS ({ct}),
+tagged AS (
+  SELECT 'minhash' AS method, id_a, id_b FROM mh
+  UNION ALL
+  SELECT 'simhash' AS method, id_a, id_b FROM sh
+  UNION ALL
+  SELECT 'containment' AS method, id_a, id_b FROM ct
+)
+SELECT a.method AS method_a, b.method AS method_b, COUNT(*) AS n_common
+FROM tagged a JOIN tagged b USING (id_a, id_b)
+GROUP BY a.method, b.method
+ORDER BY method_a, method_b
+"""
+
+
+QUERIES["dedup_method_overlap"] = QueryDef(
+    dedup_method_overlap,
+    _method_overlap_sql(),
+    "pairwise agreement matrix of the minhash/simhash/containment families",
+    "training-data",
+)
+
+
 # Names the driver's 50-row correctness gate has ALREADY certified
 # (union of CORRECTNESS_r01..r08 green rows — all 131 queries as of
 # round 8).  The driver takes the first 50 entries of queries(), so
@@ -8126,6 +8252,8 @@ _ROUND_NEW: tuple[str, ...] = (
     "text_novelty",
     "stream_novelty_replay",
     "stream_anomaly_replay",
+    "emb_dim_stats",
+    "dedup_method_overlap",
 )
 
 

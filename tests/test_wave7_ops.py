@@ -267,3 +267,24 @@ def test_stream_novelty_totals_match_batch_universe(spark, sf_dir):
         .head()[0]
     )
     assert cum == universe  # every distinct gram attributed exactly once
+
+
+def test_emb_dim_stats_shape_and_dead_flag(spark, sf_dir):
+    from confidential_storm_spark.plans.queries import emb_dim_stats
+
+    out = emb_dim_stats(spark, sf_dir).collect()
+    assert len(out) == 64
+    for r in out:
+        assert r["min_v"] <= r["mean"] <= r["max_v"]
+        assert r["std"] >= 0
+        assert r["is_dead"] == (r["min_v"] == r["max_v"])
+
+
+def test_method_overlap_matrix_is_symmetric(spark, sf_dir):
+    from confidential_storm_spark.plans.queries import dedup_method_overlap
+
+    out = dedup_method_overlap(spark, sf_dir).collect()
+    m = {(r["method_a"], r["method_b"]): r["n_common"] for r in out}
+    for (a, b), n in m.items():
+        assert m[(b, a)] == n  # intersection is symmetric
+        assert n <= m[(a, a)] and n <= m[(b, b)]  # bounded by diagonals

@@ -8147,6 +8147,97 @@ QUERIES["dedup_method_overlap"] = QueryDef(
 )
 
 
+_SCD2_SNAPS = ["1997-01-01", "1998-01-01", "1999-01-01", "2000-01-01"]
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build — the warehouse-canonical
+    history table, derived from four as-of snapshots of per-customer
+    order counts: each run of an unchanged value collapses to ONE row
+    with [valid_from, valid_to] snapshot indexes and an is_current
+    flag.  Change detection is a null-safe lag compare over the dense
+    key × snapshot spine (absent-before-first-order surfaces as a NULL
+    run that emits nothing, so a customer's history starts at their
+    first snapshot).  The tracked attribute is an exact integer, so
+    run boundaries cannot drift between engines.  Shape: one orders
+    scan per snapshot (pushed-down date filter), a key-spine join, two
+    window passes — no shuffle wider than the key."""
+    orders = load_table(spark, sf_dir, "orders")
+    snaps = None
+    for i, hi in enumerate(_SCD2_SNAPS):
+        s = (
+            orders.where(F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .select("custkey", F.lit(i).alias("snap"), "n_orders")
+        )
+        snaps = s if snaps is None else snaps.unionByName(s)
+    spine = snaps.select("custkey").distinct().crossJoin(
+        spark.range(len(_SCD2_SNAPS)).select(F.col("id").cast("int").alias("snap"))
+    )
+    state = spine.join(snaps, ["custkey", "snap"], "left")
+    w = Window.partitionBy("custkey").orderBy("snap")
+    changed = state.withColumn(
+        "_chg", ~F.col("n_orders").eqNullSafe(F.lag("n_orders").over(w))
+    ).filter(F.col("_chg"))
+    wc = Window.partitionBy("custkey").orderBy("snap")
+    last = len(_SCD2_SNAPS) - 1
+    return (
+        changed.withColumn(
+            "valid_to", F.coalesce(F.lead("snap").over(wc) - 1, F.lit(last))
+        )
+        .filter(F.col("n_orders").isNotNull())
+        .select(
+            "custkey",
+            "n_orders",
+            F.col("snap").alias("valid_from"),
+            "valid_to",
+            (F.col("valid_to") == F.lit(last)).alias("is_current"),
+        )
+        .orderBy("custkey", "valid_from")
+    )
+
+
+def _scd2_sql() -> str:
+    last = len(_SCD2_SNAPS) - 1
+    snap_sel = "\n  UNION ALL\n".join(
+        f"  SELECT o_custkey AS custkey, {i} AS snap, COUNT(*) AS n_orders"
+        f" FROM orders WHERE o_orderdate < TIMESTAMP '{hi}' GROUP BY o_custkey"
+        for i, hi in enumerate(_SCD2_SNAPS)
+    )
+    return f"""
+WITH snaps AS (
+{snap_sel}
+),
+spine AS (SELECT k.custkey, s.snap
+          FROM (SELECT DISTINCT custkey FROM snaps) k,
+               (SELECT unnest(range(0, {last + 1})) AS snap) s),
+state AS (SELECT spine.custkey, spine.snap, snaps.n_orders
+          FROM spine LEFT JOIN snaps USING (custkey, snap)),
+chg AS (SELECT * FROM (
+          SELECT custkey, snap, n_orders,
+                 n_orders IS DISTINCT FROM
+                     LAG(n_orders) OVER (PARTITION BY custkey ORDER BY snap) AS c
+          FROM state) WHERE c),
+runs AS (SELECT custkey, n_orders, snap AS valid_from,
+                COALESCE(LEAD(snap) OVER (PARTITION BY custkey ORDER BY snap) - 1,
+                         {last}) AS valid_to
+         FROM chg)
+SELECT custkey, n_orders, valid_from, valid_to,
+       valid_to = {last} AS is_current
+FROM runs WHERE n_orders IS NOT NULL
+ORDER BY custkey, valid_from
+"""
+
+
+QUERIES["q_scd2_history"] = QueryDef(
+    q_scd2_history,
+    _scd2_sql(),
+    "SCD type-2 history build from as-of snapshots with run collapsing",
+    "beyond-ref",
+)
+
+
 # Names the driver's 50-row correctness gate has ALREADY certified
 # (union of CORRECTNESS_r01..r08 green rows — all 131 queries as of
 # round 8).  The driver takes the first 50 entries of queries(), so
@@ -8254,6 +8345,7 @@ _ROUND_NEW: tuple[str, ...] = (
     "stream_anomaly_replay",
     "emb_dim_stats",
     "dedup_method_overlap",
+    "q_scd2_history",
 )
 
 

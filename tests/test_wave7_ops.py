@@ -288,3 +288,23 @@ def test_method_overlap_matrix_is_symmetric(spark, sf_dir):
     for (a, b), n in m.items():
         assert m[(b, a)] == n  # intersection is symmetric
         assert n <= m[(a, a)] and n <= m[(b, b)]  # bounded by diagonals
+
+
+def test_scd2_invariants(spark, sf_dir):
+    from confidential_storm_spark.plans.queries import q_scd2_history
+
+    rows = q_scd2_history(spark, sf_dir).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["custkey"], []).append(r)
+    for key, hist in by_key.items():
+        hist.sort(key=lambda r: r["valid_from"])
+        for a, b in zip(hist, hist[1:]):
+            assert a["valid_to"] < b["valid_from"]  # no overlap
+            assert a["n_orders"] != b["n_orders"]  # runs collapsed
+            assert not a["is_current"]
+        last = hist[-1]
+        assert last["is_current"] == (last["valid_to"] == 3)
+        # cumulative as-of counts never decrease
+        vals = [r["n_orders"] for r in hist]
+        assert vals == sorted(vals)

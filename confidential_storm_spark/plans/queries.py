@@ -8238,6 +8238,63 @@ QUERIES["q_scd2_history"] = QueryDef(
 )
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: the event-type transition matrix
+    over per-user ordered sessions — counts and row-normalized
+    probabilities for every (prev -> next) pair.  The sequence order
+    is the TOTAL order (ts, event_id), so lag is deterministic under
+    any partitioning; the per-prev normalizer is a k-row broadcast.
+    This is the `text_bigram_lm` shape applied to the event stream —
+    the model behind next-action prediction and funnel-shortcut
+    detection."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("_t"))
+    return (
+        trans.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("_t"), 6).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+  FROM events),
+trans AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS t
+        FROM trans GROUP BY prev_type)
+SELECT trans.prev_type, trans.next_type, trans.n,
+       ROUND(trans.n / CAST(tot.t AS DOUBLE), 6) AS p
+FROM trans JOIN tot USING (prev_type)
+ORDER BY prev_type, next_type
+"""
+
+
+QUERIES["events_markov_transitions"] = QueryDef(
+    events_markov_transitions,
+    MARKOV_SQL,
+    "event-type transition matrix (counts + row-normalized probabilities)",
+    "training-data",
+)
+
+
 # Names the driver's 50-row correctness gate has ALREADY certified
 # (union of CORRECTNESS_r01..r08 green rows — all 131 queries as of
 # round 8).  The driver takes the first 50 entries of queries(), so
@@ -8346,6 +8403,7 @@ _ROUND_NEW: tuple[str, ...] = (
     "emb_dim_stats",
     "dedup_method_overlap",
     "q_scd2_history",
+    "events_markov_transitions",
 )
 
 

@@ -308,3 +308,15 @@ def test_scd2_invariants(spark, sf_dir):
         # cumulative as-of counts never decrease
         vals = [r["n_orders"] for r in hist]
         assert vals == sorted(vals)
+
+
+def test_markov_rows_normalize(spark, sf_dir):
+    from confidential_storm_spark.plans.queries import events_markov_transitions
+
+    out = events_markov_transitions(spark, sf_dir).collect()
+    rows = {}
+    for r in out:
+        rows.setdefault(r["prev_type"], []).append(r["p"])
+        assert r["n"] >= 1 and 0 < r["p"] <= 1
+    for ps in rows.values():
+        assert abs(sum(ps) - 1.0) < 1e-4

@@ -726,9 +726,9 @@ def char_entropy(text: Column) -> Column:
 
     The ``+ 0.0`` normalizes IEEE ``-0.0`` (a single-symbol doc yields
     ``-(1.0 * log2 1.0) = -0.0``) so the value hash matches engines
-    that print ``0.0``."""
-    import numpy as np
-    import pandas as pd
+    that print ``0.0``.  Per-symbol terms are summed in SORTED symbol
+    order on both engines (np.unique sorts; the twin list_sorts), so
+    the fold is bit-identical — the registry's determinism discipline."""
 
     @pandas_udf("double")
     def _ent(s: pd.Series) -> pd.Series:
@@ -747,11 +747,13 @@ def char_entropy(text: Column) -> Column:
 def char_entropy_sql(col: str = "text") -> str:
     """DuckDB twin of :func:`char_entropy` as a pure scalar expression
     (per-row list algebra: distinct symbols -> counts -> -sum p log2 p;
-    quadratic in per-doc alphabet size, fine for an oracle)."""
+    quadratic in per-doc alphabet size, fine for an oracle).
+    ``list_sort`` pins the summation order to the Spark UDF's sorted
+    np.unique fold (UTF-8 binary order == code-point order)."""
     cs = f"string_split({col}, '')"
     return (
-        f"CASE WHEN length({col}) = 0 THEN 0.0 ELSE "
-        f"list_sum(list_transform(list_distinct({cs}), u -> "
+        f"CASE WHEN {col} IS NULL OR length({col}) = 0 THEN 0.0 ELSE "
+        f"list_sum(list_transform(list_sort(list_distinct({cs})), u -> "
         f"-(CAST(len(list_filter({cs}, x -> x = u)) AS DOUBLE) / length({col})) "
         f"* log2(CAST(len(list_filter({cs}, x -> x = u)) AS DOUBLE) / length({col}))"
         f")) + 0.0 END"

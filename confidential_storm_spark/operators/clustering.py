@@ -315,8 +315,13 @@ def centroid_outliers(
         F.lit(0.0),
         lambda s, x: s + x,
     )
-    scored = assigned.join(F.broadcast(cent), "cluster").select(
-        id_col, "cluster", dist2.alias("_d2")
+    # materialize the narrow (id, cluster, d2) projection once: both
+    # the stats aggregate and the final join consume it, and without
+    # this the Arrow assignment pass runs twice
+    scored = (
+        assigned.join(F.broadcast(cent), "cluster")
+        .select(id_col, "cluster", dist2.alias("_d2"))
+        .localCheckpoint(eager=True)
     )
     stats = scored.groupBy("cluster").agg(
         F.avg("_d2").alias("_m"), F.stddev_pop("_d2").alias("_s")

@@ -1189,12 +1189,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(docs, pairs).orderBy("doc_id")
 
 
-def _dedup_clusters_sql() -> str:
+def _components_ctes() -> str:
     # the pair CTE is the (already-oracle-checked) minhash-LSH banded
     # join with identical recomputed signatures; the recursive CTE is
     # min-label transitive closure: reach(id, label) holds every label
     # reachable through the bidirectional pair graph; MIN per id ==
-    # smallest doc id in the component.
+    # smallest doc id in the component.  Shared by dedup_clusters,
+    # dedup_canonical, and docs_dataset_card — ONE source of truth for
+    # the component labelling.
     pair_body = _minhash_sql(MINHASH_MAX_BUCKET).replace("ORDER BY id_a, id_b", "")
     return f"""
 WITH RECURSIVE pairs AS ({pair_body}),
@@ -1208,13 +1210,20 @@ reach(id, label) AS (
   UNION
   SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON r.id = e.src
 ),
-cc AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id)
+cc AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id)"""
+
+
+def _dedup_clusters_sql() -> str:
+    return (
+        _components_ctes()
+        + """
 SELECT d.doc_id,
        COALESCE(cc.component, d.doc_id) AS cluster_id,
        d.doc_id = COALESCE(cc.component, d.doc_id) AS is_survivor
 FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
 ORDER BY d.doc_id
 """
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6555,15 +6564,14 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
-def _daily_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dense per-(event_type, day) January series shared by the
-    gap-fill and day-over-day queries: daily counts LEFT-joined onto
-    the types × sequence(dates) spine, absent days as explicit
-    zeros."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("n_events")
-    )
+_SPINE_RANGE = ("2024-01-01", "2024-01-31")  # the events table's month
+
+
+def _fill_spine(daily: DataFrame) -> DataFrame:
+    """LEFT-join a per-(event_type, day) count relation onto the dense
+    types × sequence(dates) spine, absent days as explicit zeros —
+    shared by the batch series queries AND the streaming monitor (one
+    source of truth for the calendar range)."""
     spine = (
         daily.select("event_type")
         .distinct()
@@ -6571,7 +6579,8 @@ def _daily_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.explode(
                 F.sequence(
-                    F.lit("2024-01-01").cast("date"), F.lit("2024-01-31").cast("date")
+                    F.lit(_SPINE_RANGE[0]).cast("date"),
+                    F.lit(_SPINE_RANGE[1]).cast("date"),
                 )
             ).alias("day"),
         )
@@ -6579,6 +6588,16 @@ def _daily_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(daily, ["event_type", "day"], "left").select(
         "event_type", "day", F.coalesce("n_events", F.lit(0)).alias("n_events")
     )
+
+
+def _daily_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense per-(event_type, day) January series shared by the
+    gap-fill and day-over-day queries."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return _fill_spine(daily)
 
 
 def events_dod_change(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7385,11 +7404,13 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _char_entropy_sql() -> str:
     from ..functions.text import char_entropy_sql
 
+    # single evaluation of the quadratic list-algebra expression; the
+    # value and the flag derive from one subquery column
     e = char_entropy_sql("text")
     return (
-        f"SELECT doc_id, ROUND({e}, 4) AS char_entropy, "
-        f"{e} < {CHAR_ENTROPY_LOW!r} AS is_low_entropy "
-        "FROM documents ORDER BY doc_id"
+        f"SELECT doc_id, ROUND(e, 4) AS char_entropy, "
+        f"e < {CHAR_ENTROPY_LOW!r} AS is_low_entropy "
+        f"FROM (SELECT doc_id, {e} AS e FROM documents) ORDER BY doc_id"
     )
 
 
@@ -7456,23 +7477,12 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _canonical_cte_chain() -> str:
-    # same recursive-CTE component labelling as _dedup_clusters_sql,
-    # extended with the keep-longest window over each component;
-    # shared by the canonical query and the dataset card
-    pair_body = _minhash_sql(MINHASH_MAX_BUCKET).replace("ORDER BY id_a, id_b", "")
-    return f"""
-WITH RECURSIVE pairs AS ({pair_body}),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION
-  SELECT id_b AS src, id_a AS dst FROM pairs
-),
-reach(id, label) AS (
-  SELECT src AS id, src AS label FROM edges
-  UNION
-  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON r.id = e.src
-),
-cc AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
+    # the shared component labelling extended with the keep-longest
+    # window over each component; shared by the canonical query and
+    # the dataset card
+    return (
+        _components_ctes()
+        + """,
 asg AS (SELECT d.doc_id,
                COALESCE(cc.component, d.doc_id) AS cluster_id,
                d.n_chars
@@ -7482,6 +7492,7 @@ canon AS (SELECT doc_id, cluster_id,
                      PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
                  ) AS canonical_id
           FROM asg)"""
+    )
 
 
 def _dedup_canonical_sql() -> str:
@@ -7759,20 +7770,13 @@ QUERIES["docs_dataset_card"] = QueryDef(
 ANOMALY_Z = 2.5  # |z| over the trailing week; 11 flags at sf0.01
 
 
-def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Volume-anomaly days per event type: each day's count z-scored
-    against the TRAILING week (frame -7..-1 — the current day never
-    contaminates its own baseline), on the gap-filled series where
-    offset frames are actually correct (a silently-missing day would
-    shift "last week" and corrupt every baseline after it).  The
-    ingest-monitoring shape: flags both spikes and droughts, each
-    type at its own scale.  z is gated on a FULL prior week with
-    nonzero spread, so early days and constant series yield z = 0,
-    never NULL/inf."""
-    filled = _daily_filled(spark, sf_dir)
-    wp = (
-        Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
-    )
+def _anomaly_tail(filled: DataFrame) -> DataFrame:
+    """The trailing-week z-score tail shared by the batch monitor and
+    its streaming twin: frame (-7..-1) so the day never contaminates
+    its own baseline; z gated on a FULL prior week with nonzero
+    spread, so early days and constant series yield z = 0, never
+    NULL/inf."""
+    wp = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
     m = F.avg("n_events").over(wp)
     s = F.stddev_pop("n_events").over(wp)
     c = F.count("n_events").over(wp)
@@ -7788,6 +7792,17 @@ def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("is_anomaly"),
     ).orderBy("event_type", "day")
+
+
+def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly days per event type: each day's count z-scored
+    against the TRAILING week, on the gap-filled series where offset
+    frames are actually correct (a silently-missing day would shift
+    "last week" and corrupt every baseline after it).  The
+    ingest-monitoring shape: flags both spikes and droughts, each
+    type at its own scale.  Tail shared with `stream_anomaly_replay`
+    (`_anomaly_tail`)."""
+    return _anomaly_tail(_daily_filled(spark, sf_dir))
 
 
 ANOMALY_SQL = (
@@ -7980,37 +7995,7 @@ def stream_anomaly_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = replay_available_now(
         spark, ev, "epoch", xf, output_mode="update", latest_per=["event_type", "day"]
     )
-    spine = (
-        daily.select("event_type")
-        .distinct()
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence(
-                    F.lit("2024-01-01").cast("date"), F.lit("2024-01-31").cast("date")
-                )
-            ).alias("day"),
-        )
-    )
-    filled = spine.join(daily, ["event_type", "day"], "left").select(
-        "event_type", "day", F.coalesce("n_events", F.lit(0)).alias("n_events")
-    )
-    wp = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
-    m = F.avg("n_events").over(wp)
-    s = F.stddev_pop("n_events").over(wp)
-    c = F.count("n_events").over(wp)
-    ok = (c >= 7) & (s > 0)
-    z_raw = (F.col("n_events") - m) / s
-    return filled.select(
-        "event_type",
-        "day",
-        "n_events",
-        F.round(F.when(c >= 1, m).otherwise(F.lit(0.0)), 6).alias("mean_prev7"),
-        F.round(F.when(ok, z_raw).otherwise(F.lit(0.0)), 4).alias("z_score"),
-        F.when(ok & (F.abs(z_raw) > F.lit(ANOMALY_Z)), F.lit(True))
-        .otherwise(F.lit(False))
-        .alias("is_anomaly"),
-    ).orderBy("event_type", "day")
+    return _anomaly_tail(_fill_spine(daily))
 
 
 QUERIES["stream_anomaly_replay"] = QueryDef(

@@ -8280,6 +8280,132 @@ QUERIES["events_markov_transitions"] = QueryDef(
 )
 
 
+def q_orders_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival analysis: the distribution of days between a
+    customer's consecutive orders, summarized per market segment —
+    lag under the (date, key) total order, exact integer day gaps,
+    then the exact interpolated percentile surface `q_median_order_value`
+    already certifies.  The purchase-cadence table a retention model
+    trains on."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("_prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(F.col("o_orderdate"), F.col("_prev")).alias("gap_days"),
+        )
+    )
+    return (
+        gaps.join(
+            c.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+            "o_custkey",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap_days"), 6).alias("mean_gap"),
+            F.round(F.expr("percentile(gap_days, 0.5)"), 6).alias("p50_gap"),
+            F.round(F.expr("percentile(gap_days, 0.9)"), 6).alias("p90_gap"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+INTERARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders),
+g AS (SELECT * FROM gaps WHERE gap_days IS NOT NULL)
+SELECT c.c_mktsegment, COUNT(*) AS n_gaps,
+       ROUND(AVG(gap_days), 6) AS mean_gap,
+       ROUND(quantile_cont(gap_days, 0.5), 6) AS p50_gap,
+       ROUND(quantile_cont(gap_days, 0.9), 6) AS p90_gap
+FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+QUERIES["q_orders_interarrival"] = QueryDef(
+    q_orders_interarrival,
+    INTERARRIVAL_SQL,
+    "per-segment purchase-cadence distribution (lag gaps + exact percentiles)",
+    "beyond-ref",
+)
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: the per-key frequency distribution of
+    the two fact-join keys this registry shuffles on most (lineitem
+    orderkey, events user_id) reduced to the numbers a shuffle
+    planner reads — key count, max frequency, exact p50/p99
+    frequency, and the hottest key's share of all rows.  Companion to
+    `sketch_join_hotkeys` (which names the hot keys): this row says
+    whether salting/AQE is needed at all.  Two combinable aggregates,
+    k-row outputs."""
+
+    def profile(df: DataFrame, col: str, label: str) -> DataFrame:
+        freq = df.groupBy(col).agg(F.count(F.lit(1)).alias("f"))
+        return freq.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("f").alias("n_rows"),
+            F.max("f").alias("max_freq"),
+            F.round(F.expr("percentile(f, 0.5)"), 6).alias("p50_freq"),
+            F.round(F.expr("percentile(f, 0.99)"), 6).alias("p99_freq"),
+        ).select(
+            F.lit(label).alias("key_col"),
+            "n_keys",
+            "n_rows",
+            "max_freq",
+            "p50_freq",
+            "p99_freq",
+            F.round(F.col("max_freq") / F.col("n_rows"), 6).alias("top1_share"),
+        )
+
+    li = profile(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey", "lineitem.l_orderkey"
+    )
+    ev = profile(load_table(spark, sf_dir, "events"), "user_id", "events.user_id")
+    return li.unionByName(ev).orderBy("key_col")
+
+
+SKEW_PROFILE_SQL = """
+WITH prof AS (
+  SELECT 'lineitem.l_orderkey' AS key_col, f FROM (
+    SELECT COUNT(*) AS f FROM lineitem GROUP BY l_orderkey)
+  UNION ALL
+  SELECT 'events.user_id' AS key_col, f FROM (
+    SELECT COUNT(*) AS f FROM events GROUP BY user_id)
+)
+SELECT key_col,
+       COUNT(*) AS n_keys,
+       CAST(SUM(f) AS BIGINT) AS n_rows,
+       MAX(f) AS max_freq,
+       ROUND(quantile_cont(f, 0.5), 6) AS p50_freq,
+       ROUND(quantile_cont(f, 0.99), 6) AS p99_freq,
+       ROUND(MAX(f) / CAST(SUM(f) AS DOUBLE), 6) AS top1_share
+FROM prof
+GROUP BY key_col
+ORDER BY key_col
+"""
+
+
+QUERIES["q_skew_profile"] = QueryDef(
+    q_skew_profile,
+    SKEW_PROFILE_SQL,
+    "per-key frequency skew profile of the registry's fact-join keys",
+    "beyond-ref",
+)
+
+
 # Names the driver's 50-row correctness gate has ALREADY certified
 # (union of CORRECTNESS_r01..r08 green rows — all 131 queries as of
 # round 8).  The driver takes the first 50 entries of queries(), so
@@ -8389,6 +8515,8 @@ _ROUND_NEW: tuple[str, ...] = (
     "dedup_method_overlap",
     "q_scd2_history",
     "events_markov_transitions",
+    "q_orders_interarrival",
+    "q_skew_profile",
 )
 
 

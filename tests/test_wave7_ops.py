@@ -320,3 +320,25 @@ def test_markov_rows_normalize(spark, sf_dir):
         assert r["n"] >= 1 and 0 < r["p"] <= 1
     for ps in rows.values():
         assert abs(sum(ps) - 1.0) < 1e-4
+
+
+def test_interarrival_gaps_positive(spark, sf_dir):
+    from confidential_storm_spark.plans.queries import q_orders_interarrival
+
+    out = q_orders_interarrival(spark, sf_dir).collect()
+    assert len(out) >= 1
+    for r in out:
+        assert r["n_gaps"] > 0
+        assert 0 <= r["p50_gap"] <= r["p90_gap"]
+        assert r["mean_gap"] >= 0
+
+
+def test_skew_profile_coherence(spark, sf_dir):
+    from confidential_storm_spark.plans.queries import q_skew_profile
+
+    out = {r["key_col"]: r for r in q_skew_profile(spark, sf_dir).collect()}
+    assert set(out) == {"lineitem.l_orderkey", "events.user_id"}
+    for r in out.values():
+        assert r["n_keys"] <= r["n_rows"]
+        assert r["p50_freq"] <= r["p99_freq"] <= r["max_freq"]
+        assert abs(r["top1_share"] - r["max_freq"] / r["n_rows"]) < 1e-6

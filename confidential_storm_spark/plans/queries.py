@@ -8157,6 +8157,9 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("custkey", F.lit(i).alias("snap"), "n_orders")
         )
         snaps = s if snaps is None else snaps.unionByName(s)
+    # materialize the 4-snapshot union once: the key spine AND the
+    # state join both consume it (plan audit showed 8 orders scans)
+    snaps = snaps.localCheckpoint(eager=True)
     spine = snaps.select("custkey").distinct().crossJoin(
         spark.range(len(_SCD2_SNAPS)).select(F.col("id").cast("int").alias("snap"))
     )

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     LANG_MARKERS,
+    STOPWORDS,
     fingerprint,
     fingerprint_sql,
     lang_id,
@@ -8409,6 +8410,340 @@ QUERIES["q_skew_profile"] = QueryDef(
 )
 
 
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass population covariance of the embedding matrix — the
+    PCA / whitening front end every 100 TB embedding pipeline runs
+    before projection (`emb_project`), outlier scoring
+    (`emb_outliers`), or SQ codebook design (`knn_sq8` reads the same
+    per-dim spread).
+
+    Scale shape: the kmeans partial-sum pattern
+    (operators/clustering.py) — ``mapInPandas`` emits one d(d+1)/2-row
+    upper-triangle partial (sum xᵢxⱼ, sum xᵢ, n) per Arrow batch via a
+    single BLAS ``XᵀX``, and the only exchange carries
+    O(batches · d²) tiny rows, never N vectors.  The corpus is
+    scanned exactly once; at d=64 a partial is 2,080 rows regardless
+    of corpus size, so the plan is scan-bound at any SF.  The d×d
+    result is driver-sized: eigendecomposition happens off-plan
+    (numpy ``eigh``), exactly like MLlib's RowMatrix design."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        iu0, iu1 = np.triu_indices(EMB_DIM)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sxx = X.T @ X
+            sx = X.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": iu0,
+                    "j": iu1,
+                    "n": np.int64(len(pdf)),
+                    "sxx": sxx[iu0, iu1],
+                    "sxi": sx[iu0],
+                    "sxj": sx[iu1],
+                }
+            )
+
+    parts = emb.select("embedding").mapInPandas(
+        part, "i int, j int, n long, sxx double, sxi double, sxj double"
+    )
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sxi").alias("sxi"),
+        F.sum("sxj").alias("sxj"),
+    )
+    return agg.select(
+        "i",
+        "j",
+        "n",
+        # + 0.0 normalizes IEEE -0.0 (a rounded tiny negative) to +0.0
+        # so the str-form value hash cannot split on the zero's sign
+        (
+            F.round(
+                F.col("sxx") / F.col("n")
+                - (F.col("sxi") / F.col("n")) * (F.col("sxj") / F.col("n")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cov"),
+    ).orderBy("i", "j")
+
+
+EMB_COVARIANCE_SQL = f"""
+WITH pts AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+pair AS (
+  SELECT r.i - 1 AS i, s.j - 1 AS j, v[r.i] AS xi, v[s.j] AS xj
+  FROM pts CROSS JOIN range(1, {EMB_DIM + 1}) r(i)
+           CROSS JOIN range(1, {EMB_DIM + 1}) s(j)
+  WHERE s.j >= r.i
+)
+SELECT i, j, COUNT(*) AS n, ROUND(covar_pop(xi, xj), 6) + 0.0 AS cov
+FROM pair GROUP BY i, j ORDER BY i, j
+"""
+
+
+QUERIES["emb_covariance"] = QueryDef(
+    emb_covariance,
+    EMB_COVARIANCE_SQL,
+    "one-pass upper-triangle embedding covariance (PCA front end)",
+    "beyond-ref",
+)
+
+
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity profile per event type — the
+    seasonality card read before interpreting any daily monitor
+    (`events_anomaly_days` z-scores a trailing window; this says what
+    'normal Friday 3pm' looks like so weekly rhythm is not mistaken
+    for drift).  share normalizes within each event type, so types
+    with different volumes are comparable on one heatmap.
+
+    Scale: one map-side-combinable aggregate over (type, dow, hour) —
+    at most |types|·168 output rows — plus a |types|-partition window
+    for the shares.  No join, no per-row Python."""
+    ev = load_table(spark, sf_dir, "events")
+    prof = ev.groupBy(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type")
+    return prof.select(
+        "event_type",
+        "dow",
+        "hour",
+        "n_events",
+        F.round(F.col("n_events") / F.sum("n_events").over(w), 6).alias("share"),
+    ).orderBy("event_type", "dow", "hour")
+
+
+EVENTS_SEASONALITY_SQL = """
+WITH prof AS (
+  SELECT event_type,
+         dayofweek(ts) + 1 AS dow,
+         EXTRACT(hour FROM ts) AS hour,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, dow, hour, n_events,
+       ROUND(n_events / CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS share
+FROM prof ORDER BY event_type, dow, hour
+"""
+
+
+QUERIES["events_seasonality"] = QueryDef(
+    events_seasonality,
+    EVENTS_SEASONALITY_SQL,
+    "day-of-week × hour activity shares per event type",
+    "beyond-ref",
+)
+
+
+def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order-line backlog: cumulative lines placed (by order
+    date) minus cumulative lines shipped (by ship date) — the
+    interval-accounting pattern (opens vs closes under two different
+    timestamps) behind every inventory / work-in-progress dashboard.
+
+    Scale shape: the placed side is the canonical fact-fact equi-join
+    (lineitem × orders on orderkey — hash-distributed, skew-free per
+    `q_skew_profile`, and exchange-free under the bucketed layout
+    `tools/bucketed_join_ab.py` measures); both sides then collapse
+    to ~|months| rows BEFORE the full-outer alignment and running
+    sums, so the window work is constant-size at any SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    placed = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.date_format(F.trunc("o_orderdate", "month"), "yyyy-MM-dd").alias("month")
+        )
+        .agg(F.count(F.lit(1)).alias("placed"))
+    )
+    shipped = li.groupBy(
+        F.date_format(F.trunc("l_shipdate", "month"), "yyyy-MM-dd").alias("month")
+    ).agg(F.count(F.lit(1)).alias("shipped"))
+    joined = (
+        placed.alias("p")
+        .join(shipped.alias("s"), "month", "full_outer")
+        .select(
+            "month",
+            F.coalesce("placed", F.lit(0)).alias("placed"),
+            F.coalesce("shipped", F.lit(0)).alias("shipped"),
+        )
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "month",
+        "placed",
+        "shipped",
+        F.sum("placed").over(w).alias("cum_placed"),
+        F.sum("shipped").over(w).alias("cum_shipped"),
+        (F.sum("placed").over(w) - F.sum("shipped").over(w)).alias("backlog"),
+    ).orderBy("month")
+
+
+ORDER_BACKLOG_SQL = """
+WITH placed AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month, COUNT(*) AS placed
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+),
+shipped AS (
+  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS month, COUNT(*) AS shipped
+  FROM lineitem GROUP BY 1
+),
+joined AS (
+  SELECT COALESCE(p.month, s.month) AS month,
+         COALESCE(placed, 0) AS placed,
+         COALESCE(shipped, 0) AS shipped
+  FROM placed p FULL OUTER JOIN shipped s ON p.month = s.month
+)
+SELECT month, placed, shipped,
+       CAST(SUM(placed) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_placed,
+       CAST(SUM(shipped) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_shipped,
+       CAST(SUM(placed) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING)
+         - SUM(shipped) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+FROM joined ORDER BY month
+"""
+
+
+QUERIES["q_order_backlog"] = QueryDef(
+    q_order_backlog,
+    ORDER_BACKLOG_SQL,
+    "monthly cumulative placed-vs-shipped order-line backlog",
+    "beyond-ref",
+)
+
+
+_RAKE_TOP = 50
+
+
+def text_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keyphrase extraction (RAKE, Rose et al. 2010): candidate
+    phrases are maximal runs of non-stopword tokens; each word scores
+    degree/frequency over the candidate set (degree = summed length of
+    phrases containing it); a phrase scores the sum of its member-word
+    scores; the corpus's top 50 phrases come back with occurrence
+    counts — the dataset-card keyphrase list beside `docs_dataset_card`
+    and `text_collocations`.
+
+    Scale shape: tokenize → per-doc gaps-and-islands window (running
+    stopword count partitions each doc into phrase islands, shuffled
+    on doc_id like every per-doc window here) → one vocab-keyed
+    aggregate for word scores (map-side combinable; |vocab| rows) →
+    broadcast the word-score relation back onto phrase members → one
+    phrase-keyed aggregate → TakeOrdered(top).  Everything reduces
+    before it shuffles; no per-row Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "w"),
+        )
+        .where(F.col("w") != "")
+        .withColumn("is_stop", F.array_contains(stop_arr, F.col("w")))
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    members = (
+        toks.withColumn("grp", F.sum(F.col("is_stop").cast("int")).over(wdoc))
+        .where(~F.col("is_stop"))
+        .select("doc_id", "grp", "pos", "w")
+    )
+    wisland = Window.partitionBy("doc_id", "grp")
+    members = members.withColumn("phrase_len", F.count(F.lit(1)).over(wisland))
+    word_scores = members.groupBy("w").agg(
+        (F.sum("phrase_len") / F.count(F.lit(1))).alias("word_score")
+    )
+    scored = members.join(F.broadcast(word_scores), "w")
+    occurrences = scored.groupBy("doc_id", "grp").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+        ).alias("phrase"),
+        F.sum("word_score").alias("occ_score"),
+    )
+    return (
+        occurrences.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.round(F.max("occ_score"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(_RAKE_TOP)
+    )
+
+
+def _keyphrases_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH arrs AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS arr FROM documents
+),
+toks AS (
+  SELECT doc_id, pos, w, w IN ({stop_list}) AS is_stop
+  FROM (
+    -- parallel unnests zip element-wise in DuckDB: (token, 1-based pos)
+    SELECT doc_id,
+           unnest(arr) AS w,
+           unnest(range(1, len(arr) + 1)) AS pos
+    FROM arrs
+  )
+  WHERE w <> ''
+),
+islands AS (
+  SELECT doc_id, pos, w,
+         SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp,
+         is_stop
+  FROM toks
+),
+members AS (
+  SELECT doc_id, grp, pos, w,
+         COUNT(*) OVER (PARTITION BY doc_id, grp) AS phrase_len
+  FROM islands WHERE NOT is_stop
+),
+word_scores AS (
+  SELECT w, SUM(phrase_len) / CAST(COUNT(*) AS DOUBLE) AS word_score
+  FROM members GROUP BY w
+),
+occurrences AS (
+  SELECT m.doc_id, m.grp,
+         string_agg(m.w, ' ' ORDER BY m.pos) AS phrase,
+         SUM(ws.word_score) AS occ_score
+  FROM members m JOIN word_scores ws ON m.w = ws.w
+  GROUP BY m.doc_id, m.grp
+)
+SELECT phrase, COUNT(*) AS n_occurrences, ROUND(MAX(occ_score), 6) AS score
+FROM occurrences
+GROUP BY phrase
+ORDER BY score DESC, phrase
+LIMIT {_RAKE_TOP}
+"""
+
+
+QUERIES["text_keyphrases"] = QueryDef(
+    text_keyphrases,
+    _keyphrases_sql(),
+    "RAKE keyphrase extraction: top corpus phrases by degree/frequency score",
+    "beyond-ref",
+)
+
+
 # Names the driver's 50-row correctness gate has ALREADY certified
 # (union of CORRECTNESS_r01..r08 green rows — all 131 queries as of
 # round 8).  The driver takes the first 50 entries of queries(), so
@@ -8520,6 +8855,10 @@ _ROUND_NEW: tuple[str, ...] = (
     "events_markov_transitions",
     "q_orders_interarrival",
     "q_skew_profile",
+    "emb_covariance",
+    "events_seasonality",
+    "q_order_backlog",
+    "text_keyphrases",
 )
 
 

@@ -8744,6 +8744,328 @@ QUERIES["text_keyphrases"] = QueryDef(
 )
 
 
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic warehouse scoring table: days since last order against
+    the corpus's max order date, order count, exact-decimal lifetime
+    spend, each quintiled (5 = best) under a (value, custkey) total
+    order so tile boundaries cannot drift between engines.
+
+    Scale shape: one orders scan reduced to |customers| rows, a 1-row
+    broadcast corpus-max scalar, then three ntile windows over the
+    reduced relation.  The windows are single-partition by Spark's
+    global-ntile semantics, but over |customers| rows, not orders —
+    at warehouse scale quantile-bucket joins (sketch_quantiles)
+    replace exact ntile; this is the exact-certifiable form."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(F.col("o_totalprice").cast(_PRICE_D)), 2)
+        .cast("double")
+        .alias("monetary"),
+    )
+    corpus_max = orders.agg(F.max("o_orderdate").alias("_maxd"))
+    base = base.crossJoin(F.broadcast(corpus_max)).withColumn(
+        "recency_days", F.datediff("_maxd", "_last")
+    )
+    r_w = Window.orderBy(F.col("recency_days").desc(), "custkey")
+    f_w = Window.orderBy(F.col("frequency").asc(), "custkey")
+    m_w = Window.orderBy(F.col("monetary").asc(), "custkey")
+    scored = base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(F.col("r_score"), F.col("f_score"), F.col("m_score")).cast("string"),
+    ).orderBy("custkey")
+
+
+CUSTOMER_RFM_SQL = """
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT custkey,
+         date_diff('day', last_order, (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+         frequency, monetary,
+         NTILE(5) OVER (ORDER BY date_diff('day', last_order,
+                        (SELECT MAX(o_orderdate) FROM orders)) DESC, custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency ASC, custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary ASC, custkey) AS m_score
+  FROM base
+)
+SELECT custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
+FROM scored ORDER BY custkey
+"""
+
+
+QUERIES["q_customer_rfm"] = QueryDef(
+    q_customer_rfm,
+    CUSTOMER_RFM_SQL,
+    "RFM quintile segmentation with deterministic tile boundaries",
+    "beyond-ref",
+)
+
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the dataset-card shape stat
+    over the SAME certified component relation `dedup_clusters` and
+    `docs_dataset_card` read (a heavy head here means boilerplate /
+    mirror farms; the rewrite's savings are sum((size-1)·n)).  Cost on
+    top of the standing cluster assignment: two tiny aggregates."""
+    from ..operators.dedup import neardup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _neardup_pairs_indexed(spark, sf_dir)
+    per_cluster = (
+        neardup_clusters(docs, pairs)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+    )
+    return (
+        per_cluster.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn("n_docs", F.col("size") * F.col("n_clusters"))
+        .orderBy("size")
+    )
+
+
+def _cluster_sizes_sql() -> str:
+    return (
+        _components_ctes()
+        + """,
+assigned AS (
+  SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+),
+per_cluster AS (SELECT cluster_id, COUNT(*) AS size FROM assigned GROUP BY cluster_id)
+SELECT size, COUNT(*) AS n_clusters, size * COUNT(*) AS n_docs
+FROM per_cluster GROUP BY size ORDER BY size
+"""
+    )
+
+
+QUERIES["dedup_cluster_sizes"] = QueryDef(
+    dedup_cluster_sizes,
+    _cluster_sizes_sql(),
+    "duplicate-cluster size histogram over the certified component relation",
+    "training-data",
+)
+
+
+_GROWTH_TOP = 5
+
+
+def q_part_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth leaders per part brand: exact-
+    decimal monthly revenue, lag for the previous month, growth ratio
+    on the ROUNDED revenues (identical doubles both engines, so the
+    rank order cannot flip on summation noise), top-5 growth brands
+    per month.
+
+    Scale shape: lineitem × part is the canonical fact-dim broadcast
+    join (part is |brands|-bounded after projection); revenue reduces
+    to |brands|·|months| rows BEFORE the lag/rank windows, so window
+    work is constant-size at any SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    monthly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_format(F.trunc("l_shipdate", "month"), "yyyy-MM-dd").alias("month"),
+        )
+        .agg(F.round(F.sum(_disc_price_dec()), 2).cast("double").alias("revenue"))
+    )
+    w_lag = Window.partitionBy("brand").orderBy("month")
+    grown = (
+        monthly.withColumn("prev_revenue", F.lag("revenue").over(w_lag))
+        .where(F.col("prev_revenue").isNotNull() & (F.col("prev_revenue") > 0))
+        .withColumn(
+            "growth",
+            F.round((F.col("revenue") - F.col("prev_revenue")) / F.col("prev_revenue"), 6),
+        )
+    )
+    w_rank = Window.partitionBy("month").orderBy(F.col("growth").desc(), "brand")
+    return (
+        grown.withColumn("growth_rank", F.row_number().over(w_rank))
+        .where(F.col("growth_rank") <= _GROWTH_TOP)
+        .select("month", "brand", "revenue", "prev_revenue", "growth", "growth_rank")
+        .orderBy("month", "growth_rank")
+    )
+
+
+PART_GROWTH_SQL = f"""
+WITH monthly AS (
+  SELECT p_brand AS brand,
+         strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS month,
+         CAST(ROUND(SUM({DISC_PRICE_DEC_SQL}), 2) AS DOUBLE) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+grown AS (
+  SELECT month, brand, revenue,
+         LAG(revenue) OVER (PARTITION BY brand ORDER BY month) AS prev_revenue
+  FROM monthly
+),
+g2 AS (
+  SELECT month, brand, revenue, prev_revenue,
+         ROUND((revenue - prev_revenue) / prev_revenue, 6) AS growth
+  FROM grown WHERE prev_revenue IS NOT NULL AND prev_revenue > 0
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY month ORDER BY growth DESC, brand) AS growth_rank
+  FROM g2
+)
+SELECT month, brand, revenue, prev_revenue, growth, growth_rank
+FROM ranked WHERE growth_rank <= {_GROWTH_TOP}
+ORDER BY month, growth_rank
+"""
+
+
+QUERIES["q_part_growth"] = QueryDef(
+    q_part_growth,
+    PART_GROWTH_SQL,
+    "top-5 month-over-month revenue growth brands (fact-dim broadcast + windows)",
+    "beyond-ref",
+)
+
+
+_PPLX_ALPHA = 0.5
+
+
+def docs_perplexity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram cross-entropy: train the add-alpha bigram LM on
+    the deterministic train split, score the VAL split — the honest
+    generalization twin of `text_bigram_lm` (which trains and scores
+    on the same corpus).  Rising val cross-entropy between corpus
+    releases is the cheap drift alarm `text_kl_drift` can't see
+    (KL is unigram; this is sequence-aware).
+
+    Unseen mass: a val bigram absent from train backs off to
+    alpha/(c(v)+alpha*V); an unseen CONTEXT to alpha/(alpha*V) = 1/V —
+    plain add-alpha, finite everywhere, so the score needs no UNK
+    machinery and both engines compute identical rationals before the
+    one log.  Plan: two count aggregates over the train split
+    (map-side combinable, Heaps-law sized), broadcast onto the val
+    bigram stream, one per-doc mean."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.sampling import split_assign
+
+    tagged = split_assign(docs, SPLIT_WEIGHTS)
+    bigrams_of = lambda df: (
+        df.select("doc_id", words(F.col("text")).alias("_ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_ws) >= 2 THEN transform(sequence(1, size(_ws) - 1), "
+                    "i -> struct(_ws[i-1] AS v, _ws[i] AS w)) "
+                    "ELSE array() END"
+                )
+            ).alias("_bg"),
+        )
+        .select("doc_id", F.col("_bg.v").alias("v"), F.col("_bg.w").alias("w"))
+    )
+    train = tagged.where(F.col("split") == "train")
+    val = tagged.where(F.col("split") == "val")
+    bg_train = bigrams_of(train)
+    vocab = (
+        train.select(F.explode(words(F.col("text"))).alias("_w"))
+        .select("_w")
+        .distinct()
+        .count()
+    )
+    cbw = bg_train.groupBy("v", "w").agg(F.count(F.lit(1)).alias("_cbw"))
+    cv = bg_train.groupBy("v").agg(F.count(F.lit(1)).alias("_cv"))
+    a = _PPLX_ALPHA
+    scored = (
+        bigrams_of(val)
+        .join(F.broadcast(cbw), ["v", "w"], "left")
+        .join(F.broadcast(cv), "v", "left")
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.coalesce("_cbw", F.lit(0)) + F.lit(a))
+                    / (F.coalesce("_cv", F.lit(0)) + F.lit(a * vocab))
+                )
+            ).alias("_s"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("_s"), 6).alias("cross_entropy"),
+    )
+    return (
+        val.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("int").alias("n_bigrams"),
+            F.coalesce("cross_entropy", F.lit(0.0)).alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _perplexity_eval_sql() -> str:
+    from ..operators.sampling import split_assign_sql
+
+    split = split_assign_sql(SPLIT_WEIGHTS)
+    ws = words_sql("text")
+    a = _PPLX_ALPHA
+    return f"""
+WITH tagged AS (SELECT doc_id, {ws} AS ws, {split} AS split FROM documents),
+v_cte AS (SELECT COUNT(DISTINCT w) AS vs
+          FROM (SELECT unnest(ws) AS w FROM tagged WHERE split = 'train')),
+bg AS (
+  SELECT doc_id, split, ws[i - 1] AS v, ws[i] AS w
+  FROM (SELECT doc_id, split, ws, unnest(range(2, len(ws) + 1)) AS i FROM tagged)
+),
+cbw AS (SELECT v, w, COUNT(*) AS cbw FROM bg WHERE split = 'train' GROUP BY v, w),
+cv AS (SELECT v, COUNT(*) AS cv FROM bg WHERE split = 'train' GROUP BY v),
+sc AS (
+  SELECT b.doc_id,
+         -ln((COALESCE(cbw.cbw, 0) + {a!r})
+             / (COALESCE(cv.cv, 0) + {a!r} * v_cte.vs)) AS s
+  FROM bg b
+  LEFT JOIN cbw ON b.v = cbw.v AND b.w = cbw.w
+  LEFT JOIN cv ON b.v = cv.v
+  CROSS JOIN v_cte
+  WHERE b.split = 'val'
+),
+pd AS (SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(s), 6) AS cross_entropy
+       FROM sc GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(COALESCE(pd.n_bigrams, 0) AS INTEGER) AS n_bigrams,
+       COALESCE(pd.cross_entropy, 0.0) AS cross_entropy
+FROM tagged t LEFT JOIN pd ON t.doc_id = pd.doc_id
+WHERE t.split = 'val'
+ORDER BY t.doc_id
+"""
+
+
+QUERIES["docs_perplexity_eval"] = QueryDef(
+    docs_perplexity_eval,
+    _perplexity_eval_sql(),
+    "held-out bigram cross-entropy: train-split LM scored on the val split",
+    "training-data",
+)
+
+
 # Names the driver's 50-row correctness gate has ALREADY certified
 # (union of CORRECTNESS_r01..r08 green rows — all 131 queries as of
 # round 8).  The driver takes the first 50 entries of queries(), so

@@ -178,3 +178,122 @@ def test_text_keyphrases_registry_shape(spark, sf_dir):
 
     for r in rows:
         assert not set(r.phrase.split()) & set(STOPWORDS)
+
+
+# ----------------------------------------------------- round-10 head start
+
+
+def test_q_customer_rfm_planted(spark, tmp_path):
+    from confidential_storm_spark.plans.queries import q_customer_rfm
+
+    # 5 customers, clearly ordered on all three axes -> one per quintile
+    rows = []
+    for c in range(1, 6):
+        for o in range(c):  # frequency = c
+            rows.append(
+                (
+                    c * 100 + o,
+                    c,
+                    "O",
+                    float(100 * c),
+                    dt.datetime(2024, 1, c),  # later last-order for bigger c
+                    "1-URGENT",
+                )
+            )
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    sf = _write(spark, tmp_path, "orders", orders)
+    out = {r.custkey: r for r in q_customer_rfm(spark, sf).collect()}
+    assert out[5].recency_days == 0 and out[1].recency_days == 4
+    # customer 5: most recent, most frequent, biggest spend -> 555
+    assert out[5].segment == "555"
+    assert out[1].segment == "111"
+    assert out[3].frequency == 3
+    assert out[3].monetary == pytest.approx(900.0)
+
+
+def test_dedup_cluster_sizes_accounts_for_every_doc(spark, sf_dir):
+    from confidential_storm_spark.plans.queries import dedup_cluster_sizes
+
+    out = dedup_cluster_sizes(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in out) == n_docs  # partition of the corpus
+    assert all(r.n_docs == r.size * r.n_clusters for r in out)
+    assert [r.size for r in out] == sorted(r.size for r in out)
+
+
+def test_q_part_growth_planted(spark, tmp_path):
+    from confidential_storm_spark.plans.queries import q_part_growth
+
+    part = spark.createDataFrame(
+        [(1, "BrandA"), (2, "BrandB")], "p_partkey long, p_brand string"
+    )
+    # BrandA: 100 -> 200 (+1.0); BrandB: 100 -> 150 (+0.5)
+    li_rows = [
+        (1, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 10)),
+        (2, 1, 1, 1, 1.0, 200.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 2, 10)),
+        (3, 2, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 15)),
+        (4, 2, 1, 1, 1.0, 150.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 2, 15)),
+    ]
+    li = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    _write(spark, tmp_path, "part", part)
+    sf = _write(spark, tmp_path, "lineitem", li)
+    out = q_part_growth(spark, sf).collect()
+    assert [(r.brand, r.growth_rank) for r in out] == [("BrandA", 1), ("BrandB", 2)]
+    assert out[0].growth == pytest.approx(1.0)
+    assert out[1].growth == pytest.approx(0.5)
+    assert all(r.month == "2024-02-01" for r in out)
+
+
+def test_docs_perplexity_eval_matches_hand_lm(spark, tmp_path):
+    import math
+
+    from confidential_storm_spark.operators.sampling import split_assign
+    from confidential_storm_spark.plans.queries import (
+        SPLIT_WEIGHTS,
+        _PPLX_ALPHA,
+        docs_perplexity_eval,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a b c a b " + ("x" if i % 3 == 0 else "y"), "en", "s", 11) for i in range(40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _write(spark, tmp_path, "documents", docs)
+    out = {r.doc_id: r for r in docs_perplexity_eval(spark, sf).collect()}
+    tags = {
+        r.doc_id: r.split
+        for r in split_assign(docs, SPLIT_WEIGHTS).select("doc_id", "split").collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    train_ids = [i for i, s in tags.items() if s == "train"]
+    val_ids = [i for i, s in tags.items() if s == "val"]
+    assert set(out) == set(val_ids) and val_ids  # exactly the val split
+    # replicate the LM by hand
+    cbw: dict = {}
+    cv: dict = {}
+    vocab = set()
+    for i in train_ids:
+        ws = texts[i].split()
+        vocab.update(ws)
+        for v, w in zip(ws, ws[1:]):
+            cbw[(v, w)] = cbw.get((v, w), 0) + 1
+            cv[v] = cv.get(v, 0) + 1
+    a, V = _PPLX_ALPHA, len(vocab)
+    for i in val_ids:
+        ws = texts[i].split()
+        s = [
+            -math.log((cbw.get((v, w), 0) + a) / (cv.get(v, 0) + a * V))
+            for v, w in zip(ws, ws[1:])
+        ]
+        assert out[i].n_bigrams == len(s)
+        assert out[i].cross_entropy == pytest.approx(sum(s) / len(s), abs=1e-6)

@@ -668,16 +668,22 @@ def _fold_cosine(vec: Column, qvec: Column) -> Column:
 
 
 def grouped_topk(
-    scored: DataFrame, group_col: str, score_col: str, id_col: str, k: int
+    scored: DataFrame,
+    group_col: str | list[str],
+    score_col: str,
+    id_col: str,
+    k: int,
 ) -> DataFrame:
     """Per-group top-k under the registry's total order (rounded score
     DESC, id ASC).  Declarative window + rank filter on purpose:
     Spark >= 3.5 plans ``row_number() <= k`` as WindowGroupLimit —
     per-partition partial top-k BEFORE the shuffle — so the M-query
-    scatter-gather ships M·k·P candidate rows, not M·N scores."""
+    scatter-gather ships M·k·P candidate rows, not M·N scores.
+    ``group_col`` accepts one name or a composite key list."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(group_col).orderBy(F.desc(score_col), F.col(id_col))
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    w = Window.partitionBy(*groups).orderBy(F.desc(score_col), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
@@ -703,36 +709,55 @@ def sq8_recall_eval(
         df.filter(F.col(id_col) < n_queries)
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     )
-    corpus = df.select(id_col, vec_col)
-    scored = corpus.join(F.broadcast(q)).select(
-        "query_id",
-        F.col(id_col),
-        F.round(_fold_cosine(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
+    # the scoring stage is CPU-bound (3 methods x d-term folded cosine
+    # per (row, query) pair) and would otherwise inherit the parquet
+    # FILE count as its parallelism (sf1 measured: 2 tasks on 32
+    # cores, 50 s); spread the corpus across the executors first — the
+    # one-time shuffle of N vectors is ~1% of the scoring work
+    corpus = df.select(id_col, vec_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     )
-    # materialize the M·k-row top-k relations once: every downstream
+    los, his = sq8_minmax(df, vec_col)
+    # ONE corpus pass prices the whole ladder: each (corpus row, query)
+    # pair evaluates the exact AND every quantized cosine, exploded to
+    # (method, cosine) rows — 3x the window rows, but one scan, one
+    # broadcast join, one WindowGroupLimit shuffle instead of three of
+    # each
+    variants = [
+        F.struct(
+            F.lit("exact").alias("method"),
+            F.round(_fold_cosine(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
+        )
+    ]
+    for method, levels in (("sq4", 16), ("sq8", 256)):
+        rv = _sq8_recon(F.col(vec_col), los, his, levels=levels)
+        variants.append(
+            F.struct(
+                F.lit(method).alias("method"),
+                F.round(_fold_cosine(rv, F.col("_qv")), 6).alias("cosine"),
+            )
+        )
+    scored = (
+        corpus.join(F.broadcast(q))
+        .select("query_id", F.col(id_col), F.explode(F.array(*variants)).alias("_mc"))
+        .select(
+            "query_id",
+            id_col,
+            F.col("_mc.method").alias("method"),
+            F.col("_mc.cosine").alias("cosine"),
+        )
+    )
+    # materialize the (3·M·k)-row top-k relation once: every downstream
     # consumer (hits, per-query k, method spine) would otherwise
     # re-evaluate the full corpus scoring lineage — the plan audit
     # showed 12 corpus scans without this
-    exact = (
-        grouped_topk(scored, "query_id", "cosine", id_col, k)
-        .select("query_id", id_col)
+    top = (
+        grouped_topk(scored, ["method", "query_id"], "cosine", id_col, k)
+        .select("method", "query_id", id_col)
         .localCheckpoint(eager=True)
     )
-
-    los, his = sq8_minmax(df, vec_col)
-    approx = None
-    for method, levels in (("sq4", 16), ("sq8", 256)):
-        rv = _sq8_recon(F.col(vec_col), los, his, levels=levels)
-        ascored = corpus.join(F.broadcast(q)).select(
-            "query_id",
-            F.col(id_col),
-            F.round(_fold_cosine(rv, F.col("_qv")), 6).alias("cosine"),
-        )
-        top = grouped_topk(ascored, "query_id", "cosine", id_col, k).select(
-            F.lit(method).alias("method"), "query_id", id_col
-        )
-        approx = top if approx is None else approx.unionByName(top)
-    approx = approx.localCheckpoint(eager=True)
+    exact = top.where(F.col("method") == "exact").select("query_id", id_col)
+    approx = top.where(F.col("method") != "exact")
 
     hits = (
         exact.join(approx, ["query_id", id_col])

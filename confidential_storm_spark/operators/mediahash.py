@@ -159,8 +159,15 @@ def media_corpus(docs: DataFrame, kind: str, id_col: str = "doc_id") -> DataFram
     documents table: one base item per doc, plus a perturbed near-dup
     copy (media_id = doc_id + PERT_OFFSET) for every PERT_EVERY-th
     doc.  kind in {image, audio, video}.  Generation is mapInPandas
-    over the doc ids — per-partition work, no shuffle, scales with
-    the corpus."""
+    over the doc ids — per-partition work, scales with the corpus.
+
+    The id relation is spread to core count first (`_spread`): the
+    testdata parquet is one row group, so the scan arrives as a single
+    split and the whole synthesize->encode->decode->hash chain would
+    otherwise run on ONE core (the knn_recall_eval trap, PLANS
+    round-9 close); the id shuffle is a few bytes per row against
+    codec work that dominates it by orders of magnitude."""
+    from .dedup import _spread
     synth = {
         "image": synth_image_payload,
         "audio": synth_audio_payload,
@@ -179,7 +186,9 @@ def media_corpus(docs: DataFrame, kind: str, id_col: str = "doc_id") -> DataFram
                     payloads.append(synth(d, True))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    return docs.select(id_col).mapInPandas(gen, schema="media_id long, payload binary")
+    return _spread(docs.select(id_col), id_col).mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
 
 
 # ---------------------------------------------------------------------------

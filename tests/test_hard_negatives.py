@@ -60,7 +60,7 @@ def test_ranks_are_dense_per_query(spark):
     assert by_q and all(sorted(v) == [1, 2, 3] for v in by_q.values())
 
 
-def test_plan_broadcasts_queries_and_keys_the_window(spark):
+def test_plan_scores_in_arrow_and_keys_the_window(spark):
     _, df = _fixture(spark)
     plan = (
         hard_negatives(df, k=3, query_mod=10)
@@ -68,7 +68,8 @@ def test_plan_broadcasts_queries_and_keys_the_window(spark):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastNestedLoopJoin" in plan
+    # scoring is one Arrow-batched matmul pass, not a per-pair join
+    assert "MapInPandas" in plan and "Join" not in plan
     # the ranking window partitions by query_id (no global window)
     import re
 

@@ -98,8 +98,13 @@ def kmeans_fit(
     # Lloyd's re-reads the vectors every iteration: materialize the
     # (id, vec) projection ONCE so the scan/shuffle above it isn't
     # re-executed per round — the canonical cache-before-iterate
-    # pattern for iterative algorithms on Spark.
-    vecs = df.select(id_col, vec_col).localCheckpoint(eager=True)
+    # pattern for iterative algorithms on Spark.  Spread BEFORE the
+    # checkpoint: localCheckpoint pins the partitioning, and a
+    # single-row-group parquet scan arrives as ONE split, which would
+    # run every assignment + partial-sum round on one core.
+    from .dedup import _spread
+
+    vecs = _spread(df.select(id_col, vec_col), id_col).localCheckpoint(eager=True)
     seed_rows = (
         vecs.orderBy(id_col).limit(k).select(vec_col).collect()
     )  # TakeOrdered: no full sort

@@ -1134,7 +1134,12 @@ def embedding_neardup_pairs(
                 }
             )
 
-    return src.mapInPandas(block, schema="id_a long, id_b long, cosine double")
+    # the matmul is CPU-bound and the scan often arrives as ONE split
+    # (single-row-group parquet): spread first or one core does the
+    # whole N x N block (measured at sf10: 631 s -> ~25 s)
+    return _spread(src, "_id").mapInPandas(
+        block, schema="id_a long, id_b long, cosine double"
+    )
 
 
 def embedding_neardup_pairs_lsh(

@@ -9067,8 +9067,8 @@ QUERIES["docs_perplexity_eval"] = QueryDef(
 
 
 # Names the driver's 50-row correctness gate has ALREADY certified
-# (union of CORRECTNESS_r01..r08 green rows — all 131 queries as of
-# round 8).  The driver takes the first 50 entries of queries(), so
+# (union of CORRECTNESS_r01..r09 green rows — all 181 queries as of
+# round 9).  The driver takes the first 50 entries of queries(), so
 # never-driver-certified names rotate to the head each round (VERDICT
 # r5 item 2).  The full registry is still gated every round by the
 # local replica (tools/check_correctness.py ->
@@ -9079,49 +9079,65 @@ QUERIES["docs_perplexity_eval"] = QueryDef(
 _DRIVER_CERTIFIED_PRIOR: frozenset[str] = frozenset(
     {
         "bpe_encode_stats", "bpe_fertility", "bpe_merges", "bpe_pair_counts",
-        "chunk_docs", "curation_funnel", "dedup_bloom", "dedup_clusters",
+        "chunk_docs", "curation_funnel", "dataset_fingerprint", "dedup_bloom",
+        "dedup_canonical", "dedup_clusters", "dedup_containment",
         "dedup_edit_distance", "dedup_embedding", "dedup_embedding_lsh",
         "dedup_exact", "dedup_incremental", "dedup_media_audio",
-        "dedup_media_image", "dedup_media_video",
-        "dedup_minhash_incremental", "dedup_minhash_lsh",
-        "dedup_ngram_jaccard", "dedup_normalized", "dedup_semantic",
-        "dedup_simhash", "dedup_simhash_pairs", "dedup_span_fraction",
-        "dedup_span_rewrite", "dedup_spans", "dp_bounded_histogram",
+        "dedup_media_image", "dedup_media_probe", "dedup_media_video",
+        "dedup_method_overlap", "dedup_minhash_incremental",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_normalized",
+        "dedup_semantic", "dedup_simhash", "dedup_simhash_lsh",
+        "dedup_simhash_pairs", "dedup_span_fraction", "dedup_span_rewrite",
+        "dedup_spans", "docs_dataset_card", "dp_bounded_histogram",
         "dp_key_selection", "dp_partial_merge", "dp_unique_users",
         "dp_utility_metrics", "dp_zero_noise_full", "dp_zero_noise_mu",
-        "emb_project", "events_robust_stats", "graph_pagerank", "hybrid_rrf",
-        "kmeans_embeddings", "knn_brute_force", "knn_hard_negatives",
-        "knn_ivf", "knn_ivf_incremental", "knn_ivfpq",
+        "dq_constraints", "emb_covariance", "emb_dim_stats", "emb_outliers",
+        "emb_project", "erase_propagation", "events_anomaly_days",
+        "events_daily_gapfill", "events_dod_change",
+        "events_markov_transitions", "events_robust_stats",
+        "events_seasonality", "events_trend_fit", "graph_pagerank",
+        "hll_rollup_mv", "hybrid_rrf", "kmeans_embeddings", "knn_brute_force",
+        "knn_hard_negatives", "knn_ivf", "knn_ivf_incremental", "knn_ivfpq",
         "knn_ivfpq_incremental", "knn_lsh", "knn_lsh_multiprobe",
-        "mixture_executed", "mixture_weights", "pack_sequences",
-        "q10_returned_items", "q11_important_parts", "q12_priority_lines",
-        "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
-        "q16_supplier_variety", "q17_small_quantity", "q18_large_orders",
-        "q19_bracket_revenue", "q1_pricing_summary",
-        "q20_dominant_suppliers", "q21_waiting_suppliers",
-        "q22_dormant_customers", "q2_min_cost_supplier", "q3_top_revenue",
-        "q4_late_priority", "q5_nation_revenue", "q6_forecast_revenue",
-        "q7_nation_trade", "q8_market_share", "q9_product_profit",
-        "q_asof_attribution", "q_cohort_retention", "q_conversion_funnel",
-        "q_cube_activity", "q_decayed_engagement", "q_event_windows",
-        "q_event_windows_hop", "q_json_props", "q_median_order_value",
-        "q_merge_upsert", "q_pivot_nation_segments", "q_profile_events",
-        "q_range_join", "q_rolling_user_value", "q_rollup_revenue",
-        "q_salted_segment_value", "q_salted_type_stats", "q_session_window",
-        "q_sessionize", "q_top_orders_per_customer", "q_unpivot_quality",
+        "knn_recall_eval", "knn_sq8", "mixture_executed", "mixture_weights",
+        "mv_incremental_revenue", "pack_sequences", "q10_returned_items",
+        "q11_important_parts", "q12_priority_lines", "q13_order_distribution",
+        "q14_promo_revenue", "q15_top_supplier", "q16_supplier_variety",
+        "q17_small_quantity", "q18_large_orders", "q19_bracket_revenue",
+        "q1_pricing_summary", "q20_dominant_suppliers",
+        "q21_waiting_suppliers", "q22_dormant_customers",
+        "q2_min_cost_supplier", "q3_top_revenue", "q4_late_priority",
+        "q5_nation_revenue", "q6_forecast_revenue", "q7_nation_trade",
+        "q8_market_share", "q9_product_profit", "q_asof_attribution",
+        "q_cohort_retention", "q_conversion_funnel", "q_cube_activity",
+        "q_decayed_engagement", "q_event_windows", "q_event_windows_hop",
+        "q_json_props", "q_median_order_value", "q_merge_upsert",
+        "q_order_backlog", "q_orders_interarrival", "q_pivot_nation_segments",
+        "q_profile_events", "q_range_join", "q_rolling_user_value",
+        "q_rollup_revenue", "q_salted_segment_value", "q_salted_type_stats",
+        "q_scd2_history", "q_session_window", "q_sessionize",
+        "q_skew_profile", "q_top_orders_per_customer", "q_unpivot_quality",
         "q_viewed_and_purchased", "q_viewed_never_purchased",
         "quality_deciles", "quality_probe_scores", "sample_mixture",
         "sample_stratified", "sample_weighted", "sec_replay_filter",
         "sec_route_validation", "sec_seq_stamp", "shard_assignment",
-        "simple_reverse", "sketch_cms_words", "sketch_hll_setops",
-        "sketch_hll_users", "sketch_quantiles", "split_counts",
-        "text_bigram_lm", "text_bm25", "text_clean", "text_collocations",
+        "simple_reverse", "sketch_cms_joinsize", "sketch_cms_words",
+        "sketch_hll_setops", "sketch_hll_users", "sketch_join_hotkeys",
+        "sketch_quantiles", "sketch_theta_overlap", "snapshot_diff_orders",
+        "split_counts", "split_leakage", "stream_anomaly_replay",
+        "stream_dedup_replay", "stream_digest_replay", "stream_dq_replay",
+        "stream_heavy_hitters_replay", "stream_hll_replay",
+        "stream_join_replay", "stream_kl_replay", "stream_mv_refresh_replay",
+        "stream_novelty_replay", "stream_quantiles_replay",
+        "stream_sessions_replay", "stream_trending_replay", "text_bigram_lm",
+        "text_bm25", "text_char_entropy", "text_clean", "text_collocations",
         "text_contamination", "text_decontaminate_neardup", "text_diversity",
-        "text_fingerprint", "text_kl_drift", "text_lang_id",
-        "text_length_quantiles", "text_oov_rate", "text_quality",
-        "text_redact_pii", "text_repetition", "text_surprisal", "text_tfidf",
-        "text_winnow", "text_zipf", "token_stats", "token_stats_bpe",
-        "wordcount_histogram",
+        "text_fingerprint", "text_inverted_index", "text_keyphrases",
+        "text_kl_drift", "text_lang_id", "text_length_quantiles",
+        "text_novelty", "text_oov_rate", "text_quality", "text_redact_pii",
+        "text_repetition", "text_surprisal", "text_tfidf",
+        "text_vocab_coverage", "text_winnow", "text_zipf", "theta_rollup_mv",
+        "token_stats", "token_stats_bpe", "wordcount_histogram",
     }
 )
 
@@ -9131,56 +9147,10 @@ _DRIVER_CERTIFIED_PRIOR: frozenset[str] = frozenset(
 # round's new work the same round it lands (the rest of the block
 # follows in insertion order and rotates forward next round)
 _ROUND_NEW: tuple[str, ...] = (
-    "stream_dedup_replay",
-    "stream_hll_replay",
-    "stream_heavy_hitters_replay",
-    "mv_incremental_revenue",
-    "hll_rollup_mv",
-    "sketch_theta_overlap",
-    "stream_sessions_replay",
-    "theta_rollup_mv",
-    "dedup_simhash_lsh",
-    "erase_propagation",
-    "stream_mv_refresh_replay",
-    "stream_quantiles_replay",
-    "stream_kl_replay",
-    "events_trend_fit",
-    "events_daily_gapfill",
-    "dedup_containment",
-    "stream_join_replay",
-    "stream_trending_replay",
-    "dq_constraints",
-    "snapshot_diff_orders",
-    "dedup_media_probe",
-    "dataset_fingerprint",
-    "sketch_cms_joinsize",
-    "stream_dq_replay",
-    "stream_digest_replay",
-    "events_dod_change",
-    "sketch_join_hotkeys",
-    "text_char_entropy",
-    "text_inverted_index",
-    "dedup_canonical",
-    "split_leakage",
-    "knn_sq8",
-    "emb_outliers",
-    "knn_recall_eval",
-    "text_vocab_coverage",
-    "docs_dataset_card",
-    "events_anomaly_days",
-    "text_novelty",
-    "stream_novelty_replay",
-    "stream_anomaly_replay",
-    "emb_dim_stats",
-    "dedup_method_overlap",
-    "q_scd2_history",
-    "events_markov_transitions",
-    "q_orders_interarrival",
-    "q_skew_profile",
-    "emb_covariance",
-    "events_seasonality",
-    "q_order_backlog",
-    "text_keyphrases",
+    "q_customer_rfm",
+    "dedup_cluster_sizes",
+    "q_part_growth",
+    "docs_perplexity_eval",
 )
 
 

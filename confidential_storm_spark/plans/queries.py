@@ -6359,16 +6359,17 @@ def stream_kl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datetime import datetime
 
     from ..streaming.replay import replay_available_now
-    from ..streaming.sketches import hashed_ref_probs, vocab_kl_stream
+    from ..streaming.sketches import hashed_ref_probs_spark, vocab_kl_stream
 
     docs = load_table(spark, sf_dir, "documents")
-    ref_texts = [
-        r.text
-        for r in docs.where(F.col("doc_id") % _KL_REF_MOD == 0)
-        .select("text")
-        .collect()
-    ]
-    ref = hashed_ref_probs(ref_texts, n_bins=_KL_BINS, alpha=_KL_ALPHA)
+    # reference distribution built Spark-side: the corpus never leaves
+    # the executors; only the 64 (bin, count) rows are collected
+    ref = hashed_ref_probs_spark(
+        docs.where(F.col("doc_id") % _KL_REF_MOD == 0),
+        "text",
+        n_bins=_KL_BINS,
+        alpha=_KL_ALPHA,
+    )
     strm = docs.where(F.col("doc_id") % _KL_REF_MOD != 0).select(
         F.date_add(
             F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 6).cast("int")

@@ -18,6 +18,7 @@ from .keyed import (
 from .sessions import session_stats_stream
 from .sketches import (
     hashed_ref_probs,
+    hashed_ref_probs_spark,
     histogram_quantiles_stream,
     hll_distinct_stream,
     vocab_kl_stream,
@@ -42,6 +43,7 @@ __all__ = [
     "histogram_quantiles_stream",
     "vocab_kl_stream",
     "hashed_ref_probs",
+    "hashed_ref_probs_spark",
     "bound_contributions_stream",
     "curation_filter_stream",
     "quality_predicate",

@@ -272,3 +272,38 @@ def hashed_ref_probs(texts: list[str], n_bins: int = 1024, alpha: float = 0.5) -
             n += 1
     denom = n + alpha * n_bins
     return [(c + alpha) / denom for c in counts]
+
+
+def hashed_ref_probs_spark(
+    df: DataFrame, text_col: str = "text", n_bins: int = 1024, alpha: float = 0.5
+) -> list[float]:
+    """Spark-side twin of :func:`hashed_ref_probs`: the reference
+    corpus stays a DataFrame, the hashed-unigram bin counts are
+    aggregated in one distributed pass (explode -> md5 bucket ->
+    groupBy), and only ``n_bins`` (bin, count) rows come back to the
+    driver — never the text itself.  Bucket map and tokenization are
+    the exact expressions :func:`vocab_kl_stream` applies to the
+    stream (``functions.text.words`` + ``md5(w)[:8] % n_bins``), so
+    the resulting distribution is bit-identical to the pure-Python
+    builder on the same rows."""
+    from ..functions.text import words
+
+    rows = (
+        df.select(F.explode(words(F.col(text_col))).alias("_w"))
+        .select(
+            (
+                F.conv(F.substring(F.md5("_w"), 1, 8), 16, 10).cast("long")
+                % n_bins
+            ).alias("_b")
+        )
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )
+    counts = [0] * n_bins
+    n = 0
+    for r in rows:
+        counts[int(r._b)] = int(r._c)
+        n += int(r._c)
+    denom = n + alpha * n_bins
+    return [(c + alpha) / denom for c in counts]

@@ -755,3 +755,27 @@ def test_streaming_vocab_kl_drift(stream_reader, spark):
         assert got[wstart][0] == n
         assert abs(got[wstart][1] - round(kl, 6)) <= 2e-6, (wstart, got[wstart][1], kl)
     assert got[t(60)][1] > 5 * max(got[t(0)][1], 1e-4)  # the shift is loud
+
+
+def test_hashed_ref_probs_spark_matches_python(spark):
+    """The distributed reference-distribution builder is bit-identical
+    to the pure-Python one on the same rows — including non-ASCII
+    words, where Java's ASCII-only \\W and Python's Unicode-aware \\W
+    would diverge if the Python side didn't spell the class out."""
+    from confidential_storm_spark.streaming import (
+        hashed_ref_probs,
+        hashed_ref_probs_spark,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "naïve café résumé — déjà vu straße",  # non-ASCII exercises the regex pact
+        "",  # empty doc contributes nothing
+        "repeat repeat repeat repeat",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for n_bins, alpha in ((64, 0.5), (17, 1.0)):
+        py = hashed_ref_probs(texts, n_bins=n_bins, alpha=alpha)
+        sp = hashed_ref_probs_spark(df, "text", n_bins=n_bins, alpha=alpha)
+        assert sp == py

@@ -6127,6 +6127,90 @@ ORDER BY id_a, id_b
 """
 
 
+_SIMHASH_LSH_CAP = 1000
+
+
+def dedup_simhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of bit-sampling Hamming LSH under the hash
+    gate: same seeded bit-sample layout as ``dedup_simhash_lsh``, but
+    with the operator's hot-bucket cap engaged
+    (``max_bucket_size={cap}``: each (table, key) bucket keeps its
+    first {cap} ids in ``_id`` order — deterministic ROW_NUMBER
+    truncation, so one degenerate bucket can never go quadratic).  The
+    DuckDB twin reproduces the cap EXACTLY (same window, same order),
+    so the certified semantics are the dial that ships — the fix the
+    minhash family already models (``dedup_minhash_lsh``).  The
+    uncapped entry stays as the mask-form oracle-identity
+    certification; this one certifies the 100 TB default."""
+    from ..operators.dedup import hamming_lsh_pairs, simhash64
+
+    sigs = (
+        simhash64(load_table(spark, sf_dir, "documents"))
+        .withColumnRenamed("doc_id", "_id")
+        .withColumnRenamed("simhash", "sig")
+    )
+    return hamming_lsh_pairs(
+        sigs,
+        max_hamming=SIMHASH_LSH_MAX_HAMMING,
+        bits_per_table=_SIMHASH_LSH_BITS,
+        tables=_SIMHASH_LSH_TABLES,
+        seed=_SIMHASH_LSH_SEED,
+        max_bucket_size=_SIMHASH_LSH_CAP,
+    ).orderBy("id_a", "id_b")
+
+
+dedup_simhash_lsh_capped.__doc__ = dedup_simhash_lsh_capped.__doc__.format(
+    cap=1000
+)
+
+
+def _simhash_lsh_capped_sql() -> str:
+    # the twin enumerates the same L seeded bit-sample table keys the
+    # operator builds, applies the identical first-N-per-bucket
+    # ROW_NUMBER cap, then the identical exact XOR-popcount verify
+    from ..operators.dedup import lsh_bit_positions, simhash_cte_sql
+
+    selects = []
+    for t, ps in enumerate(
+        lsh_bit_positions(_SIMHASH_LSH_BITS, _SIMHASH_LSH_TABLES, _SIMHASH_LSH_SEED)
+    ):
+        key = " | ".join(
+            f"(((simhash >> {p}) & 1) << {j})" for j, p in enumerate(ps)
+        )
+        selects.append(
+            f"SELECT doc_id AS _id, {t} AS tbl, ({key}) AS kv FROM sig"
+        )
+    keyed = "\n  UNION ALL\n  ".join(selects)
+    return f"""
+WITH sig AS (SELECT * FROM {simhash_cte_sql('documents')}),
+keyed AS (
+  {keyed}
+),
+capped AS (
+  SELECT _id, tbl, kv FROM (
+    SELECT _id, tbl, kv,
+           ROW_NUMBER() OVER (PARTITION BY tbl, kv ORDER BY _id) AS rn
+    FROM keyed)
+  WHERE rn <= {_SIMHASH_LSH_CAP}
+),
+cand AS (
+  SELECT DISTINCT l._id AS id_a, r._id AS id_b
+  FROM capped l JOIN capped r
+    ON l.tbl = r.tbl AND l.kv = r.kv AND l._id < r._id
+),
+v AS (
+  SELECT id_a, id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM cand
+  JOIN sig a ON cand.id_a = a.doc_id
+  JOIN sig b ON cand.id_b = b.doc_id
+)
+SELECT id_a, id_b, hamming
+FROM v WHERE hamming <= {SIMHASH_LSH_MAX_HAMMING}
+ORDER BY id_a, id_b
+"""
+
+
 _ERASE_MOD = 97
 
 
@@ -6479,6 +6563,12 @@ QUERIES["dedup_simhash_lsh"] = QueryDef(
     dedup_simhash_lsh,
     _simhash_lsh_sql(),
     "bit-sampling Hamming LSH path certified: seeded mask collision test reproduced in the oracle",
+    "training-data",
+)
+QUERIES["dedup_simhash_lsh_capped"] = QueryDef(
+    dedup_simhash_lsh_capped,
+    _simhash_lsh_capped_sql(),
+    "bit-sampling Hamming LSH with the production hot-bucket cap: ROW_NUMBER truncation mirrored in the twin",
     "training-data",
 )
 QUERIES["erase_propagation"] = QueryDef(
@@ -9152,6 +9242,7 @@ _ROUND_NEW: tuple[str, ...] = (
     "dedup_cluster_sizes",
     "q_part_growth",
     "docs_perplexity_eval",
+    "dedup_simhash_lsh_capped",
 )
 
 

@@ -170,3 +170,71 @@ def test_lsh_pairs_match_mask_rule_reference(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_lsh_bucket_cap_truncates_deterministically(spark):
+    """With N identical sigs and max_bucket_size=B < N, every table's
+    single bucket keeps exactly the first B ids (ROW_NUMBER order), so
+    the output is exactly the C(B,2) pairs among ids 0..B-1 — the
+    deterministic truncation the registry twin
+    (dedup_simhash_lsh_capped) mirrors with the same window."""
+    n, cap = 12, 5
+    df = _sig_df(spark, [7] * n)
+    got = {
+        (r.id_a, r.id_b)
+        for r in hamming_lsh_pairs(
+            df, max_hamming=3, bits_per_table=4, tables=3, max_bucket_size=cap
+        ).collect()
+    }
+    expected = {(a, b) for a in range(cap) for b in range(a + 1, cap)}
+    assert got == expected
+
+
+def test_lsh_capped_twin_matches_duckdb_when_cap_binds(spark):
+    """End-to-end cap certification on a corpus where the cap BINDS:
+    shrink the registry dial to max_bucket_size=3 over documents at
+    sf0.001 (500 docs share many 16-bit buckets) and check the Spark
+    plan against the registry's own DuckDB twin with the same dial —
+    the sf0.01 gate row certifies the non-binding regime; this pins
+    the binding one."""
+    import duckdb
+
+    import confidential_storm_spark.plans.queries as Q
+    from confidential_storm_spark.operators.dedup import (
+        hamming_lsh_pairs,
+        simhash64,
+    )
+    from confidential_storm_spark.plans.queries import load_table
+
+    cap_attr, orig = "_SIMHASH_LSH_CAP", Q._SIMHASH_LSH_CAP
+    try:
+        Q._SIMHASH_LSH_CAP = 3
+        sql = Q._simhash_lsh_capped_sql()
+    finally:
+        setattr(Q, cap_attr, orig)
+
+    sf_dir = "/root/testdata/sf0.001"
+    sigs = (
+        simhash64(load_table(spark, sf_dir, "documents"))
+        .withColumnRenamed("doc_id", "_id")
+        .withColumnRenamed("simhash", "sig")
+    )
+    got = sorted(
+        map(
+            tuple,
+            hamming_lsh_pairs(
+                sigs,
+                max_hamming=Q.SIMHASH_LSH_MAX_HAMMING,
+                bits_per_table=Q._SIMHASH_LSH_BITS,
+                tables=Q._SIMHASH_LSH_TABLES,
+                seed=Q._SIMHASH_LSH_SEED,
+                max_bucket_size=3,
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want and len(got) > 0

@@ -31,6 +31,7 @@ __all__ = [
     "ivf_topk",
     "ivf_topk_indexed",
     "hard_negatives",
+    "hard_negatives_ivf",
     "hard_negatives_sql",
 ]
 
@@ -525,6 +526,142 @@ def hard_negatives(
     # which would run the whole matmul on 1-2 cores; re-spread (no-op
     # at scale where the scan provides the partitions)
     c = df.select(id_col, vec_col, label_col)
+    target = spark.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < target:
+        c = c.repartition(target, F.col(id_col))
+    scored = c.mapInPandas(score, "query_id long, neg_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neg_id"))
+    return (
+        scored.withColumn("cosine", F.round("cosine", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def hard_negatives_ivf(
+    df: DataFrame,
+    k: int = 5,
+    query_mod: int = 101,
+    n_clusters: int = 16,
+    n_probe: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-pruned hard-negative mining — the 100 TB path for
+    :func:`hard_negatives`, whose exact matmul is corpus x queries and
+    therefore quadratic-ish at warehouse scale (measured 220x at sf10
+    before the matmul rewrite).  Here every corpus vector scores ONLY
+    against the queries that PROBE its coarse cluster: assign the
+    corpus to ``n_clusters`` k-means centroids (or a caller-provided
+    standing-index centroid matrix — the :func:`ivf_write_index`
+    maintenance model), rank centroids per query by cosine (the exact
+    :func:`_probe_clusters` rule), and inside each Arrow batch matmul
+    each cluster's row block against just its probing queries'
+    sub-matrix.  Work shrinks by ~``n_probe / n_clusters`` with ZERO
+    added shuffles (the per-batch group-by-cluster is in-memory; on a
+    standing index partitioned by ``_cluster`` the batches arrive
+    cluster-pure).
+
+    ``n_probe == n_clusters`` (the default) is provably identical to
+    the exact miner: every query probes every cluster, so every
+    (corpus row, query) pair is scored under the same rounded-cosine
+    total order with the same per-batch top-(k + margin)
+    ties-included selection — that identity is the certified registry
+    point (``knn_hard_negatives_ivf``), exactly the ``knn_ivf``
+    full-probe pattern.  Partial-probe recall vs the exact miner is
+    measured in ``benchmark/hard_negatives_ivf_recall.csv`` and
+    pinned by tests/test_hard_negatives.py.
+
+    Note: like :func:`hard_negatives` this is EAGER at construction —
+    the query sample (and the k-means fit when ``centroids`` is None)
+    runs before the returned plan exists.  Returns (query_id, neg_id,
+    cosine, rank), rank 1..k."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    if n_probe is None:
+        n_probe = n_clusters
+    if centroids is None:
+        assigned, cmat = ivf_index(df, n_clusters, vec_col, seed)
+    else:
+        cmat = np.ascontiguousarray(centroids, dtype=np.float64)
+        assigned = assign_to_centroids(df, cmat, vec_col)
+        n_clusters = cmat.shape[0]
+    n_probe = min(n_probe, n_clusters)
+
+    q_rows = (
+        df.filter(F.col(id_col) % query_mod == 0)
+        .select(id_col, vec_col, label_col)
+        .collect()
+    )
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neg_id long, cosine double, rank int"
+        )
+    qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+    qlabels = np.array([r[label_col] for r in q_rows])
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn[:, None]
+
+    # per-query probe sets under the _probe_clusters rule (cosine to
+    # centroid, stable argsort), inverted to cluster -> query indices
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    csims = Qn @ (cmat / cnorm[:, None]).T  # M x n_clusters
+    cluster_to_q: dict[int, np.ndarray] = {}
+    order = np.argsort(-csims, axis=1, kind="stable")[:, :n_probe]
+    for c in range(n_clusters):
+        hits = np.flatnonzero((order == c).any(axis=1))
+        if len(hits):
+            cluster_to_q[c] = hits
+    bq = spark.sparkContext.broadcast((qids, Qn, qlabels, cluster_to_q))
+    margin = 16
+
+    def score(batches):
+        b_qids, b_qn, b_ql, b_c2q = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_q, out_id, out_c = [], [], []
+            for c, sub in pdf.groupby("_cluster", sort=True):
+                qidx = b_c2q.get(int(c))
+                if qidx is None:
+                    continue
+                X = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
+                xn = np.linalg.norm(X, axis=1)
+                xn[xn == 0] = 1.0
+                sims = (X / xn[:, None]) @ b_qn[qidx].T
+                sims[
+                    sub[label_col].to_numpy()[:, None] == b_ql[qidx][None, :]
+                ] = -np.inf
+                # same half-away-from-zero 1e-6 selection order as the
+                # exact miner — partial top-k with boundary ties kept
+                r = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+                ids = sub[id_col].to_numpy()
+                kk = min(k + margin, r.shape[0])
+                for jj, j in enumerate(qidx):
+                    col = r[:, jj]
+                    thresh = np.partition(col, -kk)[-kk]
+                    sel = np.flatnonzero((col >= thresh) & np.isfinite(col))
+                    out_q.append(np.full(len(sel), b_qids[j], dtype=np.int64))
+                    out_id.append(ids[sel])
+                    out_c.append(sims[sel, jj])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neg_id": np.concatenate(out_id),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    c = assigned.select(id_col, vec_col, label_col, "_cluster")
     target = spark.sparkContext.defaultParallelism
     if c.rdd.getNumPartitions() < target:
         c = c.repartition(target, F.col(id_col))

@@ -1102,6 +1102,39 @@ def _knn_hard_negatives_sql() -> str:
     return hard_negatives_sql(k=KNN_HARD_K, query_mod=KNN_QUERY_MOD)
 
 
+def knn_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-pruned miner under the hash gate — the 100 TB path
+    PLANS names for ``knn_hard_negatives`` (exact mining measured 220x
+    at sf10).  Reuses the standing IVF index's centroid matrix (built
+    once per sf_dir, same table ``knn_ivf`` probes), assigns the
+    corpus in one Arrow pass, and mines each cluster's rows against
+    only its probing queries.  The registry point probes ALL clusters,
+    which is provably identical to the exact miner (so the oracle is
+    the same exact-mining SQL — the ``knn_ivf`` full-probe pattern);
+    partial-probe recall + the pruning law are pytest-pinned and
+    measured in benchmark/hard_negatives_ivf_recall.csv."""
+    import os
+
+    from ..operators.similarity import (
+        hard_negatives_ivf,
+        ivf_write_index,
+        read_centroid_matrix,
+    )
+
+    path = _ivf_index_path(sf_dir)
+    if not os.path.exists(f"{path}/centroids/_SUCCESS"):
+        ivf_write_index(
+            load_table(spark, sf_dir, "embeddings"), path, n_clusters=IVF_CLUSTERS
+        )
+    return hard_negatives_ivf(
+        load_table(spark, sf_dir, "embeddings"),
+        k=KNN_HARD_K,
+        query_mod=KNN_QUERY_MOD,
+        n_probe=IVF_CLUSTERS,
+        centroids=read_centroid_matrix(spark, path),
+    )
+
+
 def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-canonical exact dedup: the digest key is
     nfc_lower(clean_text(text)) — NFC composition + lowercase over the
@@ -2827,6 +2860,12 @@ QUERIES["knn_hard_negatives"] = QueryDef(
     knn_hard_negatives,
     _knn_hard_negatives_sql(),
     "contrastive hard negatives: per-query top-5 cross-label neighbors",
+    "training-data",
+)
+QUERIES["knn_hard_negatives_ivf"] = QueryDef(
+    knn_hard_negatives_ivf,
+    _knn_hard_negatives_sql(),
+    "IVF-pruned hard-negative mining at full probe: provably identical to the exact miner",
     "training-data",
 )
 QUERIES["dedup_normalized"] = QueryDef(
@@ -9243,6 +9282,7 @@ _ROUND_NEW: tuple[str, ...] = (
     "q_part_growth",
     "docs_perplexity_eval",
     "dedup_simhash_lsh_capped",
+    "knn_hard_negatives_ivf",
 )
 
 

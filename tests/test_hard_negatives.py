@@ -75,3 +75,63 @@ def test_plan_scores_in_arrow_and_keys_the_window(spark):
 
     frags = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
     assert frags and all("query_id" in f for f in frags)
+
+
+def test_ivf_full_probe_identical_to_exact(spark):
+    """n_probe == n_clusters scores every (row, query) pair under the
+    same selection rule, so the IVF miner is row-identical to the
+    exact one — the identity the registry certifies."""
+    from confidential_storm_spark.operators.similarity import hard_negatives_ivf
+
+    rows, df = _fixture(spark, n=120)
+    exact = [tuple(r) for r in hard_negatives(df, k=4, query_mod=10).collect()]
+    ivf = [
+        tuple(r)
+        for r in hard_negatives_ivf(
+            df, k=4, query_mod=10, n_clusters=6, n_probe=6
+        ).collect()
+    ]
+    assert ivf == exact == _ref(rows, 4, 10)
+
+
+def test_ivf_partial_probe_recall_and_pruning(spark):
+    """At n_probe < n_clusters the miner still returns well-formed
+    top-k with useful recall, and with caller-provided centroids the
+    per-query candidate universe shrinks to the probed clusters only
+    (the pruning that makes it the 100 TB path)."""
+    from confidential_storm_spark.operators.similarity import (
+        assign_to_centroids,
+        hard_negatives_ivf,
+    )
+
+    rows, df = _fixture(spark, n=240, dim=8, seed=11)
+    k, mod, n_clusters, n_probe = 4, 12, 8, 3
+    rng = np.random.default_rng(0)
+    cents = rng.normal(size=(n_clusters, 8))
+
+    exact = {}
+    for qid, nid, c, r in _ref(rows, k, mod):
+        exact.setdefault(qid, set()).add(nid)
+    got = {}
+    out = hard_negatives_ivf(
+        df, k=k, query_mod=mod, n_probe=n_probe, centroids=cents
+    ).collect()
+    for r in out:
+        got.setdefault(r.query_id, set()).add(r.neg_id)
+
+    # every emitted negative lies in a probed cluster (pruning is real)
+    assigned = {
+        r.vec_id: r._cluster
+        for r in assign_to_centroids(df, cents).select("vec_id", "_cluster").collect()
+    }
+    cn = np.linalg.norm(cents, axis=1)
+    for qid, negs in got.items():
+        qv = np.array(dict((i, v) for i, v, _ in rows)[qid])
+        sims = (cents @ qv) / (cn * np.linalg.norm(qv))
+        probed = set(np.argsort(-sims, kind="stable")[:n_probe].tolist())
+        assert {assigned[n] for n in negs} <= probed
+
+    # aggregate recall vs exact is meaningfully high at 3/8 probes
+    hits = sum(len(got.get(q, set()) & s) for q, s in exact.items())
+    total = sum(len(s) for s in exact.values())
+    assert hits / total >= 0.35, hits / total

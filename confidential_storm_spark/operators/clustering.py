@@ -191,20 +191,37 @@ def kmeans_sql(
     )
 
 
+# the scale default for semantic dedup: clusters sized so the
+# within-cluster exact pair stage stays LINEAR in the corpus
+# (k = N / TARGET ⇒ per-cluster work TARGET² · N/TARGET ∝ N); the
+# sf10 table measured what ignoring this dial costs (133x on 10x
+# data at fixed k)
+SEMANTIC_TARGET_CLUSTER = 2_000
+
+
 def semantic_neardup_pairs(
     df: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 4,
     threshold: float = 0.85,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_cluster_size: int | None = 20_000,
+    target_cluster_size: int = SEMANTIC_TARGET_CLUSTER,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al.
     2023): k-means the embeddings, then compare vectors ONLY within
     their cluster — the classic blocking trick that turns O(N^2)
     cosine dedup into k * O((N/k)^2), with the cluster structure
     reusable for curation.
+
+    ``k=None`` (the DEFAULT) applies the scale law in code:
+    ``k = clamp(ceil(N / target_cluster_size), 2, ...)`` — cluster
+    population stays ~constant as the corpus grows, so the pair stage
+    is linear at any scale (the dial the sf10 table showed costs 133x
+    when fixed).  Passing an explicit ``k`` pins the fixed-k form the
+    registry oracle certifies (the DuckDB twin unrolls exactly k
+    seeded Lloyd's iterations, so it cannot depend on a data count).
 
     Within-cluster comparison is one Arrow batch per cluster (numpy
     normalize + matmul).  ``max_cluster_size`` is the scale guard: a
@@ -214,6 +231,10 @@ def semantic_neardup_pairs(
     dedup operators' bucket caps.  Cross-cluster near-dups at the
     Voronoi boundary are missed by design (the SemDeDup trade).
     """
+    if k is None:
+        import math
+
+        k = max(2, math.ceil(df.count() / max(target_cluster_size, 1)))
     cids, C = kmeans_fit(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
     assigned = kmeans_assign(df, cids, C, vec_col=vec_col).select(
         id_col, "cluster", vec_col

@@ -31,6 +31,8 @@ from ..functions.text import FP_PRIME, words, words_sql
 
 __all__ = [
     "exact_dedup",
+    "lsh_scale_dials",
+    "lsh_keyed",
     "shingles",
     "minhash_signature",
     "minhash_lsh_pairs",
@@ -966,6 +968,70 @@ def lsh_bit_positions(
     ]
 
 
+def lsh_scale_dials(
+    n_items: int,
+    max_hamming: int = 7,
+    target_recall: float = 0.99,
+    target_bucket: int = 4,
+) -> tuple[int, int]:
+    """The bit-sampling bucket dial's SCALE LAW, as code (not a
+    docstring note): key width k grows with log2(N) so the expected
+    bucket size ``N / 2^k`` stays <= ``target_bucket`` (candidate
+    volume stays linear), and the table count L is solved from the
+    recall law ``1 - (1 - p^k)^L >= target_recall`` at
+    ``p = (64 - max_hamming) / 64``.  Returns (bits_per_table,
+    tables); k floors at 16 (the certified small-SF dial) and L caps
+    at 64 (beyond that, widen max_hamming tolerance instead)."""
+    import math
+
+    k = max(16, math.ceil(math.log2(max(n_items, 2) / max(target_bucket, 1))))
+    k = min(k, 48)
+    p = (64.0 - max_hamming) / 64.0
+    hit = p**k
+    tables = (
+        64
+        if hit <= 0.0
+        else math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - hit))
+    )
+    return k, max(1, min(tables, 64))
+
+
+def lsh_keyed(
+    sigs: DataFrame,
+    bits_per_table: int,
+    tables: int,
+    seed: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(_id, *extra_cols, tbl, kv): every row exploded into its L
+    bit-sample table keys — the shared keying stage of
+    :func:`hamming_lsh_pairs` and the frame-keyed video variant
+    (extra_cols carries the frame index so candidates only meet at
+    their own frame)."""
+    positions = lsh_bit_positions(bits_per_table, tables, seed)
+
+    def table_key(ps: list[int]) -> Column:
+        acc = F.lit(0).cast("long")
+        for j, p in enumerate(ps):
+            acc = acc.bitwiseOR(
+                F.shiftleft(F.shiftright(F.col("sig"), p).bitwiseAND(F.lit(1)), j)
+            )
+        return acc
+
+    return sigs.select(
+        "_id",
+        *extra_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), table_key(ps).alias("kv"))
+                    for t, ps in enumerate(positions)
+                ]
+            )
+        ).alias("tk"),
+    ).select("_id", *extra_cols, "tk.tbl", "tk.kv")
+
+
 def hamming_lsh_pairs(
     sigs: DataFrame,
     max_hamming: int = 7,
@@ -996,28 +1062,8 @@ def hamming_lsh_pairs(
     (e.g. constant-region fingerprints); with a healthy key space it
     should almost never bind — keep it well above the expected bucket
     size so it only clips pathologies."""
-    positions = lsh_bit_positions(bits_per_table, tables, seed)
     sigs = sigs.localCheckpoint(eager=False)  # key build + verify reuse it
-
-    def table_key(ps: list[int]) -> Column:
-        acc = F.lit(0).cast("long")
-        for j, p in enumerate(ps):
-            acc = acc.bitwiseOR(
-                F.shiftleft(F.shiftright(F.col("sig"), p).bitwiseAND(F.lit(1)), j)
-            )
-        return acc
-
-    keyed = sigs.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("tbl"), table_key(ps).alias("kv"))
-                    for t, ps in enumerate(positions)
-                ]
-            )
-        ).alias("tk"),
-    ).select("_id", "tk.tbl", "tk.kv")
+    keyed = lsh_keyed(sigs, bits_per_table, tables, seed)
     if max_bucket_size is not None:
         from pyspark.sql import Window
 

@@ -279,6 +279,58 @@ def audio_energy_hashes(
     return media.select(id_col, payload_col).mapInPandas(run, schema="_id long, sig long")
 
 
+# Above this corpus size the banded join's FIXED bucket space
+# (bands * 2^(64/bands) buckets: 2048 at bands=8) goes quadratic —
+# measured: 19 s at 55k items, heap-death at 550k (PLANS r7) — so
+# "auto" switches to bit-sampling Hamming LSH, whose key width grows
+# with log2(N) (dedup.lsh_scale_dials).  The threshold sits well
+# under the measured wall.
+BANDED_MAX_ITEMS = 100_000
+
+
+def _hamming_pairs_auto(
+    sigs: DataFrame,
+    method: str,
+    max_hamming: int,
+    bands: int,
+    max_bucket_size: int | None,
+    target_recall: float,
+) -> DataFrame:
+    """Shared scale-default dispatch for the flat (non-frame-keyed)
+    media dedups: 'banded' = exact pigeonhole recall (the certified
+    small-SF plan), 'lsh' = bit-sampling tables with
+    :func:`dedup.lsh_scale_dials` picking (k, L) from the corpus
+    count, 'auto' = banded up to BANDED_MAX_ITEMS, LSH beyond — so
+    the DEFAULT survives 100 TB instead of hitting the banded bucket
+    law.  The count that drives 'auto'/'lsh' materializes the sig
+    localCheckpoint both join strategies reuse, so it adds no extra
+    decode pass."""
+    from .dedup import hamming_banded_pairs, hamming_lsh_pairs, lsh_scale_dials
+
+    if method not in ("auto", "banded", "lsh"):
+        raise ValueError(f"method must be auto|banded|lsh, got {method!r}")
+    if method == "banded":
+        return hamming_banded_pairs(
+            sigs,
+            max_bucket_size=max_bucket_size,
+            max_hamming=max_hamming,
+            bands=bands,
+        )
+    sigs = sigs.localCheckpoint(eager=False)
+    n = sigs.count()
+    if method == "auto" and n <= BANDED_MAX_ITEMS:
+        return hamming_banded_pairs(
+            sigs,
+            max_bucket_size=max_bucket_size,
+            max_hamming=max_hamming,
+            bands=bands,
+        )
+    k, tables = lsh_scale_dials(n, max_hamming, target_recall)
+    return hamming_lsh_pairs(
+        sigs, max_hamming=max_hamming, bits_per_table=k, tables=tables
+    )
+
+
 def image_blockmean_neardup(
     media: DataFrame,
     payload_col: str = "payload",
@@ -286,18 +338,20 @@ def image_blockmean_neardup(
     max_hamming: int = 7,
     bands: int = 8,
     max_bucket_size: int | None = None,
+    method: str = "auto",
+    target_recall: float = 0.99,
 ) -> DataFrame:
     """Image near-dup pairs (id_a, id_b, hamming) over block-mean
-    hashes via the shared banded-Hamming join — guaranteed recall at
-    max_hamming <= bands-1 (partial when max_bucket_size caps hot
-    buckets; see dedup.hamming_banded_pairs)."""
-    from .dedup import hamming_banded_pairs
-
-    return hamming_banded_pairs(
+    hashes.  ``method='auto'`` (the default) uses the exact banded
+    join up to BANDED_MAX_ITEMS and the scale-dialed bit-sampling LSH
+    beyond — see :func:`_hamming_pairs_auto`."""
+    return _hamming_pairs_auto(
         image_blockmean_hashes(media, payload_col, id_col),
-        max_bucket_size=max_bucket_size,
-        max_hamming=max_hamming,
-        bands=bands,
+        method,
+        max_hamming,
+        bands,
+        max_bucket_size,
+        target_recall,
     )
 
 
@@ -308,17 +362,19 @@ def audio_energy_neardup(
     max_hamming: int = 7,
     bands: int = 8,
     max_bucket_size: int | None = None,
+    method: str = "auto",
+    target_recall: float = 0.99,
 ) -> DataFrame:
     """Audio near-dup pairs (id_a, id_b, hamming) over energy-contour
-    fingerprints via the shared banded-Hamming join (partial recall
-    when max_bucket_size caps hot buckets)."""
-    from .dedup import hamming_banded_pairs
-
-    return hamming_banded_pairs(
+    fingerprints, with the same banded->LSH scale default as the image
+    dedup (:func:`_hamming_pairs_auto`)."""
+    return _hamming_pairs_auto(
         audio_energy_hashes(media, payload_col, id_col),
-        max_bucket_size=max_bucket_size,
-        max_hamming=max_hamming,
-        bands=bands,
+        method,
+        max_hamming,
+        bands,
+        max_bucket_size,
+        target_recall,
     )
 
 
@@ -330,13 +386,24 @@ def video_blockmean_neardup(
     max_hamming: int = 7,
     bands: int = 8,
     min_matching_frames: int = 2,
+    method: str = "auto",
+    target_recall: float = 0.99,
 ) -> DataFrame:
     """Video near-dup pairs by frame voting (the video_neardup_pairs
     plan shape, multimodal.py:1136) over INTEGER block-mean frame
     hashes: sample n frames (real y4m Y-planes -> PGM), hash each,
-    band-join keyed by (frame_idx, band, band_val) so frames only
-    meet candidates at their own index, verify exact Hamming, vote.
-    Returns (id_a, id_b, n_matching)."""
+    join keyed by frame index so frames only meet candidates at their
+    own index, verify exact Hamming, vote.  ``method`` follows the
+    same banded->LSH scale default as the flat media dedups: 'banded'
+    keys (frame_idx, band, band_val) with the pigeonhole guarantee;
+    'lsh' keys (frame_idx, tbl, kv) with
+    :func:`dedup.lsh_scale_dials` sizing (k, L) from the per-frame
+    item count; 'auto' switches at BANDED_MAX_ITEMS.  Returns
+    (id_a, id_b, n_matching)."""
+    from .dedup import lsh_keyed, lsh_scale_dials
+
+    if method not in ("auto", "banded", "lsh"):
+        raise ValueError(f"method must be auto|banded|lsh, got {method!r}")
     frames = sample_video_frames(
         media, payload_col=payload_col, id_col=id_col, n_frames=n_frames
     ).filter(F.col("decoded_ok"))
@@ -353,6 +420,59 @@ def video_blockmean_neardup(
     sigs = frames.mapInPandas(
         hash_frames, schema="_id long, _fi int, sig long"
     ).localCheckpoint(eager=False)
+
+    if method == "auto":
+        # per-frame universe is what the frame-keyed join buckets
+        method = (
+            "banded"
+            if sigs.count() <= BANDED_MAX_ITEMS * n_frames
+            else "lsh"
+        )
+    if method == "lsh":
+        k, tables = lsh_scale_dials(
+            max(sigs.count() // max(n_frames, 1), 2), max_hamming, target_recall
+        )
+        keyed = lsh_keyed(sigs, k, tables, seed=42, extra_cols=("_fi",))
+        cand = (
+            keyed.alias("l")
+            .join(
+                keyed.alias("r"),
+                (F.col("l._fi") == F.col("r._fi"))
+                & (F.col("l.tbl") == F.col("r.tbl"))
+                & (F.col("l.kv") == F.col("r.kv"))
+                & (F.col("l._id") < F.col("r._id")),
+            )
+            .select(
+                F.col("l._id").alias("id_a"),
+                F.col("r._id").alias("id_b"),
+                F.col("l._fi").alias("_fi"),
+            )
+            .distinct()
+        )
+        fr_sigs = sigs.select("_id", "_fi", "sig")
+        verified = (
+            cand.join(
+                fr_sigs.withColumnRenamed("_id", "id_a").withColumnRenamed(
+                    "sig", "sig_a"
+                ),
+                ["id_a", "_fi"],
+            )
+            .join(
+                fr_sigs.withColumnRenamed("_id", "id_b").withColumnRenamed(
+                    "sig", "sig_b"
+                ),
+                ["id_b", "_fi"],
+            )
+            .filter(
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+                <= max_hamming
+            )
+        )
+        return (
+            verified.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_matching"))
+            .filter(F.col("n_matching") >= min_matching_frames)
+        )
 
     bits_per_band = 64 // bands
     mask = (1 << bits_per_band) - 1

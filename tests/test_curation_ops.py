@@ -386,3 +386,30 @@ def test_random_projection_preserves_distances(spark, sf_dir):
     R = projection_matrix(64, 16)
     a = ids[0]
     np.testing.assert_allclose(proj[a], orig[a] @ R, rtol=1e-12)
+
+
+def test_semantic_neardup_default_k_scale_law(spark):
+    """k=None applies k = clamp(ceil(N / target_cluster_size), 2, ..)
+    — the linear-pair-stage scale default; identical to the explicit
+    fixed-k call at the implied k."""
+    import math
+
+    from confidential_storm_spark.operators.clustering import (
+        semantic_neardup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    target = 100
+    implied_k = max(2, math.ceil(n / target))
+    auto = {
+        (r.id_a, r.id_b)
+        for r in semantic_neardup_pairs(
+            emb, threshold=0.4, target_cluster_size=target
+        ).collect()
+    }
+    fixed = {
+        (r.id_a, r.id_b)
+        for r in semantic_neardup_pairs(emb, k=implied_k, threshold=0.4).collect()
+    }
+    assert auto == fixed

@@ -105,3 +105,44 @@ def test_banded_join_guarantee_raises_beyond_pigeonhole(spark):
         hamming_banded_pairs(sigs, max_hamming=4, bands=4)
     # approximate=True is the explicit opt-out
     hamming_banded_pairs(sigs, max_hamming=4, bands=4, approximate=True).collect()
+
+
+def test_neardup_method_lsh_matches_banded_small_corpus(spark):
+    """At small N the LSH path (scale dials floor: k=16, L=28 at
+    r=7/recall 0.99) finds the same verified pairs as the exact banded
+    join on this corpus, and 'auto' still resolves to banded below
+    BANDED_MAX_ITEMS — the scale default changes nothing certified."""
+    from confidential_storm_spark.operators.mediahash import (
+        image_blockmean_neardup,
+        media_corpus,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = media_corpus(docs, "image")
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in image_blockmean_neardup(media, method="banded").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in image_blockmean_neardup(media, method="lsh").collect()
+    }
+    auto = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in image_blockmean_neardup(media).collect()
+    }
+    assert auto == banded and len(banded) > 0
+    assert lsh == banded  # recall law holds on this corpus
+
+
+def test_lsh_scale_dials_law():
+    from confidential_storm_spark.operators.dedup import lsh_scale_dials
+
+    # small corpus floors at the certified dial
+    assert lsh_scale_dials(600, max_hamming=7) == (16, 28)
+    # 10x corpus: key width grows ~log2, tables follow the recall law
+    k1, t1 = lsh_scale_dials(500_000, max_hamming=7)
+    k2, t2 = lsh_scale_dials(5_000_000, max_hamming=7)
+    assert k2 > k1 >= 16 and t2 >= t1
+    # expected bucket size stays bounded
+    assert 500_000 / 2**k1 <= 4 and 5_000_000 / 2**k2 <= 4

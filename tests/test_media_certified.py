@@ -184,3 +184,21 @@ def test_spark_video_vote_semantics(spark, sf_dir):
     expect_pairs = {(d, d + mh.PERT_OFFSET) for d in ids if d % mh.PERT_EVERY == 0}
     assert {(a, b) for a, b, _n in got} == expect_pairs
     assert all(n >= 2 for _a, _b, n in got)
+
+
+def test_video_neardup_lsh_matches_banded_small_corpus(spark):
+    """The frame-keyed LSH path (scale-dial floor) votes the same
+    near-dup pairs as the banded join at small N."""
+    from confidential_storm_spark.operators import mediahash as mh
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = mh.media_corpus(docs, "video")
+    banded = {
+        (r.id_a, r.id_b, r.n_matching)
+        for r in mh.video_blockmean_neardup(media, method="banded").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.n_matching)
+        for r in mh.video_blockmean_neardup(media, method="lsh").collect()
+    }
+    assert lsh == banded and len(banded) > 0

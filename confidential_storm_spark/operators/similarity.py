@@ -459,13 +459,21 @@ def hard_negatives(
     single Arrow-batched ``mapInPandas`` that matmuls each batch
     against it (BLAS — measured 20x over the per-element Catalyst
     fold this replaced: sf10 mining was 614 s interpreted) and emits
-    only each query's per-batch top-(k + margin) candidates, ties at
-    the cut included, under the SAME rounded-cosine total order the
-    final ranking uses — a partial top-k under a total order with
-    boundary ties kept provably contains the global top-k.  Final
+    only each query's per-batch top-(k + margin) candidates with one
+    1e-6 grid step of slack below the cut (numpy's rounding and
+    Spark's F.round can disagree by one step on boundary doubles, so
+    the selection keeps a strict superset of every row the final
+    rounded order could rank top-k).  Final
     rounding (``F.round``, 1e-6) and the per-query ranking window
     stay declarative, so the certified (cosine DESC, id ASC) order is
     byte-identical to the previous expression implementation.
+
+    EAGER at construction: the query-sample collect (and its
+    broadcast, which lives until the session drops it) runs before
+    the returned plan exists — plan-only callers pay that scan.
+    Zero-norm vectors get norm 1.0 (cosine 0, rankable, never NaN;
+    NaN cosines are dropped by the isfinite selection) — pinned by
+    tests/test_hard_negatives.py.
 
     Returns (query_id, neg_id, cosine, rank), rank 1..k.
     """
@@ -510,7 +518,12 @@ def hard_negatives(
             for j in range(r.shape[1]):
                 col = r[:, j]
                 thresh = np.partition(col, -kk)[-kk]
-                sel = np.flatnonzero((col >= thresh) & np.isfinite(col))
+                # one 1e-6 step of slack below the numpy-rounded threshold:
+                # numpy's floor(|x|*1e6+0.5) and Spark's F.round (BigDecimal
+                # HALF_UP on the decimal repr) can disagree by one grid step
+                # on boundary doubles, so top-k containment must not assume
+                # the two total orders agree exactly
+                sel = np.flatnonzero((col >= thresh - 1e-6) & np.isfinite(col))
                 out_q.append(np.full(len(sel), b_qids[j], dtype=np.int64))
                 out_id.append(ids[sel])
                 out_c.append(sims[sel, j])
@@ -578,7 +591,11 @@ def hard_negatives_ivf(
 
     Note: like :func:`hard_negatives` this is EAGER at construction —
     the query sample (and the k-means fit when ``centroids`` is None)
-    runs before the returned plan exists.  Returns (query_id, neg_id,
+    runs before the returned plan exists, and the query broadcast
+    lives until the session drops it (it is consumed lazily, so it
+    cannot be unpersisted here).  Zero-norm vectors get their norm
+    substituted to 1.0 (cosine 0, rankable, never NaN) — pinned by
+    tests/test_hard_negatives.py.  Returns (query_id, neg_id,
     cosine, rank), rank 1..k."""
     import pandas as pd
 
@@ -648,7 +665,12 @@ def hard_negatives_ivf(
                 for jj, j in enumerate(qidx):
                     col = r[:, jj]
                     thresh = np.partition(col, -kk)[-kk]
-                    sel = np.flatnonzero((col >= thresh) & np.isfinite(col))
+                    # one 1e-6 step of slack below the numpy-rounded threshold:
+                    # numpy's floor(|x|*1e6+0.5) and Spark's F.round (BigDecimal
+                    # HALF_UP on the decimal repr) can disagree by one grid step
+                    # on boundary doubles, so top-k containment must not assume
+                    # the two total orders agree exactly
+                    sel = np.flatnonzero((col >= thresh - 1e-6) & np.isfinite(col))
                     out_q.append(np.full(len(sel), b_qids[j], dtype=np.int64))
                     out_id.append(ids[sel])
                     out_c.append(sims[sel, jj])

@@ -8555,7 +8555,16 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned exactly once; at d=64 a partial is 2,080 rows regardless
     of corpus size, so the plan is scan-bound at any SF.  The d×d
     result is driver-sized: eigendecomposition happens off-plan
-    (numpy ``eigh``), exactly like MLlib's RowMatrix design."""
+    (numpy ``eigh``), exactly like MLlib's RowMatrix design.
+
+    Numerical note: cov = E[xy] - E[x]E[y] is cancellation-prone when
+    |mean| >> stddev, while the DuckDB twin's ``covar_pop`` is the
+    stable centered form — the two could straddle the 1e-6 rounding
+    grid on far-from-zero-mean data.  Embedding distributions are
+    near-zero-mean by construction (unit-norm-ish random directions:
+    |E[x]| = O(1/sqrt(N·d))), which bounds the cancellation to ~1e-10
+    here; a far-shifted corpus should pre-center (subtract a
+    first-pass mean) before this operator."""
     emb = load_table(spark, sf_dir, "embeddings")
 
     def part(batches):
@@ -9006,7 +9015,8 @@ def q_part_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     per month.
 
     Scale shape: lineitem × part is the canonical fact-dim broadcast
-    join (part is |brands|-bounded after projection); revenue reduces
+    join (the broadcast side is |parts| rows but only two narrow
+    columns — partkey and brand — after projection); revenue reduces
     to |brands|·|months| rows BEFORE the lag/rank windows, so window
     work is constant-size at any SF."""
     li = load_table(spark, sf_dir, "lineitem")

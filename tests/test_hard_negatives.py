@@ -135,3 +135,22 @@ def test_ivf_partial_probe_recall_and_pruning(spark):
     hits = sum(len(got.get(q, set()) & s) for q, s in exact.items())
     total = sum(len(s) for s in exact.values())
     assert hits / total >= 0.35, hits / total
+
+
+def test_zero_norm_vectors_rank_last_never_nan(spark):
+    """Degenerate (all-zero) corpus vectors score cosine 0 against
+    every query — rankable, never NaN, never rank-1 ahead of real
+    neighbors (the pre-round-9 expression form ranked NaN first)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),   # query (id % 10 == 0)
+        (1, [1.0, 0.1, 0.0, 0.0], 1),   # strong cross-label neighbor
+        (2, [0.0, 0.0, 0.0, 0.0], 1),   # zero-norm cross-label row
+        (3, [-1.0, 0.0, 0.0, 0.0], 1),  # negative-cosine row
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = hard_negatives(df, k=3, query_mod=10).collect()
+    by_rank = {r.rank: (r.neg_id, r.cosine) for r in got}
+    assert by_rank[1][0] == 1
+    assert by_rank[2] == (2, 0.0)       # zero-norm: cosine exactly 0
+    assert by_rank[3][0] == 3 and by_rank[3][1] < 0
+    assert all(r.cosine == r.cosine for r in got)  # no NaN anywhere

@@ -978,6 +978,132 @@ def sq8_recall_eval(
     )
 
 
+def matryoshka_recall_eval(
+    df: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32),
+    n_queries: int = 8,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka-truncation evaluation: recall@k of PREFIX-truncated
+    cosine (dims[i] leading coordinates of corpus AND query) against
+    the full-dimension exact scan — the audit a pipeline runs before
+    serving MRL-style truncated embeddings (Kusupati et al. 2022),
+    where shipping the 8- or 16-dim prefix cuts index bytes 8-4x IF
+    recall holds.  Same harness shape as :func:`sq8_recall_eval`: the
+    query batch broadcasts, ONE corpus pass scores every (dim, query)
+    pair (exploded variants), one WindowGroupLimit ranks all rungs
+    under the shared total order (rounded cosine DESC, id ASC).
+    Returns (method, query_id, n_hits, recall_at_k)."""
+    q = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    corpus = df.select(id_col, vec_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    variants = [
+        F.struct(
+            F.lit("exact").alias("method"),
+            F.round(_fold_cosine(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
+        )
+    ]
+    for d in dims:
+        variants.append(
+            F.struct(
+                F.lit(f"d{d}").alias("method"),
+                F.round(
+                    _fold_cosine(
+                        F.slice(F.col(vec_col), 1, d), F.slice(F.col("_qv"), 1, d)
+                    ),
+                    6,
+                ).alias("cosine"),
+            )
+        )
+    scored = (
+        corpus.join(F.broadcast(q))
+        .select("query_id", F.col(id_col), F.explode(F.array(*variants)).alias("_mc"))
+        .select(
+            "query_id",
+            id_col,
+            F.col("_mc.method").alias("method"),
+            F.col("_mc.cosine").alias("cosine"),
+        )
+    )
+    top = (
+        grouped_topk(scored, ["method", "query_id"], "cosine", id_col, k)
+        .select("method", "query_id", id_col)
+        .localCheckpoint(eager=True)
+    )
+    exact = top.where(F.col("method") == "exact").select("query_id", id_col)
+    approx = top.where(F.col("method") != "exact")
+    hits = (
+        exact.join(approx, ["query_id", id_col])
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    ks = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("_k"))
+    methods = approx.select("method").distinct()
+    return (
+        methods.crossJoin(ks)
+        .join(hits, ["method", "query_id"], "left")
+        .select(
+            "method",
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("_k"), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("method", "query_id")
+    )
+
+
+def matryoshka_recall_eval_sql(
+    dims: tuple[int, ...] = (8, 16, 32),
+    n_queries: int = 8,
+    k: int = 10,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`matryoshka_recall_eval`."""
+    methods_values = ", ".join(f"('d{d}', {d})" for d in dims)
+    return f"""
+WITH pts AS (SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+             FROM {table}),
+q AS (SELECT {id_col} AS query_id, v AS qv FROM pts WHERE {id_col} < {n_queries}),
+exact AS (
+  SELECT query_id, {id_col} FROM (
+    SELECT q.query_id, p.{id_col},
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+               ORDER BY ROUND(list_cosine_similarity(p.v, q.qv), 6) DESC, p.{id_col})
+               AS rn
+    FROM pts p CROSS JOIN q
+  ) WHERE rn <= {k}
+),
+approx AS (
+  SELECT method, query_id, {id_col} FROM (
+    SELECT m.method, q.query_id, p.{id_col},
+           ROW_NUMBER() OVER (PARTITION BY m.method, q.query_id
+               ORDER BY ROUND(list_cosine_similarity(
+                   list_slice(p.v, 1, m.d), list_slice(q.qv, 1, m.d)), 6) DESC,
+               p.{id_col}) AS rn
+    FROM pts p CROSS JOIN q CROSS JOIN (VALUES {methods_values}) m(method, d)
+  ) WHERE rn <= {k}
+),
+hits AS (SELECT method, query_id, COUNT(*) AS n_hits
+         FROM exact JOIN approx USING (query_id, {id_col}) GROUP BY method, query_id),
+ks AS (SELECT query_id, COUNT(*) AS kk FROM exact GROUP BY query_id),
+methods AS (SELECT DISTINCT method FROM approx)
+SELECT methods.method, ks.query_id,
+       COALESCE(hits.n_hits, 0) AS n_hits,
+       ROUND(COALESCE(hits.n_hits, 0) / ks.kk, 4) AS recall_at_k
+FROM methods CROSS JOIN ks LEFT JOIN hits USING (method, query_id)
+ORDER BY methods.method, ks.query_id
+"""
+
+
 def sq8_recall_eval_sql(
     n_queries: int = 8,
     k: int = 10,

@@ -9206,6 +9206,435 @@ QUERIES["docs_perplexity_eval"] = QueryDef(
 )
 
 
+# ---------------------------------------------------------------------------
+# Round-10 wave: curation rules, keyness, matryoshka eval, winnowing
+# pairs, eval-set allocation, packing economics
+# ---------------------------------------------------------------------------
+
+_GOPHER_MIN_WORDS = 30
+_GOPHER_STOP_PCT = 3     # stopword share >= 3% of words
+_GOPHER_MAXWORD_X = 5    # top word <= 1/5 of all words
+
+
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality rule audit per source (Rae et
+    al. 2021 adapted to this corpus): per doc, (1) word count >=
+    {min_w}, (2) mean word length in [3, 8], (3) stopword share >=
+    {stop}%, (4) most-frequent word <= 1/{mw} of tokens — the
+    boilerplate-repetition rule.  Every threshold compares EXACT
+    INTEGERS (sum_len >= 3*n_words, 100*n_stop >= {stop}*n_words, ...)
+    so no rounded double ever sits on a rule boundary cross-engine.
+
+    Scale shape: one explode + (doc_id, word) count (map-side
+    combinable), one per-doc rollup, one per-source rollup — all
+    key-partitioned; nothing driver-side."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = docs.select(
+        "doc_id", "source", F.explode(words(F.col("text"))).alias("word")
+    )
+    per_word = w.groupBy("doc_id", "source", "word").agg(
+        F.count(F.lit(1)).alias("wc")
+    )
+    stop_arr = F.array(*[F.lit(x) for x in STOPWORDS])
+    per_doc = per_word.groupBy("doc_id", "source").agg(
+        F.sum("wc").alias("n_words"),
+        F.sum(F.length("word") * F.col("wc")).alias("sum_len"),
+        F.sum(
+            F.when(F.array_contains(stop_arr, F.col("word")), F.col("wc")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_stop"),
+        F.max("wc").alias("max_wc"),
+    )
+    flags = per_doc.select(
+        "source",
+        (F.col("n_words") >= _GOPHER_MIN_WORDS).cast("int").alias("p1"),
+        (
+            (F.col("sum_len") >= 3 * F.col("n_words"))
+            & (F.col("sum_len") <= 8 * F.col("n_words"))
+        ).cast("int").alias("p2"),
+        (F.lit(100) * F.col("n_stop") >= _GOPHER_STOP_PCT * F.col("n_words"))
+        .cast("int")
+        .alias("p3"),
+        (F.lit(_GOPHER_MAXWORD_X) * F.col("max_wc") <= F.col("n_words"))
+        .cast("int")
+        .alias("p4"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("p1").alias("pass_wordcount"),
+            F.sum("p2").alias("pass_wordlen"),
+            F.sum("p3").alias("pass_stopword"),
+            F.sum("p4").alias("pass_maxword"),
+            F.sum(F.col("p1") * F.col("p2") * F.col("p3") * F.col("p4")).alias(
+                "pass_all"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+docs_gopher_rules.__doc__ = docs_gopher_rules.__doc__.format(
+    min_w=_GOPHER_MIN_WORDS, stop=_GOPHER_STOP_PCT, mw=_GOPHER_MAXWORD_X
+)
+
+
+def _gopher_rules_sql() -> str:
+    stop_list = ", ".join(f"'{x}'" for x in STOPWORDS)
+    return f"""
+WITH w AS (
+  SELECT doc_id, source, unnest({words_sql("text")}) AS word FROM documents
+),
+pw AS (
+  SELECT doc_id, source, word, COUNT(*) AS wc FROM w GROUP BY 1, 2, 3
+),
+pd AS (
+  SELECT doc_id, source,
+         SUM(wc) AS n_words,
+         SUM(len(word) * wc) AS sum_len,
+         SUM(CASE WHEN word IN ({stop_list}) THEN wc ELSE 0 END) AS n_stop,
+         MAX(wc) AS max_wc
+  FROM pw GROUP BY 1, 2
+),
+fl AS (
+  SELECT source,
+         CASE WHEN n_words >= {_GOPHER_MIN_WORDS} THEN 1 ELSE 0 END AS p1,
+         CASE WHEN sum_len >= 3 * n_words AND sum_len <= 8 * n_words THEN 1 ELSE 0 END AS p2,
+         CASE WHEN 100 * n_stop >= {_GOPHER_STOP_PCT} * n_words THEN 1 ELSE 0 END AS p3,
+         CASE WHEN {_GOPHER_MAXWORD_X} * max_wc <= n_words THEN 1 ELSE 0 END AS p4
+  FROM pd
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(p1) AS BIGINT) AS pass_wordcount,
+       CAST(SUM(p2) AS BIGINT) AS pass_wordlen,
+       CAST(SUM(p3) AS BIGINT) AS pass_stopword,
+       CAST(SUM(p4) AS BIGINT) AS pass_maxword,
+       CAST(SUM(p1 * p2 * p3 * p4) AS BIGINT) AS pass_all
+FROM fl GROUP BY source ORDER BY source
+"""
+
+
+def text_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-odds-ratio keyness (Monroe et al. 2008, add-0.5 smoothing)
+    of every word between the English and non-English partitions of
+    the corpus — the "which terms characterize this slice" question a
+    curation review asks of any source/language/quality split.
+    Counts are exact integers; the log-odds double is computed from
+    identical integer inputs on both engines and rounded at 1e-6.
+
+    Scale shape: explode -> one (word) groupBy with conditional sums
+    (map-side combinable) -> two scalar totals broadcast back — one
+    corpus pass, one tiny crossJoin, no skew (the word key space is
+    the vocabulary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        F.explode(words(F.col("text"))).alias("word"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    counts = w.groupBy("word").agg(
+        F.sum("is_en").alias("n_en"),
+        F.sum(1 - F.col("is_en")).alias("n_rest"),
+    )
+    totals = counts.agg(
+        F.sum("n_en").alias("_te"), F.sum("n_rest").alias("_tr")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "word",
+            "n_en",
+            "n_rest",
+            F.round(
+                F.log((F.col("n_en") + 0.5) / (F.col("_te") - F.col("n_en") + 0.5))
+                - F.log(
+                    (F.col("n_rest") + 0.5) / (F.col("_tr") - F.col("n_rest") + 0.5)
+                ),
+                6,
+            ).alias("keyness"),
+        )
+        .orderBy(F.desc("keyness"), "word")
+    )
+
+
+_TEXT_KEYNESS_SQL = f"""
+WITH w AS (
+  SELECT unnest({words_sql("text")}) AS word,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+  FROM documents
+),
+c AS (
+  SELECT word, CAST(SUM(is_en) AS BIGINT) AS n_en,
+         CAST(SUM(1 - is_en) AS BIGINT) AS n_rest
+  FROM w GROUP BY word
+),
+t AS (SELECT SUM(n_en) AS te, SUM(n_rest) AS tr FROM c)
+SELECT word, n_en, n_rest,
+       ROUND(ln((n_en + 0.5) / (te - n_en + 0.5))
+             - ln((n_rest + 0.5) / (tr - n_rest + 0.5)), 6) AS keyness
+FROM c CROSS JOIN t
+ORDER BY keyness DESC, word
+"""
+
+
+def knn_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation recall audit: recall@k of the 8/16/32-dim
+    PREFIX cosine against the full 64-dim exact scan, per query — the
+    measurement that decides whether truncated embeddings can serve
+    (operators/similarity.py::matryoshka_recall_eval)."""
+    from ..operators.similarity import matryoshka_recall_eval
+
+    return matryoshka_recall_eval(
+        load_table(spark, sf_dir, "embeddings"), dims=(8, 16, 32), n_queries=8, k=KNN_K
+    )
+
+
+def _knn_matryoshka_sql() -> str:
+    from ..operators.similarity import matryoshka_recall_eval_sql
+
+    return matryoshka_recall_eval_sql(dims=(8, 16, 32), n_queries=8, k=KNN_K)
+
+
+_WINNOW_MIN_SHARED = 20
+_WINNOW_MAX_DF = 50
+
+
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (Schleimer et al. 2003,
+    the MOSS algorithm): docs sharing >= {m} selected k-gram
+    fingerprints — the plagiarism-detector member of the pair-dedup
+    family (minhash = resemblance, containment = subset, winnow =
+    guaranteed-window LOCAL matches; winnowing promises any shared run
+    longer than w+k-1 grams leaves at least one shared fingerprint).
+
+    Scale shape: the same inverted-index law as containment_pairs —
+    postings (fp -> doc) self-join keyed by fp, candidate volume
+    sum_fp df(fp)^2, so fingerprints posted by more than {cap} docs
+    (boilerplate) are dropped via broadcast anti-join, mirrored
+    exactly in the twin (HAVING + anti join).  Counts are integers;
+    no doubles anywhere."""
+    from ..functions.text import winnow_udf
+
+    from ..operators.dedup import _spread
+
+    docs = _spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    posts = docs.select(
+        "doc_id", F.explode(winnow_udf(F.col("text"))).alias("fp")
+    ).distinct()
+    hot = (
+        posts.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > _WINNOW_MAX_DF)
+        .select("fp")
+    )
+    posts = posts.join(F.broadcast(hot), "fp", "left_anti")
+    return (
+        posts.alias("l")
+        .join(
+            posts.alias("r"),
+            (F.col("l.fp") == F.col("r.fp"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+        .orderBy("id_a", "id_b")
+    )
+
+
+dedup_winnow_pairs.__doc__ = dedup_winnow_pairs.__doc__.format(
+    m=_WINNOW_MIN_SHARED, cap=_WINNOW_MAX_DF
+)
+
+
+def _winnow_pairs_sql() -> str:
+    from ..functions.text import winnow_from_grams_sql, winnow_grams_sql
+
+    return f"""
+WITH g AS (SELECT doc_id, {winnow_grams_sql("text")} AS grams FROM documents),
+posts AS (
+  SELECT DISTINCT doc_id, unnest({winnow_from_grams_sql("grams")}) AS fp FROM g
+),
+hot AS (SELECT fp FROM posts GROUP BY fp HAVING COUNT(*) > {_WINNOW_MAX_DF}),
+p AS (SELECT * FROM posts ANTI JOIN hot USING (fp))
+SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_shared
+FROM p l JOIN p r ON l.fp = r.fp AND l.doc_id < r.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+ORDER BY id_a, id_b
+"""
+
+
+_NEYMAN_BUDGET = 1000
+
+
+def sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal evaluation-sample allocation across sources:
+    stratum h gets budget * N_h*sigma_h / sum(N_h*sigma_h) — the
+    allocation that minimizes the variance of a stratified mean
+    estimate for a fixed labeling budget (the "which sources do we
+    hand-label" planning query of an eval pipeline).
+
+    sigma over n_chars is computed from EXACT integer sums
+    (sqrt((sum_x2 - sum_x^2/n)/n) on BIGINT inputs), so both engines
+    feed identical rationals into identical double expressions —
+    deterministic despite parallel aggregation.  One narrow scan, one
+    |sources|-row aggregate, one broadcast total."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("_sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("_sx2"),
+    )
+    sig = F.sqrt(
+        (
+            F.col("_sx2").cast("double")
+            - F.col("_sx").cast("double") * F.col("_sx") / F.col("n_docs")
+        )
+        / F.col("n_docs")
+    )
+    scored = per.select("source", "n_docs", sig.alias("_sig"))
+    tot = scored.agg(F.sum(F.col("n_docs") * F.col("_sig")).alias("_tot"))
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("_sig"), 6).alias("sigma_chars"),
+            F.round(
+                F.lit(_NEYMAN_BUDGET) * F.col("n_docs") * F.col("_sig") / F.col("_tot"),
+                4,
+            ).alias("n_alloc"),
+        )
+        .orderBy("source")
+    )
+
+
+_SAMPLE_NEYMAN_SQL = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sx,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sx2
+  FROM documents GROUP BY source
+),
+sc AS (
+  SELECT source, n_docs,
+         sqrt((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_docs) / n_docs) AS sig
+  FROM per
+),
+t AS (SELECT SUM(n_docs * sig) AS tot FROM sc)
+SELECT source, n_docs, ROUND(sig, 6) AS sigma_chars,
+       ROUND({_NEYMAN_BUDGET} * n_docs * sig / tot, 4) AS n_alloc
+FROM sc CROSS JOIN t ORDER BY source
+"""
+
+
+_PACK_BUCKETS = (16, 32, 64, 96, 128, 256)
+
+
+def pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding economics of length-bucketed batching: every doc rounds
+    up to the smallest bucket boundary >= its BPE-ish token count
+    (docs beyond the last boundary clamp into it), and the per-bucket
+    relation reports how many padding tokens that costs — the curve
+    that decides bucket boundaries for a packed-batch trainer (the
+    complement of ``pack_sequences``, which eliminates the waste by
+    concatenation).  All integers until the final ratio."""
+    from ..functions.text import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = bpe_token_count(F.col("text"))
+    bucket = F.lit(_PACK_BUCKETS[-1])
+    for b in reversed(_PACK_BUCKETS):
+        bucket = F.when(n <= b, F.lit(b)).otherwise(bucket)
+    padded = F.least(n, F.lit(_PACK_BUCKETS[-1]))
+    return (
+        docs.select(bucket.alias("bucket"), n.alias("_n"), padded.alias("_pad_n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("total_tokens"),
+            # capacity n_docs*bucket minus the clamped token mass
+            (F.count(F.lit(1)) * F.col("bucket") - F.sum("_pad_n")).alias(
+                "padding_tokens"
+            ),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            "padding_tokens",
+            F.round(
+                F.col("padding_tokens") / (F.col("n_docs") * F.col("bucket")), 6
+            ).alias("waste_share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+
+def _pack_padding_waste_sql() -> str:
+    from ..functions.text import bpe_tokens_sql
+
+    last = _PACK_BUCKETS[-1]
+    case = "CASE " + " ".join(
+        f"WHEN n <= {b} THEN {b}" for b in _PACK_BUCKETS
+    ) + f" ELSE {last} END"
+    return f"""
+WITH d AS (SELECT len({bpe_tokens_sql("text")}) AS n FROM documents),
+b AS (SELECT {case} AS bucket, n, LEAST(n, {last}) AS pad_n FROM d)
+SELECT bucket, COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) * bucket - SUM(pad_n) AS BIGINT) AS padding_tokens,
+       ROUND((COUNT(*) * bucket - SUM(pad_n)) / CAST(COUNT(*) * bucket AS DOUBLE), 6)
+           AS waste_share
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+QUERIES["docs_gopher_rules"] = QueryDef(
+    docs_gopher_rules,
+    _gopher_rules_sql(),
+    "Gopher-style quality/repetition rule audit per source, integer-exact thresholds",
+    "training-data",
+)
+QUERIES["text_keyness"] = QueryDef(
+    text_keyness,
+    _TEXT_KEYNESS_SQL,
+    "log-odds-ratio keyness of every word between the en and non-en corpus slices",
+    "training-data",
+)
+QUERIES["knn_matryoshka_eval"] = QueryDef(
+    knn_matryoshka_eval,
+    _knn_matryoshka_sql(),
+    "recall@k of 8/16/32-dim prefix-truncated cosine vs the full-dim exact scan",
+    "training-data",
+)
+QUERIES["dedup_winnow_pairs"] = QueryDef(
+    dedup_winnow_pairs,
+    _winnow_pairs_sql(),
+    "winnowing-fingerprint near-dup pairs with the inverted-index df cap mirrored",
+    "training-data",
+)
+QUERIES["sample_neyman"] = QueryDef(
+    sample_neyman,
+    _SAMPLE_NEYMAN_SQL,
+    "Neyman-optimal eval-label allocation per source from exact integer moment sums",
+    "training-data",
+)
+QUERIES["pack_padding_waste"] = QueryDef(
+    pack_padding_waste,
+    _pack_padding_waste_sql(),
+    "padding-waste curve of length-bucketed batching over BPE-ish token counts",
+    "training-data",
+)
+
+
 # Names the driver's 50-row correctness gate has ALREADY certified
 # (union of CORRECTNESS_r01..r09 green rows — all 181 queries as of
 # round 9).  The driver takes the first 50 entries of queries(), so
@@ -9293,6 +9722,12 @@ _ROUND_NEW: tuple[str, ...] = (
     "docs_perplexity_eval",
     "dedup_simhash_lsh_capped",
     "knn_hard_negatives_ivf",
+    "docs_gopher_rules",
+    "text_keyness",
+    "knn_matryoshka_eval",
+    "dedup_winnow_pairs",
+    "sample_neyman",
+    "pack_padding_waste",
 )
 
 

@@ -29,7 +29,7 @@ NUM_KEYS = 1_000_000
 
 CSV_HEADER = (
     "run_id,parallelism,batch_id,size_gb,n_records,bytes_per_tuple,"
-    "duration_ms,t_begin_epoch_ms,t_end_epoch_ms,dp_keys\n"
+    "duration_ms,t_begin_epoch_ms,t_end_epoch_ms,dp_keys,producers\n"
 )
 
 
@@ -71,11 +71,15 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--t", type=int, default=10)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--append", action="store_true")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
 
     from confidential_storm_spark.session import get_spark
 
-    spark = get_spark(app_name="microbatch-bench")
+    spark = get_spark(
+        app_name="microbatch-bench", shuffle_partitions=args.shuffle_partitions
+    )
     parallelism = spark.sparkContext.defaultParallelism
     run_id = f"spark-{int(time.time())}"
 
@@ -87,17 +91,23 @@ def main() -> None:
         for _ in range(args.runs):
             dp_keys, t0, t1 = run_batch(spark, n_records, args.t, batch_id)
             dur = int((t1 - t0) * 1000)
+            # "producers" in the reference CSV is the spout producer
+            # count; the distributed generator's equivalent is the
+            # parallel task count feeding the batch
             line = (
                 f"{run_id},{parallelism},{batch_id},{size_gb},{n_records},"
-                f"{BYTES_PER_TUPLE},{dur},{int(t0 * 1000)},{int(t1 * 1000)},{dp_keys}"
+                f"{BYTES_PER_TUPLE},{dur},{int(t0 * 1000)},{int(t1 * 1000)},{dp_keys},"
+                f"{parallelism}"
             )
             print(line)
             lines.append(line)
             batch_id += 1
 
     if args.out:
-        with open(args.out, "w") as f:
-            f.write("\n".join(lines) + "\n")
+        mode = "a" if args.append and os.path.exists(args.out) else "w"
+        body = lines[1:] if mode == "a" else lines
+        with open(args.out, mode) as f:
+            f.write("\n".join(body) + "\n")
     # throughput summary (records/sec of the largest size)
     print(
         f"# largest batch: {n_records:,} records in {dur} ms "

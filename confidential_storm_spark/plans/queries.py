@@ -9635,6 +9635,280 @@ QUERIES["pack_padding_waste"] = QueryDef(
 )
 
 
+# ---------------------------------------------------------------------------
+# Round-10 wave 3: forward-decay leaderboard, z-order layout audit,
+# tf-idf sparse cosine pairs
+# ---------------------------------------------------------------------------
+
+_DECAY_HALFLIFE_D = 7.0
+_DECAY_HORIZON = "2024-02-01"
+
+
+def stream_decay_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed per-type engagement maintained by a
+    streaming aggregation — the trending leaderboard that never
+    resets: each event contributes weight ``2^-((T0 - day)/h)``
+    toward the fixed horizon T0 (h = {h} days), the FORWARD-DECAY
+    trick (Cormode et al., VLDB 2009): decay becomes a per-row
+    constant at ingest, so the decayed total is a plain commutative
+    SUM and the state store holds one double per key — batch order,
+    epoch chopping, and partitioning are invisible by construction.
+    Events replay in 3 user-id epochs; the final per-type state ranks
+    the leaderboard.  At 100 TB this is a standing per-key double
+    updated per ingest batch, vs recomputing a windowed aggregate
+    over ever-growing history."""
+    from ..streaming.replay import replay_available_now
+
+    ev = load_table(spark, sf_dir, "events")
+    events = ev.select(
+        "event_type",
+        ts_to_micros(ev).alias("_us"),
+        (F.col("user_id") % 3).alias("epoch"),
+    )
+
+    def xf(s: DataFrame) -> DataFrame:
+        day = F.to_date(F.timestamp_micros(F.col("_us")))
+        age = F.datediff(F.lit(_DECAY_HORIZON).cast("date"), day)
+        w = F.pow(F.lit(2.0), -age.cast("double") / F.lit(_DECAY_HALFLIFE_D))
+        return s.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(w).alias("_dec"),
+        )
+
+    out = replay_available_now(
+        spark, events, "epoch", xf, output_mode="update", latest_per=["event_type"]
+    )
+    wnd = Window.orderBy(F.desc("decayed"), F.col("event_type"))
+    return (
+        out.select(
+            "event_type", "n_events", F.round("_dec", 6).alias("decayed")
+        )
+        .withColumn("rank", F.row_number().over(wnd))
+        .orderBy("rank")
+    )
+
+
+stream_decay_topk_replay.__doc__ = stream_decay_topk_replay.__doc__.format(
+    h=int(_DECAY_HALFLIFE_D)
+)
+
+
+_STREAM_DECAY_SQL = f"""
+WITH w AS (
+  SELECT event_type,
+         pow(2.0, -date_diff('day', CAST(ts AS DATE), DATE '{_DECAY_HORIZON}')
+                   / {_DECAY_HALFLIFE_D}) AS wt
+  FROM events
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(wt), 6) AS decayed
+  FROM w GROUP BY event_type
+)
+SELECT event_type, n_events, decayed,
+       CAST(ROW_NUMBER() OVER (ORDER BY decayed DESC, event_type) AS INTEGER) AS rank
+FROM agg ORDER BY rank
+"""
+
+
+_Z_BITS = 16
+_Z_EPOCH = "1992-01-01"
+_Z_BUCKETS_SHIFT = 26  # 32-bit z-value >> 26 = 64 coarse buckets
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout audit of the orders table over
+    the (custkey, orderdate) pair — the data-layout decision a 100 TB
+    warehouse makes before rewriting a table CLUSTER BY: interleave
+    the low {b} bits of each dimension into a z-value, cut the curve
+    into 64 coarse buckets (the would-be files), and report each
+    bucket's per-dimension min/max span.  Tight spans on BOTH
+    dimensions = min/max file skipping works for predicates on either
+    column — the property linear sorting cannot give the second
+    column.  Pure integer bit algebra end to end (shifts, masks,
+    day-index from a fixed epoch), so the twin is bit-identical by
+    construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.datediff(F.col("o_orderdate"), F.lit(_Z_EPOCH).cast("date"))
+    base = orders.select(F.col("o_custkey").alias("_ck"), d.alias("_day"))
+    mm = base.agg(
+        F.min("_ck").alias("_ck0"),
+        F.max("_ck").alias("_ck1"),
+        F.min("_day").alias("_d0"),
+        F.max("_day").alias("_d1"),
+    )
+    top = (1 << _Z_BITS) - 1
+    # normalize both dimensions onto the full 16-bit grid with EXACT
+    # integer division (DIV — mirrored by DuckDB's //), so the curve
+    # position is bit-identical cross-engine and independent of SF
+    scaled = base.crossJoin(F.broadcast(mm)).select(
+        "_ck",
+        "_day",
+        F.expr(f"(_ck - _ck0) * {top} DIV GREATEST(_ck1 - _ck0, 1)").alias("_x"),
+        F.expr(f"(_day - _d0) * {top} DIV GREATEST(_d1 - _d0, 1)").alias("_y"),
+    )
+    x, y = F.col("_x"), F.col("_y")
+    z = F.lit(0).cast("long")
+    for j in range(_Z_BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, j).bitwiseAND(F.lit(1)), 2 * j)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, j).bitwiseAND(F.lit(1)), 2 * j + 1)
+        )
+    return (
+        scaled.select(
+            F.shiftright(z, _Z_BUCKETS_SHIFT).alias("z_bucket"), "_ck", "_day"
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_ck").alias("ck_min"),
+            F.max("_ck").alias("ck_max"),
+            F.min("_day").alias("day_min"),
+            F.max("_day").alias("day_max"),
+            (F.max("_ck") - F.min("_ck")).alias("ck_span"),
+            (F.max("_day") - F.min("_day")).alias("day_span"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+q_zorder_layout.__doc__ = q_zorder_layout.__doc__.format(b=_Z_BITS)
+
+
+def _zorder_sql() -> str:
+    terms = []
+    for j in range(_Z_BITS):
+        terms.append(f"(((x >> {j}) & 1) << {2 * j})")
+        terms.append(f"(((y >> {j}) & 1) << {2 * j + 1})")
+    z = " | ".join(terms)
+    top = (1 << _Z_BITS) - 1
+    return f"""
+WITH raw AS (
+  SELECT o_custkey AS ck,
+         date_diff('day', DATE '{_Z_EPOCH}', o_orderdate) AS d
+  FROM orders
+),
+mm AS (SELECT MIN(ck) AS ck0, MAX(ck) AS ck1, MIN(d) AS d0, MAX(d) AS d1 FROM raw),
+b AS (
+  SELECT (ck - ck0) * {top} // GREATEST(ck1 - ck0, 1) AS x,
+         (d - d0) * {top} // GREATEST(d1 - d0, 1) AS y,
+         ck, d
+  FROM raw CROSS JOIN mm
+),
+zb AS (SELECT ({z}) >> {_Z_BUCKETS_SHIFT} AS z_bucket, ck, d FROM b)
+SELECT z_bucket, COUNT(*) AS n_rows,
+       MIN(ck) AS ck_min, MAX(ck) AS ck_max,
+       CAST(MIN(d) AS INTEGER) AS day_min, CAST(MAX(d) AS INTEGER) AS day_max,
+       MAX(ck) - MIN(ck) AS ck_span,
+       CAST(MAX(d) - MIN(d) AS INTEGER) AS day_span
+FROM zb GROUP BY z_bucket ORDER BY z_bucket
+"""
+
+
+_TFIDF_ND_MAX_DF = 100
+_TFIDF_ND_THRESHOLD = 0.6
+
+
+def text_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED near-dup pairs: tf-idf cosine over the shared-term
+    inverted index — the similarity the set-based family cannot
+    express (minhash/containment treat 'the' and a rare proper noun
+    alike; tf-idf cosine is what actually separates topical twins
+    from boilerplate twins).  sim(a,b) = sum_t w_a(t) w_b(t) /
+    (|a||b|) computed entirely via the postings self-join: candidate
+    volume is sum_t df(t)^2, so terms with df > {cap} leave the index
+    by broadcast anti-join (idf already makes them near-weightless:
+    the cap changes candidates, barely the certified values — and it
+    is mirrored in the twin).  One postings shuffle + one pair-keyed
+    aggregate; norms join back from a per-doc relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    kept = df_.filter(F.col("df") <= _TFIDF_ND_MAX_DF)
+    wts = tf.join(F.broadcast(kept), "w").select(
+        "doc_id",
+        "w",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("wt"),
+    )
+    norms = wts.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    dots = (
+        wts.alias("l")
+        .join(
+            wts.alias("r"),
+            (F.col("l.w") == F.col("r.w"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .agg(F.sum(F.col("l.wt") * F.col("r.wt")).alias("dot"))
+    )
+    return (
+        dots.join(norms.withColumnRenamed("doc_id", "id_a").withColumnRenamed("nrm", "na"), "id_a")
+        .join(norms.withColumnRenamed("doc_id", "id_b").withColumnRenamed("nrm", "nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _TFIDF_ND_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _tfidf_neardup_sql() -> str:
+    return f"""
+WITH tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest({words_sql("text")}) AS w FROM documents
+  ) GROUP BY doc_id, w
+),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+dfr AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w HAVING COUNT(*) <= {_TFIDF_ND_MAX_DF}),
+wts AS (
+  SELECT tf.doc_id, tf.w, tf.tf * ln(CAST(nd.n AS DOUBLE) / dfr.df) AS wt
+  FROM tf JOIN dfr USING (w) CROSS JOIN nd
+),
+nrm AS (SELECT doc_id, sqrt(SUM(wt * wt)) AS nrm FROM wts GROUP BY doc_id),
+dots AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, SUM(l.wt * r.wt) AS dot
+  FROM wts l JOIN wts r ON l.w = r.w AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(dot / (a.nrm * b.nrm), 6) AS cosine
+FROM dots JOIN nrm a ON dots.id_a = a.doc_id JOIN nrm b ON dots.id_b = b.doc_id
+WHERE ROUND(dot / (a.nrm * b.nrm), 6) >= {_TFIDF_ND_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES["stream_decay_topk_replay"] = QueryDef(
+    stream_decay_topk_replay,
+    _STREAM_DECAY_SQL,
+    "forward-decay engagement leaderboard maintained by a streaming sum of per-row decay weights",
+    "streaming",
+)
+QUERIES["q_zorder_layout"] = QueryDef(
+    q_zorder_layout,
+    _zorder_sql(),
+    "Morton z-order layout audit: per-z-bucket min/max spans of both clustering dimensions",
+    "training-data",
+)
+QUERIES["text_tfidf_neardup"] = QueryDef(
+    text_tfidf_neardup,
+    _tfidf_neardup_sql(),
+    "tf-idf cosine near-dup pairs over the df-capped inverted index",
+    "training-data",
+)
+
+
 # Names the driver's 50-row correctness gate has ALREADY certified
 # (union of CORRECTNESS_r01..r09 green rows — all 181 queries as of
 # round 9).  The driver takes the first 50 entries of queries(), so
@@ -9728,6 +10002,9 @@ _ROUND_NEW: tuple[str, ...] = (
     "dedup_winnow_pairs",
     "sample_neyman",
     "pack_padding_waste",
+    "stream_decay_topk_replay",
+    "q_zorder_layout",
+    "text_tfidf_neardup",
 )
 
 

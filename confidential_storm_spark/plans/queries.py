@@ -9909,6 +9909,112 @@ QUERIES["text_tfidf_neardup"] = QueryDef(
 )
 
 
+_RESERVOIR_K = 5
+
+
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source reservoir sample: the k docs with the
+    smallest md5(doc_id) per stratum — the reproducibility trick a
+    100 TB pipeline uses instead of rand() (same sample on every
+    engine, every rerun, every partition layout; appends change the
+    sample only where a new hash displaces a larger one, exactly a
+    k-min sketch of the stratum).  One combinable window top-k
+    (WindowGroupLimit: per-partition partial top-k before the
+    shuffle), no data movement beyond |sources| * k rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    wnd = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        docs.select("source", "doc_id", h.alias("_h"))
+        .withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= _RESERVOIR_K)
+        .select("source", "doc_id", "rank")
+        .orderBy("source", "rank")
+    )
+
+
+_SAMPLE_RESERVOIR_SQL = f"""
+SELECT source, doc_id, rank FROM (
+  SELECT source, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rank
+  FROM documents
+) WHERE rank <= {_RESERVOIR_K}
+ORDER BY source, rank
+"""
+
+
+_SHARD_N = 32
+
+
+def shard_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-shard boundary planner: cut the orders table into
+    {n} equal-row shards under the (orderdate, orderkey) total order
+    and report each shard's key range + row count — the exact
+    boundary table a ``repartitionByRange`` / CLUSTER BY rewrite or a
+    sorted-run compactor plans from (Spark samples to approximate
+    this; the certified relation is the exact answer the sample
+    estimates).  NTILE under a TOTAL order so tie assignment is
+    identical cross-engine; dates emitted as strings per the repo's
+    date-hash convention.
+
+    Scale note: the PARTITION-BY-less NTILE is the one deliberately
+    exact-over-scalable step here (Spark executes it single-partition)
+    — at warehouse scale you compute the same boundaries from the
+    |dates|-sized daily-count cumsum and key-resolve only the ~{n}
+    boundary dates; this registry point certifies the exact semantics
+    that approximation targets, the `text_vocab_coverage` pattern."""
+    orders = load_table(spark, sf_dir, "orders")
+    wnd = Window.orderBy("o_orderdate", "o_orderkey")
+    t = orders.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.ntile(_SHARD_N).over(wnd).alias("shard"),
+    )
+    return (
+        t.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("date_lo"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("date_hi"),
+            F.min("o_orderkey").alias("key_lo"),
+            F.max("o_orderkey").alias("key_hi"),
+        )
+        .orderBy("shard")
+    )
+
+
+shard_boundaries.__doc__ = shard_boundaries.__doc__.format(n=_SHARD_N)
+
+
+_SHARD_BOUNDARIES_SQL = f"""
+SELECT shard, COUNT(*) AS n_rows,
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS date_lo,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS date_hi,
+       MIN(o_orderkey) AS key_lo, MAX(o_orderkey) AS key_hi
+FROM (
+  SELECT o_orderkey, o_orderdate,
+         CAST(NTILE({_SHARD_N}) OVER (ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS shard
+  FROM orders
+) GROUP BY shard ORDER BY shard
+"""
+
+
+QUERIES["sample_reservoir"] = QueryDef(
+    sample_reservoir,
+    _SAMPLE_RESERVOIR_SQL,
+    "deterministic hash-min reservoir sample per source (k-min sketch of the stratum)",
+    "training-data",
+)
+QUERIES["shard_boundaries"] = QueryDef(
+    shard_boundaries,
+    _SHARD_BOUNDARIES_SQL,
+    "exact equal-row range-shard boundaries under a total order (the repartitionByRange plan)",
+    "training-data",
+)
+
+
 # Names the driver's 50-row correctness gate has ALREADY certified
 # (union of CORRECTNESS_r01..r09 green rows — all 181 queries as of
 # round 9).  The driver takes the first 50 entries of queries(), so
@@ -10005,6 +10111,8 @@ _ROUND_NEW: tuple[str, ...] = (
     "stream_decay_topk_replay",
     "q_zorder_layout",
     "text_tfidf_neardup",
+    "sample_reservoir",
+    "shard_boundaries",
 )
 
 

@@ -10015,6 +10015,146 @@ QUERIES["shard_boundaries"] = QueryDef(
 )
 
 
+def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT pairwise audience overlap between event types (distinct
+    users, |A∩B|, exact jaccard) — the ground-truth relation the
+    theta/KMV sketch family (`sketch_theta_overlap`) estimates, as
+    its own certified query: the estimate and the exact answer are
+    both in the registry, so sketch error is auditable from certified
+    rows alone.  Plan: ONE distinct (type, user) projection feeds a
+    self-join keyed by user (types-per-user is tiny, so the join
+    output is |users| * avg_types², nowhere near quadratic in users)
+    plus a broadcast per-type total.  Integer counts; jaccard is one
+    division of exact integers, rounded."""
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    per = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        tu.alias("l")
+        .join(
+            tu.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("l.event_type") < F.col("r.event_type")),
+        )
+        .groupBy(
+            F.col("l.event_type").alias("type_a"),
+            F.col("r.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(per.withColumnRenamed("event_type", "type_a").withColumnRenamed("n", "n_a")),
+            "type_a",
+        )
+        .join(
+            F.broadcast(per.withColumnRenamed("event_type", "type_b").withColumnRenamed("n", "n_b")),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_EVENTS_USER_OVERLAP_SQL = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+per AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type),
+inter AS (
+  SELECT l.event_type AS type_a, r.event_type AS type_b, COUNT(*) AS n_common
+  FROM tu l JOIN tu r ON l.user_id = r.user_id AND l.event_type < r.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, a.n AS n_a, b.n AS n_b, n_common,
+       ROUND(n_common / CAST(a.n + b.n - n_common AS DOUBLE), 6) AS jaccard
+FROM inter JOIN per a ON inter.type_a = a.event_type
+           JOIN per b ON inter.type_b = b.event_type
+ORDER BY type_a, type_b
+"""
+
+
+def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary concentration per source — Simpson/Herfindahl index
+    sum_w (tf_w / total)² and its inverse (effective vocabulary
+    size), the concentration dial a mixture designer reads beside
+    `text_zipf`/`text_diversity`: a source whose effective vocab
+    collapses is boilerplate even if its raw vocab looks wide.
+    Computed from exact integer counts as SUM(tf²)/total² — ONE
+    rational per source, so the double is identical cross-engine;
+    two map-side-combinable aggregates, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("source", F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_vocab"),
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("tf")).alias("_s2"),
+        )
+        .select(
+            "source",
+            "n_vocab",
+            "n_tokens",
+            # (s2/t)/t, not s2/(t*t): the t² product overflows BIGINT
+            # at warehouse token counts; the two-step double division
+            # is mirrored verbatim in the twin so the doubles agree
+            F.round(
+                (F.col("_s2").cast("double") / F.col("n_tokens"))
+                / F.col("n_tokens"),
+                6,
+            ).alias("simpson"),
+            F.round(
+                (F.col("n_tokens").cast("double") / F.col("_s2"))
+                * F.col("n_tokens"),
+                6,
+            ).alias("effective_vocab"),
+        )
+        .orderBy("source")
+    )
+
+
+_DOCS_SIMPSON_SQL = f"""
+WITH wc AS (
+  SELECT source, w, COUNT(*) AS tf FROM (
+    SELECT source, unnest({words_sql("text")}) AS w FROM documents
+  ) GROUP BY source, w
+)
+SELECT source, COUNT(*) AS n_vocab,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND((CAST(SUM(tf * tf) AS DOUBLE) / SUM(tf)) / SUM(tf), 6) AS simpson,
+       ROUND((CAST(SUM(tf) AS DOUBLE) / SUM(tf * tf)) * SUM(tf), 6) AS effective_vocab
+FROM wc GROUP BY source ORDER BY source
+"""
+
+
+QUERIES["events_user_overlap"] = QueryDef(
+    events_user_overlap,
+    _EVENTS_USER_OVERLAP_SQL,
+    "exact pairwise audience overlap + jaccard per event-type pair (the theta sketch's ground truth)",
+    "training-data",
+)
+QUERIES["docs_simpson_diversity"] = QueryDef(
+    docs_simpson_diversity,
+    _DOCS_SIMPSON_SQL,
+    "Simpson concentration / effective vocabulary per source from exact integer counts",
+    "training-data",
+)
+
+
 # Names the driver's 50-row correctness gate has ALREADY certified
 # (union of CORRECTNESS_r01..r09 green rows — all 181 queries as of
 # round 9).  The driver takes the first 50 entries of queries(), so
@@ -10113,6 +10253,8 @@ _ROUND_NEW: tuple[str, ...] = (
     "text_tfidf_neardup",
     "sample_reservoir",
     "shard_boundaries",
+    "events_user_overlap",
+    "docs_simpson_diversity",
 )
 
 

@@ -9830,11 +9830,14 @@ def text_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     kept = df_.filter(F.col("df") <= _TFIDF_ND_MAX_DF)
+    # both self-join sides and the norm relation re-read the weighted
+    # postings: materialize them once (plan audit showed 8 scans /
+    # 16 exchanges without this)
     wts = tf.join(F.broadcast(kept), "w").select(
         "doc_id",
         "w",
         (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("wt"),
-    )
+    ).localCheckpoint(eager=False)
     norms = wts.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
     )
@@ -10027,7 +10030,9 @@ def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a broadcast per-type total.  Integer counts; jaccard is one
     division of exact integers, rounded."""
     ev = load_table(spark, sf_dir, "events")
-    tu = ev.select("event_type", "user_id").distinct()
+    # the distinct projection feeds three consumers (two join sides +
+    # totals): materialize once
+    tu = ev.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
     per = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         tu.alias("l")

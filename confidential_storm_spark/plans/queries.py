@@ -10160,6 +10160,99 @@ QUERIES["docs_simpson_diversity"] = QueryDef(
 )
 
 
+def stream_reservoir_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic k-min reservoir maintained INCREMENTALLY —
+    documents replay in 3 doc-id epochs and the per-source sample is
+    a streaming k-min fold (streaming/stateful.py::
+    reservoir_kmin_stream): state is the k smallest md5 ranks per
+    source, a commutative monoid over batch union, so the standing
+    sample after the replay MUST equal the batch ``sample_reservoir``
+    of the whole table — certified by sharing that query's DuckDB
+    twin verbatim (the ``stream_digest_replay`` pattern)."""
+    from ..streaming.replay import replay_available_now
+    from ..streaming.stateful import reservoir_kmin_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", (F.col("doc_id") % 3).alias("epoch")
+    )
+    out = replay_available_now(
+        spark,
+        docs,
+        "epoch",
+        lambda st: reservoir_kmin_stream(st, "source", "doc_id", k=_RESERVOIR_K),
+        output_mode="update",
+        latest_per=["key", "rank"],
+    )
+    return out.select(
+        F.col("key").alias("source"),
+        F.col("sampled_id").alias("doc_id"),
+        "rank",
+    ).orderBy("source", "rank")
+
+
+QUERIES["stream_reservoir_replay"] = QueryDef(
+    stream_reservoir_replay,
+    _SAMPLE_RESERVOIR_SQL,
+    "k-min reservoir maintained by a streaming fold == the batch sample (twin shared verbatim)",
+    "streaming",
+)
+
+
+def docs_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena rate + type-token ratio per source — the
+    vocabulary-growth health card (Heaps-law position) read beside
+    `docs_simpson_diversity`: a source whose hapax share collapses
+    has stopped contributing new content, whatever its volume.  Two
+    map-side-combinable aggregates over exact integers; the ratios
+    are single divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("source", F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("tf").alias("n_tokens"),
+            F.sum((F.col("tf") == 1).cast("long")).alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_types",
+            "n_tokens",
+            "n_hapax",
+            F.round(F.col("n_hapax") / F.col("n_types"), 6).alias("hapax_share"),
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+_DOCS_HAPAX_SQL = f"""
+WITH wc AS (
+  SELECT source, w, COUNT(*) AS tf FROM (
+    SELECT source, unnest({words_sql("text")}) AS w FROM documents
+  ) GROUP BY source, w
+)
+SELECT source, COUNT(*) AS n_types,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       ROUND(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share,
+       ROUND(COUNT(*) / CAST(SUM(tf) AS DOUBLE), 6) AS type_token_ratio
+FROM wc GROUP BY source ORDER BY source
+"""
+
+
+QUERIES["docs_hapax_rate"] = QueryDef(
+    docs_hapax_rate,
+    _DOCS_HAPAX_SQL,
+    "hapax share + type-token ratio per source (vocabulary-growth health)",
+    "training-data",
+)
+
+
 # Names the driver's 50-row correctness gate has ALREADY certified
 # (union of CORRECTNESS_r01..r09 green rows — all 181 queries as of
 # round 9).  The driver takes the first 50 entries of queries(), so
@@ -10260,6 +10353,8 @@ _ROUND_NEW: tuple[str, ...] = (
     "shard_boundaries",
     "events_user_overlap",
     "docs_simpson_diversity",
+    "stream_reservoir_replay",
+    "docs_hapax_rate",
 )
 
 

@@ -389,3 +389,57 @@ def bloom_dedup_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+def reservoir_kmin_stream(
+    docs: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Deterministic k-min reservoir maintained PER KEY across ingest
+    batches — the incremental form of the batch ``sample_reservoir``
+    query: state is the k smallest (md5(id), id) pairs seen so far, a
+    k-min sketch, i.e. a commutative-monoid fold over batch union —
+    so the standing sample after any number of ingest batches equals
+    the batch query over everything ingested, whatever the chopping
+    (that identity is what the registry certifies, by sharing the
+    batch twin verbatim).  This is how a 100 TB pipeline keeps a
+    forever-fresh reproducible eval sample: per-batch cost ∝ the
+    batch, state is k tiny pairs per stratum, and appends displace a
+    reservoir slot only by hash order — never by arrival order.
+
+    Output mode update: each batch emits every touched key's CURRENT
+    reservoir as (key, id, rank); the final state per (key, rank) is
+    the sample."""
+    with_h = docs.select(
+        F.col(key_col).alias("_k"),
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+    )
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pairs: list[tuple[str, int]] = []
+        if state.exists:
+            hs, ids = state.get
+            pairs = list(zip(hs, ids))
+        for pdf in pdfs:
+            pairs.extend(zip(pdf["_h"], (int(x) for x in pdf["_id"])))
+        pairs = sorted(set(pairs))[:k]
+        state.update(([h for h, _ in pairs], [i for _, i in pairs]))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(pairs),
+                "sampled_id": [i for _, i in pairs],
+                "rank": list(range(1, len(pairs) + 1)),
+            }
+        )
+
+    return with_h.groupBy("_k").applyInPandasWithState(
+        process,
+        outputStructType="key string, sampled_id bigint, rank int",
+        stateStructType="hs array<string>, ids array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -779,3 +779,47 @@ def test_hashed_ref_probs_spark_matches_python(spark):
         py = hashed_ref_probs(texts, n_bins=n_bins, alpha=alpha)
         sp = hashed_ref_probs_spark(df, "text", n_bins=n_bins, alpha=alpha)
         assert sp == py
+
+
+def test_reservoir_kmin_stream_is_batch_equivalent(stream_reader, spark):
+    """The streaming k-min reservoir equals the batch k-min sample of
+    the union of all batches, whatever the chopping — including a
+    late batch displacing an earlier reservoir member by hash order."""
+    import hashlib
+
+    from confidential_storm_spark.streaming.stateful import reservoir_kmin_stream
+
+    SCHEMA = "source string, doc_id long"
+    rows = [("s1", i) for i in range(40)] + [("s2", i + 1000) for i in range(30)]
+    batches = [rows[:10], rows[10:45], rows[45:]]
+    out: dict = {}
+    q = (
+        reservoir_kmin_stream(stream_reader(batches, SCHEMA), "source", "doc_id", k=4)
+        .writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, bid: out.update(
+                {(r.key, r.rank): r.sampled_id for r in df.collect()}
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    def kmin(src):
+        ids = [i for s, i in rows if s == src]
+        return [
+            i
+            for _, i in sorted(
+                (hashlib.md5(str(i).encode()).hexdigest(), i) for i in ids
+            )[:4]
+        ]
+
+    for src in ("s1", "s2"):
+        want = kmin(src)
+        got = [out[(src, r)] for r in range(1, 5)]
+        assert got == want, (src, got, want)
+    # the final reservoir must include members from multiple batches'
+    # id ranges for the displacement claim to be exercised
+    all_final = {v for v in out.values()}
+    assert any(i >= 45 or (1000 <= i) for i in all_final)

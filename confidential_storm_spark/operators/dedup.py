@@ -783,6 +783,7 @@ def hamming_banded_pairs(
     bands: int = 4,
     approximate: bool = False,
     max_bucket_size: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Near-dup pairs over ANY 64-bit fingerprint relation
     (_id, sig): banded bucket join + exact JVM bit_count(XOR)
@@ -814,7 +815,8 @@ def hamming_banded_pairs(
         )
     bits_per_band = 64 // bands
     mask = (1 << bits_per_band) - 1
-    sigs = sigs.localCheckpoint(eager=False)  # both join sides reuse it
+    if checkpoint:  # both join sides reuse it; False = caller already did
+        sigs = sigs.localCheckpoint(eager=False)
     banded = sigs.select(
         "_id",
         F.explode(
@@ -984,9 +986,24 @@ def lsh_scale_dials(
     at 64 (beyond that, widen max_hamming tolerance instead)."""
     import math
 
+    target_recall = min(max(target_recall, 0.0), 1.0 - 1e-9)
     k = max(16, math.ceil(math.log2(max(n_items, 2) / max(target_bucket, 1))))
     k = min(k, 48)
     p = (64.0 - max_hamming) / 64.0
+    if p >= 1.0:
+        # max_hamming=0: identical sigs collide in EVERY table — one
+        # table already has recall 1
+        return k, 1
+    # recall comes FIRST: cap k at the widest key that still meets
+    # target_recall within the 64-table budget (p^k >= 1-(1-t)^(1/64));
+    # past that point bucket sizes grow instead (N/2^k), and the
+    # max_bucket_size backstop becomes the governing cap — the honest
+    # trade at extreme N, stated here rather than silently missing the
+    # recall the parameter promises
+    k_feasible = int(
+        math.log(1.0 - (1.0 - target_recall) ** (1.0 / 64.0)) / math.log(p)
+    )
+    k = max(16, min(k, max(k_feasible, 16)))
     hit = p**k
     tables = (
         64
@@ -1039,6 +1056,7 @@ def hamming_lsh_pairs(
     tables: int = 28,
     seed: int = 42,
     max_bucket_size: int | None = 4096,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Near-dup pairs over a 64-bit fingerprint relation (_id, sig)
     via BIT-SAMPLING LSH (Indyk-Motwani) — the scale path where the
@@ -1062,7 +1080,8 @@ def hamming_lsh_pairs(
     (e.g. constant-region fingerprints); with a healthy key space it
     should almost never bind — keep it well above the expected bucket
     size so it only clips pathologies."""
-    sigs = sigs.localCheckpoint(eager=False)  # key build + verify reuse it
+    if checkpoint:  # key build + verify reuse it; False = caller already did
+        sigs = sigs.localCheckpoint(eager=False)
     keyed = lsh_keyed(sigs, bits_per_table, tables, seed)
     if max_bucket_size is not None:
         from pyspark.sql import Window

@@ -324,10 +324,19 @@ def _hamming_pairs_auto(
             max_bucket_size=max_bucket_size,
             max_hamming=max_hamming,
             bands=bands,
+            checkpoint=False,  # materialized above
         )
     k, tables = lsh_scale_dials(n, max_hamming, target_recall)
+    # an explicit caller cap passes through; None keeps the LSH join's
+    # 4096 degenerate-bucket backstop (a healthy key layout never hits
+    # it) rather than banded's uncapped semantics
     return hamming_lsh_pairs(
-        sigs, max_hamming=max_hamming, bits_per_table=k, tables=tables
+        sigs,
+        max_hamming=max_hamming,
+        bits_per_table=k,
+        tables=tables,
+        max_bucket_size=max_bucket_size if max_bucket_size is not None else 4096,
+        checkpoint=False,
     )
 
 

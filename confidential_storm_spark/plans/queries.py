@@ -6199,7 +6199,7 @@ def dedup_simhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 dedup_simhash_lsh_capped.__doc__ = dedup_simhash_lsh_capped.__doc__.format(
-    cap=1000
+    cap=_SIMHASH_LSH_CAP
 )
 
 
@@ -9331,7 +9331,9 @@ def text_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select(
         F.explode(words(F.col("text"))).alias("word"),
-        (F.col("lang") == "en").cast("int").alias("is_en"),
+        # when/otherwise, not a boolean cast: a NULL lang must count in
+        # the non-en slice exactly like the twin's CASE ... ELSE 0 END
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("is_en"),
     )
     counts = w.groupBy("word").agg(
         F.sum("is_en").alias("n_en"),
@@ -9822,6 +9824,8 @@ def text_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is mirrored in the twin).  One postings shuffle + one pair-keyed
     aggregate; norms join back from a per-doc relation."""
     docs = load_table(spark, sf_dir, "documents")
+    # idf N counts ALL documents (wordless docs included) — the twin
+    # mirrors COUNT(*) FROM documents, the ranking.tfidf convention
     n_docs = docs.count()
     tf = (
         docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
@@ -9873,7 +9877,7 @@ WITH tf AS (
     SELECT doc_id, unnest({words_sql("text")}) AS w FROM documents
   ) GROUP BY doc_id, w
 ),
-nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+nd AS (SELECT COUNT(*) AS n FROM documents),
 dfr AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w HAVING COUNT(*) <= {_TFIDF_ND_MAX_DF}),
 wts AS (
   SELECT tf.doc_id, tf.w, tf.tf * ln(CAST(nd.n AS DOUBLE) / dfr.df) AS wt

@@ -146,3 +146,19 @@ def test_lsh_scale_dials_law():
     assert k2 > k1 >= 16 and t2 >= t1
     # expected bucket size stays bounded
     assert 500_000 / 2**k1 <= 4 and 5_000_000 / 2**k2 <= 4
+
+
+def test_lsh_scale_dials_edge_cases():
+    """Review-found edges: max_hamming=0 must not crash (identical
+    sigs collide in any single table), target_recall=1.0 clamps, and
+    at extreme N the recall promise is honored by capping key WIDTH
+    (buckets grow; the bucket backstop governs) rather than silently
+    under-delivering recall."""
+    from confidential_storm_spark.operators.dedup import lsh_scale_dials
+
+    assert lsh_scale_dials(600, max_hamming=0) == (16, 1)
+    k, t = lsh_scale_dials(600, 7, target_recall=1.0)
+    assert k == 16 and 1 <= t <= 64
+    k, t = lsh_scale_dials(1 << 40, 7, target_recall=0.99)
+    p = ((64 - 7) / 64.0) ** k
+    assert 1 - (1 - p) ** t >= 0.99

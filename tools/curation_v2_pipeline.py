@@ -43,10 +43,13 @@ NEYMAN_BUDGET = 10_000
 
 
 def greedy_drop(pairs, kept, id_col="doc_id"):
-    """Drop the higher id of every surviving near-dup pair (transitive
-    via one pass: a doc is dropped iff it appears as id_b with a kept
-    id_a — the standard survivor rule, matching dedup_canonical's
-    keep-lowest semantics for pairlike relations)."""
+    """Drop EVERY id that appears as the higher side of any pair — one
+    anti-join pass.  On a transitively-closed pair relation this equals
+    dedup_canonical's keep-lowest rule; on chains without closure
+    (a~b, b~c, no a~c) it over-drops c relative to the greedy
+    keep-if-witness-dropped rule — acceptable for a dedup pipeline
+    (over-dedup trades recall, never correctness) and noted so the CSV
+    volumes are read as upper bounds on drops."""
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return kept.join(drops, id_col, "left_anti")
 

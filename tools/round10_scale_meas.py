@@ -74,9 +74,15 @@ def main() -> None:
         w, n = timed(
             lambda: image_blockmean_neardup(media_corpus(docs, "image")).count()
         )
+        from confidential_storm_spark.operators.mediahash import (
+            BANDED_MAX_ITEMS,
+            PERT_EVERY,
+        )
+
+        n_media = n_docs + n_docs // PERT_EVERY  # media_corpus's exact size
         note = (
-            "auto->banded (<=100k items)"
-            if n_docs * 1.1 <= 100_000
+            f"auto->banded (<= {BANDED_MAX_ITEMS} items)"
+            if n_media <= BANDED_MAX_ITEMS
             else "auto->bit-sampling LSH (scale dials); was SKIPPED at sf10"
         )
         rec("dedup_media_image_auto", sf_name, n_docs, w, n, note)

@@ -10257,124 +10257,79 @@ QUERIES["docs_hapax_rate"] = QueryDef(
 )
 
 
-# Names the driver's 50-row correctness gate has ALREADY certified
-# (union of CORRECTNESS_r01..r09 green rows — all 181 queries as of
-# round 9).  The driver takes the first 50 entries of queries(), so
-# never-driver-certified names rotate to the head each round (VERDICT
-# r5 item 2).  The full registry is still gated every round by the
+# Driver-certification ledger, DERIVED from the committed
+# CORRECTNESS_r*.json files (the driver's 50-row independent gate at
+# sf0.01) so the rotation can never go stale — rounds 9 and 10 both
+# paid a failing-tripwire round because the set was a hand-folded
+# literal (VERDICT r10 "What's wrong" #1).  Maps query name -> the
+# LATEST round in which the driver certified it green (rows+schema
+# match).  The full registry is still value-gated every round by the
 # local replica (tools/check_correctness.py ->
-# benchmark/correctness_full_r*.log); this ordering only decides
-# which 50 get the driver's independent run.
-# tests/test_registry_smoke.py asserts this set equals the literal
-# union of the CORRECTNESS_r*.json green rows committed in the repo.
+# benchmark/correctness_full_r*.log); this ledger only decides which
+# 50 names get the driver's independent run:
+#   1. _ROUND_NEW (this round's additions) first,
+#   2. then any never-driver-certified names,
+#   3. then certified names, STALEST CERTIFICATION FIRST (VERDICT r10
+#      next-round #1: with the never-certified tail empty, each gate
+#      re-verifies the 50 entries whose last driver check is oldest).
+# Self-maintaining: when the driver drops CORRECTNESS_r{N}.json, the
+# re-certified names' last-round advances and they rotate to the back
+# automatically on the next import.
+def _load_driver_certifications() -> dict[str, int]:
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if row.get("rows_match") and row.get("schema_match"):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+_CERT_LAST_ROUND: dict[str, int] = _load_driver_certifications()
+
+# tests/test_registry_smoke.py asserts this equals the literal union
+# of committed CORRECTNESS green rows (regression guard on the loader).
 _DRIVER_CERTIFIED_PRIOR: frozenset[str] = frozenset(
-    {
-        "bpe_encode_stats", "bpe_fertility", "bpe_merges", "bpe_pair_counts",
-        "chunk_docs", "curation_funnel", "dataset_fingerprint", "dedup_bloom",
-        "dedup_canonical", "dedup_clusters", "dedup_containment",
-        "dedup_edit_distance", "dedup_embedding", "dedup_embedding_lsh",
-        "dedup_exact", "dedup_incremental", "dedup_media_audio",
-        "dedup_media_image", "dedup_media_probe", "dedup_media_video",
-        "dedup_method_overlap", "dedup_minhash_incremental",
-        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_normalized",
-        "dedup_semantic", "dedup_simhash", "dedup_simhash_lsh",
-        "dedup_simhash_pairs", "dedup_span_fraction", "dedup_span_rewrite",
-        "dedup_spans", "docs_dataset_card", "dp_bounded_histogram",
-        "dp_key_selection", "dp_partial_merge", "dp_unique_users",
-        "dp_utility_metrics", "dp_zero_noise_full", "dp_zero_noise_mu",
-        "dq_constraints", "emb_covariance", "emb_dim_stats", "emb_outliers",
-        "emb_project", "erase_propagation", "events_anomaly_days",
-        "events_daily_gapfill", "events_dod_change",
-        "events_markov_transitions", "events_robust_stats",
-        "events_seasonality", "events_trend_fit", "graph_pagerank",
-        "hll_rollup_mv", "hybrid_rrf", "kmeans_embeddings", "knn_brute_force",
-        "knn_hard_negatives", "knn_ivf", "knn_ivf_incremental", "knn_ivfpq",
-        "knn_ivfpq_incremental", "knn_lsh", "knn_lsh_multiprobe",
-        "knn_recall_eval", "knn_sq8", "mixture_executed", "mixture_weights",
-        "mv_incremental_revenue", "pack_sequences", "q10_returned_items",
-        "q11_important_parts", "q12_priority_lines", "q13_order_distribution",
-        "q14_promo_revenue", "q15_top_supplier", "q16_supplier_variety",
-        "q17_small_quantity", "q18_large_orders", "q19_bracket_revenue",
-        "q1_pricing_summary", "q20_dominant_suppliers",
-        "q21_waiting_suppliers", "q22_dormant_customers",
-        "q2_min_cost_supplier", "q3_top_revenue", "q4_late_priority",
-        "q5_nation_revenue", "q6_forecast_revenue", "q7_nation_trade",
-        "q8_market_share", "q9_product_profit", "q_asof_attribution",
-        "q_cohort_retention", "q_conversion_funnel", "q_cube_activity",
-        "q_decayed_engagement", "q_event_windows", "q_event_windows_hop",
-        "q_json_props", "q_median_order_value", "q_merge_upsert",
-        "q_order_backlog", "q_orders_interarrival", "q_pivot_nation_segments",
-        "q_profile_events", "q_range_join", "q_rolling_user_value",
-        "q_rollup_revenue", "q_salted_segment_value", "q_salted_type_stats",
-        "q_scd2_history", "q_session_window", "q_sessionize",
-        "q_skew_profile", "q_top_orders_per_customer", "q_unpivot_quality",
-        "q_viewed_and_purchased", "q_viewed_never_purchased",
-        "quality_deciles", "quality_probe_scores", "sample_mixture",
-        "sample_stratified", "sample_weighted", "sec_replay_filter",
-        "sec_route_validation", "sec_seq_stamp", "shard_assignment",
-        "simple_reverse", "sketch_cms_joinsize", "sketch_cms_words",
-        "sketch_hll_setops", "sketch_hll_users", "sketch_join_hotkeys",
-        "sketch_quantiles", "sketch_theta_overlap", "snapshot_diff_orders",
-        "split_counts", "split_leakage", "stream_anomaly_replay",
-        "stream_dedup_replay", "stream_digest_replay", "stream_dq_replay",
-        "stream_heavy_hitters_replay", "stream_hll_replay",
-        "stream_join_replay", "stream_kl_replay", "stream_mv_refresh_replay",
-        "stream_novelty_replay", "stream_quantiles_replay",
-        "stream_sessions_replay", "stream_trending_replay", "text_bigram_lm",
-        "text_bm25", "text_char_entropy", "text_clean", "text_collocations",
-        "text_contamination", "text_decontaminate_neardup", "text_diversity",
-        "text_fingerprint", "text_inverted_index", "text_keyphrases",
-        "text_kl_drift", "text_lang_id", "text_length_quantiles",
-        "text_novelty", "text_oov_rate", "text_quality", "text_redact_pii",
-        "text_repetition", "text_surprisal", "text_tfidf",
-        "text_vocab_coverage", "text_winnow", "text_zipf", "theta_rollup_mv",
-        "token_stats", "token_stats_bpe", "wordcount_histogram",
-    }
+    n for n in _CERT_LAST_ROUND if n in QUERIES
 )
 
 
 # queries added in the current round, boosted to the head of the
 # never-certified block so the driver's 50-row gate certifies the
-# round's new work the same round it lands (the rest of the block
-# follows in insertion order and rotates forward next round)
+# round's new work the same round it lands
 _ROUND_NEW: tuple[str, ...] = (
-    "q_customer_rfm",
-    "dedup_cluster_sizes",
-    "q_part_growth",
-    "docs_perplexity_eval",
-    "dedup_simhash_lsh_capped",
-    "knn_hard_negatives_ivf",
-    "docs_gopher_rules",
-    "text_keyness",
-    "knn_matryoshka_eval",
-    "dedup_winnow_pairs",
-    "sample_neyman",
-    "pack_padding_waste",
-    "stream_decay_topk_replay",
-    "q_zorder_layout",
-    "text_tfidf_neardup",
-    "sample_reservoir",
-    "shard_boundaries",
-    "events_user_overlap",
-    "docs_simpson_diversity",
-    "stream_reservoir_replay",
-    "docs_hapax_rate",
+    "shard_boundaries_scalable",
+    "q_customer_rfm_scalable",
+    "knn_hard_negatives_ivf_pruned",
 )
 
 
 def _registry_order() -> list[str]:
-    """Registry order: this round's new queries first, then the other
-    never-driver-certified names, then the already-certified block —
-    each group stable in original insertion order, so the rotation is
-    deterministic; once the driver certifies a block its names move
-    into _DRIVER_CERTIFIED_PRIOR and the next uncovered block rotates
-    forward."""
+    """Registry order: this round's new queries first, then any other
+    never-driver-certified names, then the certified block ordered
+    oldest-certification-first (ties broken by insertion order) so the
+    driver's head-50 re-verifies the stalest entries each round."""
     names = list(QUERIES.keys())
     return sorted(
         names,
         key=lambda n: (
             n in _DRIVER_CERTIFIED_PRIOR,
             n not in _ROUND_NEW,
+            _CERT_LAST_ROUND.get(n, 0),
             names.index(n),
         ),
     )

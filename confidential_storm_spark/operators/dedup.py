@@ -986,6 +986,13 @@ def lsh_scale_dials(
     at 64 (beyond that, widen max_hamming tolerance instead)."""
     import math
 
+    if not 0 <= max_hamming < 64:
+        # p = (64 - max_hamming)/64 must stay in (0, 1]; beyond 63 the
+        # collision probability is <= 0 and log(p) would raise a bare
+        # math-domain error from deep inside the dial law
+        raise ValueError(
+            f"max_hamming must be in [0, 64) for 64-bit signatures, got {max_hamming}"
+        )
     target_recall = min(max(target_recall, 0.0), 1.0 - 1e-9)
     k = max(16, math.ceil(math.log2(max(n_items, 2) / max(target_bucket, 1))))
     k = min(k, 48)
@@ -1005,11 +1012,15 @@ def lsh_scale_dials(
     )
     k = max(16, min(k, max(k_feasible, 16)))
     hit = p**k
-    tables = (
-        64
-        if hit <= 0.0
-        else math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - hit))
-    )
+    if hit <= 0.0:
+        tables = 64
+    else:
+        # log1p, not log(1-hit): for hit below double epsilon the
+        # latter is log(1.0) = 0 and the division crashes (seen at
+        # max_hamming=63); the ratio is capped BEFORE ceil so a huge
+        # quotient can't overflow to inf
+        ratio = math.log(1.0 - target_recall) / math.log1p(-hit)
+        tables = 64 if ratio >= 64 else math.ceil(ratio)
     return k, max(1, min(tables, 64))
 
 

@@ -288,6 +288,23 @@ def audio_energy_hashes(
 BANDED_MAX_ITEMS = 100_000
 
 
+def _cap_buckets(
+    keyed: DataFrame, bucket_cols: tuple[str, ...], cap: int
+) -> DataFrame:
+    """ROW_NUMBER bucket cap (deterministic: ordered by _id) over an
+    exploded key relation — the same degenerate-bucket backstop
+    dedup.hamming_lsh_pairs applies, factored out for the frame-keyed
+    video joins whose bucket key carries the frame index."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_cols).orderBy("_id")
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 def _hamming_pairs_auto(
     sigs: DataFrame,
     method: str,
@@ -397,6 +414,7 @@ def video_blockmean_neardup(
     min_matching_frames: int = 2,
     method: str = "auto",
     target_recall: float = 0.99,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Video near-dup pairs by frame voting (the video_neardup_pairs
     plan shape, multimodal.py:1136) over INTEGER block-mean frame
@@ -407,8 +425,14 @@ def video_blockmean_neardup(
     keys (frame_idx, band, band_val) with the pigeonhole guarantee;
     'lsh' keys (frame_idx, tbl, kv) with
     :func:`dedup.lsh_scale_dials` sizing (k, L) from the per-frame
-    item count; 'auto' switches at BANDED_MAX_ITEMS.  Returns
-    (id_a, id_b, n_matching)."""
+    item count; 'auto' switches at BANDED_MAX_ITEMS.
+    ``max_bucket_size`` follows the flat-media convention: an explicit
+    cap applies to EITHER join strategy (ROW_NUMBER over the bucket
+    key); None leaves the banded join uncapped but keeps the LSH
+    join's 4096 degenerate-bucket backstop — without it, constant
+    frames shared across many videos (black intros) collide at the
+    same frame index and go quadratic on exactly the corpora the auto
+    switch targets.  Returns (id_a, id_b, n_matching)."""
     from .dedup import lsh_keyed, lsh_scale_dials
 
     if method not in ("auto", "banded", "lsh"):
@@ -442,6 +466,11 @@ def video_blockmean_neardup(
             max(sigs.count() // max(n_frames, 1), 2), max_hamming, target_recall
         )
         keyed = lsh_keyed(sigs, k, tables, seed=42, extra_cols=("_fi",))
+        keyed = _cap_buckets(
+            keyed,
+            ("_fi", "tbl", "kv"),
+            max_bucket_size if max_bucket_size is not None else 4096,
+        )
         cand = (
             keyed.alias("l")
             .join(
@@ -503,6 +532,8 @@ def video_blockmean_neardup(
             )
         ).alias("bb"),
     ).select("_id", "_fi", "sig", "bb.band", "bb.band_val")
+    if max_bucket_size is not None:
+        banded = _cap_buckets(banded, ("_fi", "band", "band_val"), max_bucket_size)
     cand = (
         banded.alias("l")
         .join(

@@ -600,14 +600,18 @@ def hard_negatives_ivf(
     import pandas as pd
 
     spark = df.sparkSession
-    if n_probe is None:
-        n_probe = n_clusters
     if centroids is None:
         assigned, cmat = ivf_index(df, n_clusters, vec_col, seed)
     else:
         cmat = np.ascontiguousarray(centroids, dtype=np.float64)
         assigned = assign_to_centroids(df, cmat, vec_col)
         n_clusters = cmat.shape[0]
+    # resolve the full-probe default AFTER n_clusters reflects a
+    # caller-provided centroid matrix, so "n_probe=None means exact"
+    # holds for standing indexes whose cluster count differs from the
+    # n_clusters parameter default
+    if n_probe is None:
+        n_probe = n_clusters
     n_probe = min(n_probe, n_clusters)
 
     q_rows = (

@@ -5360,30 +5360,45 @@ def prebuild_artifacts(spark: SparkSession, sf_dir: str) -> None:
 def dedup_media_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup pairs over a deterministic synthetic PGM corpus
     derived from the documents table: real encode->decode roundtrip,
-    block-mean hash, shared banded-Hamming join (bands=8, k<=7)."""
+    block-mean hash, shared banded-Hamming join (bands=8, k<=7).
+    method='banded' is PINNED here because the DuckDB twin is the
+    exact banded join — the operator-level 'auto' default would
+    silently switch to approximate LSH past BANDED_MAX_ITEMS and
+    diverge from the certified oracle (ADVICE r10); scale corpora use
+    the operator default, not this registry entry."""
     from ..operators.mediahash import image_blockmean_neardup, media_corpus
 
     docs = load_table(spark, sf_dir, "documents")
-    return image_blockmean_neardup(media_corpus(docs, "image")).orderBy("id_a", "id_b")
+    return image_blockmean_neardup(
+        media_corpus(docs, "image"), method="banded"
+    ).orderBy("id_a", "id_b")
 
 
 def dedup_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup pairs over a synthetic PCM16 WAV corpus: real
-    WAV decode, energy-contour grid fingerprint, banded-Hamming join."""
+    WAV decode, energy-contour grid fingerprint, banded-Hamming join.
+    method='banded' pinned to match the exact twin (see
+    dedup_media_image)."""
     from ..operators.mediahash import audio_energy_neardup, media_corpus
 
     docs = load_table(spark, sf_dir, "documents")
-    return audio_energy_neardup(media_corpus(docs, "audio")).orderBy("id_a", "id_b")
+    return audio_energy_neardup(
+        media_corpus(docs, "audio"), method="banded"
+    ).orderBy("id_a", "id_b")
 
 
 def dedup_media_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup pairs by frame voting over a synthetic y4m
     corpus: real Y-plane frame sampling, per-frame block-mean hashes,
-    frame-index-keyed banded join, vote >= 2 of 4 frames."""
+    frame-index-keyed banded join, vote >= 2 of 4 frames.
+    method='banded' pinned to match the exact twin (see
+    dedup_media_image)."""
     from ..operators.mediahash import media_corpus, video_blockmean_neardup
 
     docs = load_table(spark, sf_dir, "documents")
-    return video_blockmean_neardup(media_corpus(docs, "video")).orderBy("id_a", "id_b")
+    return video_blockmean_neardup(
+        media_corpus(docs, "video"), method="banded"
+    ).orderBy("id_a", "id_b")
 
 
 def _mediahash_sqls() -> tuple[str, str, str]:

@@ -238,3 +238,25 @@ def test_lsh_capped_twin_matches_duckdb_when_cap_binds(spark):
     )
     want = sorted(map(tuple, con.execute(sql).fetchall()))
     assert got == want and len(got) > 0
+
+
+def test_scale_dials_rejects_out_of_range_hamming():
+    """max_hamming outside [0, 64) must raise a clear ValueError, not
+    a math-domain error from inside the dial law (ADVICE r10)."""
+    from confidential_storm_spark.operators.dedup import lsh_scale_dials
+
+    for bad in (-1, 64, 100):
+        with pytest.raises(ValueError, match="max_hamming"):
+            lsh_scale_dials(1000, max_hamming=bad)
+
+
+def test_scale_dials_extreme_but_valid_hamming_no_crash():
+    """max_hamming=63 makes p^k underflow past double epsilon; the
+    log1p form must return the capped table count instead of dividing
+    by log(1.0) == 0 (latent crash found alongside ADVICE r10)."""
+    from confidential_storm_spark.operators.dedup import lsh_scale_dials
+
+    k, tables = lsh_scale_dials(10**9, max_hamming=63)
+    assert k >= 16 and tables == 64
+    # and the certified small-SF operating point is unchanged
+    assert lsh_scale_dials(55_000, max_hamming=7) == (16, 28)

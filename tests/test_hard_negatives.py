@@ -154,3 +154,24 @@ def test_zero_norm_vectors_rank_last_never_nan(spark):
     assert by_rank[2] == (2, 0.0)       # zero-norm: cosine exactly 0
     assert by_rank[3][0] == 3 and by_rank[3][1] < 0
     assert all(r.cosine == r.cosine for r in got)  # no NaN anywhere
+
+
+def test_ivf_none_probe_is_full_probe_with_caller_centroids(spark):
+    """n_probe=None must mean FULL probe against the caller-provided
+    centroid matrix's own cluster count, not the n_clusters parameter
+    default — with 8 standing-index centroids and n_clusters left at a
+    smaller value, the old resolution order silently pruned to
+    partial probe (ADVICE r10)."""
+    from confidential_storm_spark.operators.similarity import hard_negatives_ivf
+
+    rows, df = _fixture(spark, n=120)
+    rng = np.random.default_rng(7)
+    cents = rng.normal(size=(8, 8))
+    exact = _ref(rows, 4, 10)
+    got = [
+        tuple(r)
+        for r in hard_negatives_ivf(
+            df, k=4, query_mod=10, n_clusters=2, centroids=cents
+        ).collect()
+    ]
+    assert got == exact

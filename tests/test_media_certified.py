@@ -202,3 +202,20 @@ def test_video_neardup_lsh_matches_banded_small_corpus(spark):
         for r in mh.video_blockmean_neardup(media, method="lsh").collect()
     }
     assert lsh == banded and len(banded) > 0
+
+
+def test_video_bucket_cap_bounds_degenerate_frames(spark):
+    """Constant frames shared across many videos collide at the same
+    (frame, key) bucket; the ROW_NUMBER cap must bound the candidate
+    join on BOTH strategies (ADVICE r10: the LSH path had no backstop).
+    cap=1 keeps one row per bucket, so no candidate pair survives."""
+    from confidential_storm_spark.operators import mediahash as mh
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = mh.media_corpus(docs, "video")
+    for method in ("banded", "lsh"):
+        uncapped = mh.video_blockmean_neardup(media, method=method).count()
+        capped = mh.video_blockmean_neardup(
+            media, method=method, max_bucket_size=1
+        ).count()
+        assert uncapped > 0 and capped == 0, (method, uncapped, capped)

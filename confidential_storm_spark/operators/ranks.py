@@ -44,7 +44,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["attach_rank_ranges", "log_rank_power_sums"]
+__all__ = [
+    "attach_rank_ranges",
+    "log_rank_power_sums",
+    "range_shard_boundaries",
+]
 
 # ranks per F.aggregate call; 64k keeps each chunk's sequence array
 # well under Spark's array limits while giving ~15k chunks per billion
@@ -58,20 +62,25 @@ def attach_rank_ranges(
     size_col: str = "_m",
     start_col: str = "_start",
     num_partitions: int | None = None,
+    ascending: bool = False,
 ) -> DataFrame:
-    """Add ``start_col`` = number of items in strictly-greater count
-    classes (exclusive prefix sum of ``size_col`` in descending
-    ``count_col`` order).  Class ranks are ``start+1 .. start+size``.
+    """Add ``start_col`` = number of items in classes that precede
+    this one under the scan order (exclusive prefix sum of
+    ``size_col``): strictly-GREATER ``count_col`` classes by default
+    (rank spectra), strictly-SMALLER with ``ascending=True`` (e.g. a
+    chronological daily-count cumsum for range-shard planning).
+    Class ranks are ``start+1 .. start+size``.
 
-    Two-phase scan: range-partition descending, running cumsum inside
-    each partition (sequential pandas pass), then ONE collected row
-    per partition yields the cross-partition offsets.  The
+    Two-phase scan: range-partition in scan order, running cumsum
+    inside each partition (sequential pandas pass), then ONE collected
+    row per partition yields the cross-partition offsets.  The
     intermediate is pinned with ``localCheckpoint`` so the offset
     collect and the returned relation see the SAME partitioning (a
     re-executed range exchange may re-sample boundaries).
     """
     spark = spectrum.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
+    order = F.col(count_col).asc() if ascending else F.col(count_col).desc()
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in spectrum.schema)
 
     def running(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -90,8 +99,8 @@ def attach_rank_ranges(
             yield out
 
     scanned = (
-        spectrum.repartitionByRange(n_part, F.col(count_col).desc())
-        .sortWithinPartitions(F.col(count_col).desc())
+        spectrum.repartitionByRange(n_part, order)
+        .sortWithinPartitions(order)
         .mapInPandas(running, schema=f"{fields}, _cum bigint, _pid int")
         .localCheckpoint(eager=True)
     )
@@ -114,6 +123,140 @@ def attach_rank_ranges(
     return scanned.withColumn(
         start_col, F.col("_cum") - F.col(size_col) + off_expr
     ).drop("_cum", "_pid")
+
+
+def range_shard_boundaries(
+    df: DataFrame,
+    coarse_col: str,
+    fine_col: str,
+    n_shards: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact equal-row range-shard boundaries of ``df`` under the
+    (coarse_col, fine_col) total order — row-identical to
+    ``NTILE(n) OVER (ORDER BY coarse, fine)`` + groupBy, WITHOUT the
+    unpartitioned window that forces Spark to sort the whole fact on
+    one core (``WindowExec: No Partition Defined``).
+
+    The NTILE law fixes every tile size from N alone (first ``N % n``
+    tiles get ``N // n + 1`` rows, the rest ``N // n``), so shard
+    membership is a pure function of a row's global rank.  Under a
+    (coarse, fine) order the global rank decomposes as
+    ``start(coarse) + rank_within_coarse(fine)``, which splits the
+    work into three shuffle-light stages:
+
+    1. coarse spectrum: one groupBy to (coarse, count, min/max fine) —
+       |coarse| rows (days, not facts);
+    2. distributed exclusive cumsum over the spectrum in chronological
+       order (:func:`attach_rank_ranges`, ascending) — gives
+       ``start``, and therefore each coarse class's first/last shard,
+       with O(P) driver state;
+    3. refinement ONLY on boundary classes — the <= n-1 coarse values
+       a shard boundary falls strictly inside.  Those rows (and only
+       those) get a within-class rank (window PARTITIONED by the
+       coarse key, never global) and their exact shard; interior
+       classes contribute their precomputed aggregates directly.
+
+    Requires ``fine_col`` to be unique within a coarse class (a true
+    total order — e.g. a key column); with duplicates the within-class
+    row_number tie choice is engine-dependent, exactly as NTILE's is.
+    Scale note: each boundary class's refinement sorts that class's
+    rows in one task; rows-per-coarse-class is the skew bound (for a
+    daily fact, one day's rows — if a single class can exceed task
+    memory, pre-split the coarse key).
+
+    Returns (shard int, n_rows bigint, coarse_lo, coarse_hi, fine_lo,
+    fine_hi), one row per non-empty shard, ordered by shard.
+    Certified row-identical to the NTILE twin by the
+    ``shard_boundaries_scalable`` registry entry."""
+    from pyspark.sql import Window
+
+    base_rel = df.select(coarse_col, fine_col)
+    spectrum = base_rel.groupBy(coarse_col).agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.min(fine_col).alias("_f_min"),
+        F.max(fine_col).alias("_f_max"),
+    )
+    ranged = attach_rank_ranges(
+        spectrum,
+        count_col=coarse_col,
+        size_col="_m",
+        ascending=True,
+        num_partitions=num_partitions,
+    )
+    n_total = ranged.agg(F.sum("_m")).collect()[0][0] or 0
+    if n_total == 0:
+        return ranged.sparkSession.createDataFrame(
+            [],
+            ranged.select(
+                F.lit(1).alias("shard"),
+                F.lit(0).cast("bigint").alias("n_rows"),
+                F.col(coarse_col).alias("coarse_lo"),
+                F.col(coarse_col).alias("coarse_hi"),
+                F.col("_f_min").alias("fine_lo"),
+                F.col("_f_max").alias("fine_hi"),
+            ).schema,
+        )
+    tile_base, tile_big = divmod(n_total, n_shards)
+
+    def shard_of(rank):
+        # the NTILE assignment law; ceil(a/b) written floor((a+b-1)/b)
+        # — double floor is exact for counts below 2^53
+        if tile_base == 0:
+            return rank.cast("int")
+        big_rows = tile_big * (tile_base + 1)
+        first = F.floor((rank + tile_base) / (tile_base + 1))
+        rest = F.lit(tile_big) + F.floor(
+            (rank - big_rows + tile_base - 1) / tile_base
+        )
+        return F.when(rank <= big_rows, first).otherwise(rest).cast("int")
+
+    marked = ranged.withColumn(
+        "_s_first", shard_of(F.col("_start") + 1)
+    ).withColumn("_s_last", shard_of(F.col("_start") + F.col("_m")))
+    interior = marked.filter(F.col("_s_first") == F.col("_s_last")).select(
+        F.col("_s_first").alias("shard"),
+        F.col("_m").alias("_cnt"),
+        F.col(coarse_col).alias("_c_lo"),
+        F.col(coarse_col).alias("_c_hi"),
+        F.col("_f_min").alias("_f_lo"),
+        F.col("_f_max").alias("_f_hi"),
+    )
+    boundary = marked.filter(F.col("_s_first") != F.col("_s_last")).select(
+        coarse_col, "_start"
+    )
+    wnd = Window.partitionBy(coarse_col).orderBy(fine_col)
+    refined = (
+        base_rel.join(F.broadcast(boundary), coarse_col)
+        .withColumn("_rn", F.row_number().over(wnd))
+        .withColumn("shard", shard_of(F.col("_start") + F.col("_rn")))
+        .groupBy("shard", coarse_col)
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(fine_col).alias("_f_lo"),
+            F.max(fine_col).alias("_f_hi"),
+        )
+        .select(
+            "shard",
+            "_cnt",
+            F.col(coarse_col).alias("_c_lo"),
+            F.col(coarse_col).alias("_c_hi"),
+            "_f_lo",
+            "_f_hi",
+        )
+    )
+    return (
+        interior.unionByName(refined)
+        .groupBy("shard")
+        .agg(
+            F.sum("_cnt").alias("n_rows"),
+            F.min("_c_lo").alias("coarse_lo"),
+            F.max("_c_hi").alias("coarse_hi"),
+            F.min("_f_lo").alias("fine_lo"),
+            F.max("_f_hi").alias("fine_hi"),
+        )
+        .orderBy("shard")
+    )
 
 
 def log_rank_power_sums(

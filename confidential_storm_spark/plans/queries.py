@@ -9983,10 +9983,11 @@ def shard_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: the PARTITION-BY-less NTILE is the one deliberately
     exact-over-scalable step here (Spark executes it single-partition)
-    — at warehouse scale you compute the same boundaries from the
-    |dates|-sized daily-count cumsum and key-resolve only the ~{n}
-    boundary dates; this registry point certifies the exact semantics
-    that approximation targets, the `text_vocab_coverage` pattern."""
+    — the certified scale sibling is `shard_boundaries_scalable`
+    (operators/ranks.py::range_shard_boundaries), which derives the
+    IDENTICAL relation from the |dates|-sized daily-count cumsum with
+    fact-row refinement only on the ~{n} boundary dates, and is
+    certified against this same NTILE twin."""
     orders = load_table(spark, sf_dir, "orders")
     wnd = Window.orderBy("o_orderdate", "o_orderkey")
     t = orders.select(
@@ -10033,6 +10034,44 @@ QUERIES["shard_boundaries"] = QueryDef(
     shard_boundaries,
     _SHARD_BOUNDARIES_SQL,
     "exact equal-row range-shard boundaries under a total order (the repartitionByRange plan)",
+    "training-data",
+)
+
+
+def shard_boundaries_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of `shard_boundaries`: the SAME exact boundary
+    relation (certified against the same NTILE twin) computed without
+    any unpartitioned window over the fact — daily-count spectrum,
+    distributed chronological cumsum (the ranks.py two-phase scan),
+    shard assignment from the NTILE size law, and within-date key
+    refinement only on the <={n} boundary dates whose rank range a
+    shard boundary splits.  See
+    operators/ranks.py::range_shard_boundaries for the decomposition
+    proof sketch; this entry is the capped-LSH precedent applied to
+    the last full-fact global window (VERDICT r10 next-round #2)."""
+    from ..operators.ranks import range_shard_boundaries
+
+    orders = load_table(spark, sf_dir, "orders")
+    b = range_shard_boundaries(orders, "o_orderdate", "o_orderkey", _SHARD_N)
+    return b.select(
+        "shard",
+        "n_rows",
+        F.date_format("coarse_lo", "yyyy-MM-dd").alias("date_lo"),
+        F.date_format("coarse_hi", "yyyy-MM-dd").alias("date_hi"),
+        F.col("fine_lo").alias("key_lo"),
+        F.col("fine_hi").alias("key_hi"),
+    ).orderBy("shard")
+
+
+shard_boundaries_scalable.__doc__ = shard_boundaries_scalable.__doc__.format(
+    n=_SHARD_N - 1
+)
+
+
+QUERIES["shard_boundaries_scalable"] = QueryDef(
+    shard_boundaries_scalable,
+    _SHARD_BOUNDARIES_SQL,
+    "scale-safe shard planner: spectrum cumsum + boundary-date refinement, identical to the NTILE relation",
     "training-data",
 )
 

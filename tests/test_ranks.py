@@ -79,3 +79,71 @@ def test_spectrum_regression_equals_rowwise_fit(spark):
     assert sy == pytest.approx(Y.sum(), rel=1e-12)
     assert sxy == pytest.approx((X * Y).sum(), rel=1e-9)
     assert sxx == pytest.approx((X * X).sum(), rel=1e-12)
+
+
+def test_rank_ranges_ascending_chronological(spark):
+    """ascending=True gives start = #items in strictly-SMALLER key
+    classes — the chronological cumsum the shard planner scans."""
+    import numpy as np
+
+    from confidential_storm_spark.operators.ranks import attach_rank_ranges
+
+    rng = np.random.default_rng(5)
+    rows = [(int(k), int(m)) for k, m in zip(range(40), rng.integers(1, 9, 40))]
+    df = spark.createDataFrame(rows, "_c int, _m long")
+    got = {r._c: r._start for r in attach_rank_ranges(df, ascending=True).collect()}
+    acc = 0
+    for k, m in sorted(rows):
+        assert got[k] == acc, (k, got[k], acc)
+        acc += m
+
+
+def _ntile_ref(rows, n):
+    """groupBy-shard reference via the NTILE law over sorted rows."""
+    rows = sorted(rows)
+    N = len(rows)
+    base, big = divmod(N, n)
+    out = {}
+    for i, (c, f) in enumerate(rows, 1):
+        if base == 0:
+            s = i
+        elif i <= big * (base + 1):
+            s = -(-i // (base + 1))
+        else:
+            s = big + (-(-(i - big * (base + 1)) // base))
+        agg = out.setdefault(s, [0, c, c, f, f])
+        agg[0] += 1
+        agg[1], agg[2] = min(agg[1], c), max(agg[2], c)
+        agg[3], agg[4] = min(agg[3], f), max(agg[4], f)
+    return {s: tuple(v) for s, v in out.items()}
+
+
+@pytest.mark.parametrize("n_rows,n_shards", [(500, 32), (97, 8), (10, 32), (64, 64)])
+def test_range_shard_boundaries_match_ntile_law(spark, n_rows, n_shards):
+    """range_shard_boundaries is row-identical to global-window NTILE
+    + groupBy for even splits, ragged splits (N % n != 0), N < n, and
+    N == n — without any unpartitioned window in its plan."""
+    import numpy as np
+
+    from confidential_storm_spark.operators.ranks import range_shard_boundaries
+
+    rng = np.random.default_rng(n_rows)
+    # ~20 coarse classes so several shards share a class and several
+    # classes span shards
+    rows = [(int(rng.integers(0, 20)), i * 7 % 1009) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "day int, key int")
+    got = {
+        r.shard: (r.n_rows, r.coarse_lo, r.coarse_hi, r.fine_lo, r.fine_hi)
+        for r in range_shard_boundaries(df, "day", "key", n_shards).collect()
+    }
+    assert got == _ntile_ref(rows, n_shards)
+    plan = (
+        range_shard_boundaries(df, "day", "key", n_shards)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "No Partition Defined" not in plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "partitionBy" in line or "windowspecdefinition(day" in line, line

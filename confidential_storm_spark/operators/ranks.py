@@ -45,8 +45,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "attach_ntile",
     "attach_rank_ranges",
     "log_rank_power_sums",
+    "ntile_of",
     "range_shard_boundaries",
 ]
 
@@ -125,6 +127,85 @@ def attach_rank_ranges(
     ).drop("_cum", "_pid")
 
 
+def ntile_of(rank, n_total: int, n_tiles: int):
+    """SQL NTILE assignment as a pure column function of the 1-based
+    global rank: the first ``n_total % n_tiles`` tiles hold
+    ``n_total // n_tiles + 1`` rows, the rest one fewer — the law both
+    Spark and DuckDB implement, so computing it from a distributed
+    rank is row-identical to the single-partition window.
+    ceil(a/b) is written floor((a+b-1)/b); double floor is exact for
+    counts below 2^53 (~9e15 rows)."""
+    tile_base, tile_big = divmod(n_total, n_tiles)
+    if tile_base == 0:
+        return rank.cast("int")
+    big_rows = tile_big * (tile_base + 1)
+    first = F.floor((rank + tile_base) / (tile_base + 1))
+    rest = F.lit(tile_big) + F.floor((rank - big_rows + tile_base - 1) / tile_base)
+    return F.when(rank <= big_rows, first).otherwise(rest).cast("int")
+
+
+def attach_ntile(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    n_tiles: int,
+    score_col: str,
+    descending: bool = False,
+    n_total: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``score_col`` = ``NTILE(n) OVER (ORDER BY value [DESC],
+    tie)`` WITHOUT the unpartitioned window (which sorts the whole
+    relation on one core).  Same decomposition as
+    :func:`range_shard_boundaries`: global rank =
+    start(value class) + rank-within-class(tie), where start comes
+    from the distributed spectrum cumsum.  Value classes a tile
+    boundary falls strictly inside (at most ``n_tiles - 1`` of them —
+    broadcastable) get within-class row_number refinement; every
+    other class maps to its single tile with a plain join on
+    ``value_col``.
+
+    Requires non-null ``value_col`` (NULL ordering differs across
+    engines) and ``tie_col`` unique within a value class (the total
+    order NTILE itself needs for determinism).  Pins ``df`` with
+    ``localCheckpoint`` — it is read three times (spectrum, interior
+    join, boundary join).  Pass ``n_total`` when the caller already
+    knows |df| to skip one tiny aggregate job."""
+    df = df.localCheckpoint(eager=False)
+    spectrum = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_m"))
+    ranged = attach_rank_ranges(
+        spectrum,
+        count_col=value_col,
+        size_col="_m",
+        ascending=not descending,
+        num_partitions=num_partitions,
+    )
+    if n_total is None:
+        n_total = ranged.agg(F.sum("_m")).collect()[0][0] or 0
+    marked = ranged.withColumn(
+        "_s_first", ntile_of(F.col("_start") + 1, n_total, n_tiles)
+    ).withColumn("_s_last", ntile_of(F.col("_start") + F.col("_m"), n_total, n_tiles))
+    interior = marked.filter(F.col("_s_first") == F.col("_s_last")).select(
+        value_col, F.col("_s_first").alias(score_col)
+    )
+    boundary = marked.filter(F.col("_s_first") != F.col("_s_last")).select(
+        value_col, "_start"
+    )
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy(value_col).orderBy(tie_col)
+    scored_interior = df.join(interior, value_col)
+    scored_boundary = (
+        df.join(F.broadcast(boundary), value_col)
+        .withColumn("_rn", F.row_number().over(wnd))
+        .withColumn(
+            score_col, ntile_of(F.col("_start") + F.col("_rn"), n_total, n_tiles)
+        )
+        .drop("_start", "_rn")
+    )
+    return scored_interior.unionByName(scored_boundary)
+
+
 def range_shard_boundaries(
     df: DataFrame,
     coarse_col: str,
@@ -197,19 +278,8 @@ def range_shard_boundaries(
                 F.col("_f_max").alias("fine_hi"),
             ).schema,
         )
-    tile_base, tile_big = divmod(n_total, n_shards)
-
     def shard_of(rank):
-        # the NTILE assignment law; ceil(a/b) written floor((a+b-1)/b)
-        # — double floor is exact for counts below 2^53
-        if tile_base == 0:
-            return rank.cast("int")
-        big_rows = tile_big * (tile_base + 1)
-        first = F.floor((rank + tile_base) / (tile_base + 1))
-        rest = F.lit(tile_big) + F.floor(
-            (rank - big_rows + tile_base - 1) / tile_base
-        )
-        return F.when(rank <= big_rows, first).otherwise(rest).cast("int")
+        return ntile_of(rank, n_total, n_shards)
 
     marked = ranged.withColumn(
         "_s_first", shard_of(F.col("_start") + 1)

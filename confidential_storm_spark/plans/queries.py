@@ -8909,8 +8909,10 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast corpus-max scalar, then three ntile windows over the
     reduced relation.  The windows are single-partition by Spark's
     global-ntile semantics, but over |customers| rows, not orders —
-    at warehouse scale quantile-bucket joins (sketch_quantiles)
-    replace exact ntile; this is the exact-certifiable form."""
+    the certified scale sibling is `q_customer_rfm_scalable`
+    (operators/ranks.py::attach_ntile), which derives the IDENTICAL
+    scores from per-dimension spectrum cumsums with no unpartitioned
+    window, certified against this same twin."""
     orders = load_table(spark, sf_dir, "orders")
     base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("_last"),
@@ -8969,6 +8971,58 @@ QUERIES["q_customer_rfm"] = QueryDef(
     q_customer_rfm,
     CUSTOMER_RFM_SQL,
     "RFM quintile segmentation with deterministic tile boundaries",
+    "beyond-ref",
+)
+
+
+def q_customer_rfm_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse-scale form of `q_customer_rfm`: the SAME RFM
+    score relation (certified against the same twin) with every
+    global ntile replaced by operators/ranks.py::attach_ntile — a
+    per-dimension value-spectrum cumsum (distributed two-phase scan)
+    plus within-class tie refinement on the <=4 quintile-boundary
+    value classes, so no relation is ever sorted on a single
+    partition (VERDICT r10 next-round #5, the capped-LSH precedent
+    applied to the customer dimension)."""
+    from ..operators.ranks import attach_ntile
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(F.col("o_totalprice").cast(_PRICE_D)), 2)
+        .cast("double")
+        .alias("monetary"),
+    )
+    corpus_max = orders.agg(F.max("o_orderdate").alias("_maxd"))
+    base = (
+        base.crossJoin(F.broadcast(corpus_max))
+        .withColumn("recency_days", F.datediff("_maxd", "_last"))
+        .drop("_last", "_maxd")
+    )
+    scored = attach_ntile(
+        base, "recency_days", "custkey", 5, "r_score", descending=True
+    )
+    scored = attach_ntile(scored, "frequency", "custkey", 5, "f_score")
+    scored = attach_ntile(scored, "monetary", "custkey", 5, "m_score")
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(F.col("r_score"), F.col("f_score"), F.col("m_score"))
+        .cast("string")
+        .alias("segment"),
+    ).orderBy("custkey")
+
+
+QUERIES["q_customer_rfm_scalable"] = QueryDef(
+    q_customer_rfm_scalable,
+    CUSTOMER_RFM_SQL,
+    "scale-safe RFM: spectrum-cumsum ntile scores, identical to the exact quintile relation",
     "beyond-ref",
 )
 

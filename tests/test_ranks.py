@@ -147,3 +147,33 @@ def test_range_shard_boundaries_match_ntile_law(spark, n_rows, n_shards):
     for line in plan.splitlines():
         if "Window [" in line:
             assert "partitionBy" in line or "windowspecdefinition(day" in line, line
+
+
+@pytest.mark.parametrize("descending,n_tiles", [(False, 5), (True, 5), (False, 7)])
+def test_attach_ntile_matches_global_window(spark, descending, n_tiles):
+    """attach_ntile is row-identical to NTILE(n) OVER (ORDER BY value
+    [DESC], tie) — with heavy duplicate value classes straddling tile
+    boundaries — and its plan has no unpartitioned window."""
+    import numpy as np
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from confidential_storm_spark.operators.ranks import attach_ntile
+
+    rng = np.random.default_rng(int(descending) * 10 + n_tiles)
+    # 12 distinct values over 300 rows: every tile boundary lands
+    # inside some duplicate class
+    rows = [(i, int(rng.integers(0, 12))) for i in range(300)]
+    df = spark.createDataFrame(rows, "tie long, value int")
+    order = [F.col("value").desc() if descending else F.col("value").asc(), "tie"]
+    expect = {
+        (r.tie): r.s
+        for r in df.select(
+            "tie", F.ntile(n_tiles).over(W.orderBy(*order)).alias("s")
+        ).collect()
+    }
+    got_df = attach_ntile(df, "value", "tie", n_tiles, "s", descending=descending)
+    got = {r.tie: r.s for r in got_df.collect()}
+    assert got == expect
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "No Partition Defined" not in plan

@@ -1135,6 +1135,76 @@ def knn_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_hard_negatives_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRUNED-probe miner as a certified invariant rather than a
+    CSV row (VERDICT r10 next-round #6): runs the exact miner and the
+    half-probe IVF miner side by side in Spark and emits a one-row
+    summary whose `recall_ge_floor` column the DuckDB twin pins to
+    TRUE — the twin independently recomputes the exact-pair
+    denominator (the full mining SQL as a CTE), so a hash match
+    certifies BOTH that the exact pair universe agrees across engines
+    AND that pruned-probe recall met the floor."""
+    import os
+
+    from ..operators.similarity import (
+        hard_negatives,
+        hard_negatives_ivf,
+        ivf_write_index,
+        read_centroid_matrix,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ivf_index_path(sf_dir)
+    if not os.path.exists(f"{path}/centroids/_SUCCESS"):
+        ivf_write_index(emb, path, n_clusters=IVF_CLUSTERS)
+    cents = read_centroid_matrix(spark, path)
+    exact = hard_negatives(emb, k=KNN_HARD_K, query_mod=KNN_QUERY_MOD).select(
+        "query_id", "neg_id"
+    )
+    pruned = hard_negatives_ivf(
+        emb,
+        k=KNN_HARD_K,
+        query_mod=KNN_QUERY_MOD,
+        n_probe=IVF_PRUNE_PROBES,
+        centroids=cents,
+    ).select("query_id", "neg_id")
+    hits = exact.join(pruned, ["query_id", "neg_id"], "left_semi")
+    return (
+        exact.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact_pairs"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hit")))
+        .select(
+            "n_queries",
+            "n_exact_pairs",
+            F.lit(IVF_PRUNE_PROBES).alias("n_probe"),
+            F.lit(IVF_CLUSTERS).alias("n_clusters"),
+            F.lit(HARD_NEG_RECALL_FLOOR).alias("recall_floor"),
+            (
+                F.col("_n_hit")
+                >= F.lit(HARD_NEG_RECALL_FLOOR) * F.col("n_exact_pairs")
+            ).alias("recall_ge_floor"),
+        )
+    )
+
+
+def _knn_hard_negatives_pruned_sql() -> str:
+    from ..operators.similarity import hard_negatives_sql
+
+    inner = hard_negatives_sql(k=KNN_HARD_K, query_mod=KNN_QUERY_MOD).strip()
+    return f"""
+WITH exact AS ({inner})
+SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       CAST({IVF_PRUNE_PROBES} AS INTEGER) AS n_probe,
+       CAST({IVF_CLUSTERS} AS INTEGER) AS n_clusters,
+       CAST({HARD_NEG_RECALL_FLOOR} AS DOUBLE) AS recall_floor,
+       TRUE AS recall_ge_floor
+FROM exact
+"""
+
+
 def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-canonical exact dedup: the digest key is
     nfc_lower(clean_text(text)) — NFC composition + lowercase over the
@@ -1621,6 +1691,15 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_CLUSTERS = 16
+
+# half the clusters probed = ~2x scoring-work saving; the measured
+# recall ladder is benchmark/hard_negatives_ivf_recall.csv (sf10:
+# 0.918 at 32/64).  The floor is set with margin under the measured
+# small-SF recall (0.84 at sf0.01, 0.80 at sf0.001) so an index
+# rebuild can't flake the gate while a real recall regression
+# (mis-probing, broken assignment) still hash-mismatches.
+IVF_PRUNE_PROBES = IVF_CLUSTERS // 2
+HARD_NEG_RECALL_FLOOR = 0.70
 
 
 def _index_cache_path(sf_dir: str, prefix: str, *params, table: str = "embeddings") -> str:
@@ -2866,6 +2945,12 @@ QUERIES["knn_hard_negatives_ivf"] = QueryDef(
     knn_hard_negatives_ivf,
     _knn_hard_negatives_sql(),
     "IVF-pruned hard-negative mining at full probe: provably identical to the exact miner",
+    "training-data",
+)
+QUERIES["knn_hard_negatives_ivf_pruned"] = QueryDef(
+    knn_hard_negatives_ivf_pruned,
+    _knn_hard_negatives_pruned_sql(),
+    "half-probe IVF miner recall floor as a certified invariant (twin pins recall_ge_floor)",
     "training-data",
 )
 QUERIES["dedup_normalized"] = QueryDef(

@@ -819,6 +819,7 @@ def hamming_banded_pairs(
         sigs = sigs.localCheckpoint(eager=False)
     banded = sigs.select(
         "_id",
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -832,7 +833,7 @@ def hamming_banded_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "bb.band", "bb.band_val")
+    ).select("_id", "sig", "bb.band", "bb.band_val")
     if max_bucket_size is not None:
         from pyspark.sql import Window
 
@@ -842,7 +843,15 @@ def hamming_banded_pairs(
             .where(F.col("_rn") <= max_bucket_size)
             .drop("_rn")
         )
-    cand = (
+    # verify BEFORE distinct: the signature rides along in the keyed
+    # relation (+8 bytes/row), so the exact XOR-popcount filter runs
+    # inside the join's output stream and the dedup shuffle sees only
+    # TRUE pairs — not the quadratic raw candidate volume (measured
+    # r11 at sf1 simhash-LSH: ~100M raw candidates vs 2M verified;
+    # the old plan shuffled all 100M through distinct AND two
+    # join-backs).  hamming is a function of the pair, so distinct
+    # over (id_a, id_b, hamming) equals distinct over the pair.
+    return (
         banded.alias("l")
         .join(
             banded.alias("r"),
@@ -850,25 +859,13 @@ def hamming_banded_pairs(
             & (F.col("l.band_val") == F.col("r.band_val"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
-    )
-    return _verify_hamming_pairs(cand, sigs, max_hamming)
-
-
-def _verify_hamming_pairs(
-    cand: DataFrame, sigs: DataFrame, max_hamming: int
-) -> DataFrame:
-    """Exact verification tail shared by the banded and LSH candidate
-    generators: join the signatures back and keep bit_count(XOR) <=
-    max_hamming — JVM-side, codegen, no Python."""
-    sh = sigs.select("_id", "sig")
-    return (
-        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
-        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
@@ -1091,9 +1088,9 @@ def hamming_lsh_pairs(
     (e.g. constant-region fingerprints); with a healthy key space it
     should almost never bind — keep it well above the expected bucket
     size so it only clips pathologies."""
-    if checkpoint:  # key build + verify reuse it; False = caller already did
+    if checkpoint:  # both join sides reuse it; False = caller already did
         sigs = sigs.localCheckpoint(eager=False)
-    keyed = lsh_keyed(sigs, bits_per_table, tables, seed)
+    keyed = lsh_keyed(sigs, bits_per_table, tables, seed, extra_cols=("sig",))
     if max_bucket_size is not None:
         from pyspark.sql import Window
 
@@ -1103,7 +1100,13 @@ def hamming_lsh_pairs(
             .where(F.col("_rn") <= max_bucket_size)
             .drop("_rn")
         )
-    cand = (
+    # verify BEFORE distinct (see hamming_banded_pairs): the exact
+    # popcount filter runs inside the candidate join's output stream,
+    # so the distinct shuffles only true pairs — at sf1 simhash dials
+    # that is ~2M rows instead of ~100M raw candidates, and the sig
+    # join-back disappears entirely (it was the 48g-driver hot
+    # shuffle at sf10)
+    return (
         keyed.alias("l")
         .join(
             keyed.alias("r"),
@@ -1111,10 +1114,14 @@ def hamming_lsh_pairs(
             & (F.col("l.kv") == F.col("r.kv"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return _verify_hamming_pairs(cand, sigs, max_hamming)
 
 
 def simhash_neardup_pairs(

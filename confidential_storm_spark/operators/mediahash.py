@@ -465,13 +465,17 @@ def video_blockmean_neardup(
         k, tables = lsh_scale_dials(
             max(sigs.count() // max(n_frames, 1), 2), max_hamming, target_recall
         )
-        keyed = lsh_keyed(sigs, k, tables, seed=42, extra_cols=("_fi",))
+        keyed = lsh_keyed(sigs, k, tables, seed=42, extra_cols=("_fi", "sig"))
         keyed = _cap_buckets(
             keyed,
             ("_fi", "tbl", "kv"),
             max_bucket_size if max_bucket_size is not None else 4096,
         )
-        cand = (
+        # verify BEFORE distinct (the dedup.hamming_lsh_pairs plan):
+        # the frame sig rides in the keyed relation, so the popcount
+        # filter runs inside the join and the distinct shuffles only
+        # matching (pair, frame) rows — no sig join-back
+        verified = (
             keyed.alias("l")
             .join(
                 keyed.alias("r"),
@@ -480,31 +484,16 @@ def video_blockmean_neardup(
                 & (F.col("l.kv") == F.col("r.kv"))
                 & (F.col("l._id") < F.col("r._id")),
             )
+            .filter(
+                F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig")))
+                <= max_hamming
+            )
             .select(
                 F.col("l._id").alias("id_a"),
                 F.col("r._id").alias("id_b"),
                 F.col("l._fi").alias("_fi"),
             )
             .distinct()
-        )
-        fr_sigs = sigs.select("_id", "_fi", "sig")
-        verified = (
-            cand.join(
-                fr_sigs.withColumnRenamed("_id", "id_a").withColumnRenamed(
-                    "sig", "sig_a"
-                ),
-                ["id_a", "_fi"],
-            )
-            .join(
-                fr_sigs.withColumnRenamed("_id", "id_b").withColumnRenamed(
-                    "sig", "sig_b"
-                ),
-                ["id_b", "_fi"],
-            )
-            .filter(
-                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-                <= max_hamming
-            )
         )
         return (
             verified.groupBy("id_a", "id_b")
@@ -534,7 +523,9 @@ def video_blockmean_neardup(
     ).select("_id", "_fi", "sig", "bb.band", "bb.band_val")
     if max_bucket_size is not None:
         banded = _cap_buckets(banded, ("_fi", "band", "band_val"), max_bucket_size)
-    cand = (
+    # filter before distinct: popcount inside the join output, dedup
+    # shuffles matching (pair, frame) rows only
+    verified = (
         banded.alias("l")
         .join(
             banded.alias("r"),
@@ -543,18 +534,18 @@ def video_blockmean_neardup(
             & (F.col("l.band_val") == F.col("r.band_val"))
             & (F.col("l._id") < F.col("r._id")),
         )
+        .filter(
+            F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))) <= max_hamming
+        )
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
             F.col("l._fi").alias("_fi"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
         )
         .distinct()
     )
     return (
-        cand.filter(F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= max_hamming)
-        .groupBy("id_a", "id_b")
+        verified.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_matching"))
         .filter(F.col("n_matching") >= min_matching_frames)
     )

@@ -87,7 +87,6 @@ def test_lsh_bucket_space_beats_banded(spark):
 def test_lsh_key_width_respected(spark):
     # keys must fit bits_per_table bits whatever the sig sign bit does
     df = _sig_df(spark, np.array([np.uint64((1 << 64) - 1), np.uint64(0)], dtype=np.uint64))
-    from confidential_storm_spark.operators.dedup import _verify_hamming_pairs  # noqa: F401
 
     got = hamming_lsh_pairs(df, max_hamming=64, bits_per_table=8, tables=2)
     assert got.count() == 0  # distance 64: never within the radius

@@ -27,6 +27,22 @@ spikes hit different queries each pass).  ``queries`` holds
 per-query MEDIANS — the shared sandbox swings 2-8x (PLANS.md), so
 single-shot timings are not decision-grade — and ``spread`` the
 per-query [min, max] so a noisy median is visible as a wide band.
+
+Sensitivity controls (round-11, VERDICT r10 next-round #3 — the old
+3-sample medians had 2-3x spreads on replays/LSH, masking real
+regressions):
+
+- one full DISCARDED warm-up pass over the registry before any timed
+  pass ($SPARK_GRAFT_BENCH_WARMUP, default 1; 0 restores the old
+  behavior) — first-execution costs (codegen, state-store dirs,
+  broadcast builds) land there instead of in some query's max;
+- ADAPTIVE re-sampling: any query whose (max-min)/median exceeds
+  $SPARK_GRAFT_BENCH_NOISY_SPREAD (default 1.5) after the main
+  passes is re-timed until it holds $SPARK_GRAFT_BENCH_NOISY_RUNS
+  samples (default 7), so its median rests on 5+ observations;
+- per-query ``cv`` (stdev/mean) and ``n_samples`` maps in the detail
+  object, so a judge can separate ambient drift from regression
+  mechanically: high cv = don't trust a single-round delta.
 """
 
 from __future__ import annotations
@@ -99,33 +115,62 @@ def main() -> None:
     print(f"# prebuild_artifacts: {time.perf_counter()-t0:.3f}s", file=sys.stderr)
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    warmup_runs = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
+    noisy_spread = float(os.environ.get("SPARK_GRAFT_BENCH_NOISY_SPREAD", "1.5"))
+    noisy_runs = int(os.environ.get("SPARK_GRAFT_BENCH_NOISY_RUNS", "7"))
     qs = build_queries()
     samples: dict[str, list[float]] = {name: [] for name in qs}
     import gc
 
+    def run_one(name: str, tag: str) -> float:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        dt = round(time.perf_counter() - t0, 3)
+        print(f"# {tag} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        # drop the py4j refs NOW: localCheckpoint blocks from the
+        # dedup/graph queries stay pinned in the block manager
+        # until the driver-side DataFrame is garbage-collected,
+        # and letting them pile up across ~300 executions
+        # inflates the late queries 3-7x with GC pressure
+        del df
+        gc.collect()
+        return dt
+
+    # full discarded pass(es): first-execution costs are setup, not
+    # query cost — without this they land in some query's max and
+    # fake a 2-3x spread
+    for w in range(warmup_runs):
+        for name in qs:
+            run_one(name, f"warmup{w}")
     for run in range(n_runs):
-        for name, fn in qs.items():
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            dt = round(time.perf_counter() - t0, 3)
-            samples[name].append(dt)
-            print(f"# run{run} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
-            # drop the py4j refs NOW: localCheckpoint blocks from the
-            # dedup/graph queries stay pinned in the block manager
-            # until the driver-side DataFrame is garbage-collected,
-            # and letting them pile up across ~300 executions
-            # inflates the late queries 3-7x with GC pressure
-            del df
-            gc.collect()
+        for name in qs:
+            samples[name].append(run_one(name, f"run{run}"))
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
         mid = len(s) // 2
         return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
 
+    def spread_ratio(xs: list[float]) -> float:
+        m = median(xs)
+        return (max(xs) - min(xs)) / m if m > 0 else 0.0
+
+    # adaptive pass: a query still spread-noisy after the main passes
+    # gets more observations so its median rests on 5+ samples
+    for name in list(qs):
+        while spread_ratio(samples[name]) > noisy_spread and len(samples[name]) < noisy_runs:
+            samples[name].append(run_one(name, f"extra{len(samples[name])}"))
+
+    import statistics
+
     timings = {name: median(xs) for name, xs in samples.items()}
     spread = {name: [min(xs), max(xs)] for name, xs in samples.items()}
+    cv = {
+        name: round(statistics.pstdev(xs) / (statistics.fmean(xs) or 1.0), 4)
+        for name, xs in samples.items()
+    }
+    n_samples = {name: len(xs) for name, xs in samples.items()}
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "total_query_sec",
@@ -133,7 +178,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "cv": cv,
+        "n_samples": n_samples,
         "runs": n_runs,
+        "warmup_runs": warmup_runs,
         "sf": sf,
     }
     detail_path = os.path.join(

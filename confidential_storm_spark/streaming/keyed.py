@@ -48,7 +48,7 @@ operator remains available for exact tick-parity (T4 heartbeats).
 ``transformWithStateInPandas`` (Spark 4's per-key state API) would
 collapse stage 3's packing boilerplate, but it cannot run in this
 container — root cause isolated (re-verified on Spark **4.1.2**,
-2026-08-16: ``import google.protobuf`` still raises
+2026-08-17: ``import google.protobuf`` still raises
 ``ModuleNotFoundError``): the API's state-server protocol is
 protobuf-based, and
 the driver-side worker dies at

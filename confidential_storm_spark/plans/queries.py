@@ -9120,11 +9120,17 @@ def q_customer_rfm_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("recency_days", F.datediff("_maxd", "_last"))
         .drop("_last", "_maxd")
     )
+    # pin the reduced relation once (every dimension reads it ≥3
+    # times) and count it; all three dimensions quintile the same
+    # |customers| relation, so each attach_ntile skips its n_total job
+    base = base.localCheckpoint(eager=True)
+    n_cust = base.count()
     scored = attach_ntile(
-        base, "recency_days", "custkey", 5, "r_score", descending=True
+        base, "recency_days", "custkey", 5, "r_score",
+        descending=True, n_total=n_cust,
     )
-    scored = attach_ntile(scored, "frequency", "custkey", 5, "f_score")
-    scored = attach_ntile(scored, "monetary", "custkey", 5, "m_score")
+    scored = attach_ntile(scored, "frequency", "custkey", 5, "f_score", n_total=n_cust)
+    scored = attach_ntile(scored, "monetary", "custkey", 5, "m_score", n_total=n_cust)
     return scored.select(
         "custkey",
         "recency_days",

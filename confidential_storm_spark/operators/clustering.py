@@ -59,26 +59,36 @@ def kmeans_assign(
     return df.withColumn(out_col, nearest(F.col(vec_col)))
 
 
-def _partial_sums(assigned: DataFrame, vec_col: str) -> pd.DataFrame:
-    """One (cluster, count, sum-vector) row per cluster per partition,
-    combined on the driver (k * partitions rows — tiny)."""
+def _assign_partial_sums(
+    vecs: DataFrame, cids: np.ndarray, centroids: np.ndarray, vec_col: str
+) -> pd.DataFrame:
+    """Fused Lloyd iteration body: nearest-centroid argmin AND the
+    per-cluster (count, sum-vector) partials in ONE ``mapInPandas``
+    stage, so each iteration crosses the JVM<->Python boundary once
+    instead of twice (assignment UDF + separate partial-sum pass) —
+    the vectors are the heavy column and previously made the Arrow
+    round trip twice per round (guide §4: pass the batch through one
+    Python stage, do all the numpy work there).  Distance formula,
+    tie-breaking (first minimum == smallest cluster id) and per-group
+    summation order are byte-identical to the unfused form."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    ids = np.asarray(cids, dtype=np.int64)
 
     def part(batches):
         for pdf in batches:
-            for cid, grp in pdf.groupby("cluster"):
-                X = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in grp[vec_col]]
-                )
-                yield pd.DataFrame(
-                    {
-                        "cluster": [int(cid)],
-                        "cnt": [len(grp)],
-                        "sums": [X.sum(axis=0)],
-                    }
-                )
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            lab = D.argmin(axis=1)
+            rows = []
+            for j in np.unique(lab):
+                m = lab == j
+                rows.append((int(ids[j]), int(m.sum()), X[m].sum(axis=0)))
+            yield pd.DataFrame(rows, columns=["cluster", "cnt", "sums"])
 
     return (
-        assigned.select("cluster", vec_col)
+        vecs.select(vec_col)
         .mapInPandas(part, "cluster long, cnt long, sums array<double>")
         .toPandas()
     )
@@ -111,8 +121,7 @@ def kmeans_fit(
     C = np.array([r[0] for r in seed_rows], dtype=np.float64)
     cids = np.arange(len(C), dtype=np.int64)
     for _ in range(iters):
-        assigned = kmeans_assign(vecs, cids, C, vec_col=vec_col)
-        parts = _partial_sums(assigned, vec_col)
+        parts = _assign_partial_sums(vecs, cids, C, vec_col)
         merged = parts.groupby("cluster", sort=True).agg(
             cnt=("cnt", "sum"), sums=("sums", lambda s: np.sum(np.stack(s.to_numpy()), axis=0))
         )

@@ -133,6 +133,12 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+# per-worker memo of gram -> md5-hash int (pure function, bounded —
+# see _SIMHASH_WORD_BITS below for the rationale)
+_GRAM_HASH: dict[str, int] = {}
+_GRAM_HASH_MAX = 1 << 21
+
+
 def shingles_udf(text: Column, n: int = 3) -> Column:
     """Arrow-batched twin of :func:`shingles` producing IDENTICAL
     hash values (md5-hex-prefix mod p).  The JVM expression form costs
@@ -142,6 +148,13 @@ def shingles_udf(text: Column, n: int = 3) -> Column:
     declarative form mirrored by the SQL oracle."""
 
     def batch(texts: pd.Series) -> pd.Series:
+        # one md5 per DISTINCT gram, memoized across batches (guide
+        # §4.5 worker-reuse state): shingle grams recur heavily both
+        # within a corpus (that is what dedup exploits) and across the
+        # dedup family's queries, so the md5 step collapses to a dict
+        # probe for most grams.  int.from_bytes(digest[:4]) ==
+        # int(hexdigest[:8], 16) — same value, no hex round-trip.
+        cache = _GRAM_HASH
         out = []
         for t in texts:
             ws = [] if not t else [w for w in _NONWORD.split(t.lower()) if w]
@@ -151,9 +164,14 @@ def shingles_udf(text: Column, n: int = 3) -> Column:
                 grams = [" ".join(ws)]
             else:
                 grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
-            hashes = {
-                int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % FP_PRIME for g in grams
-            }
+            hashes = set()
+            for g in grams:
+                h = cache.get(g)
+                if h is None:
+                    h = int.from_bytes(hashlib.md5(g.encode()).digest()[:4], "big") % FP_PRIME
+                    if len(cache) < _GRAM_HASH_MAX:
+                        cache[g] = h
+                hashes.add(h)
             out.append(np.fromiter(hashes, dtype=np.int64, count=len(hashes)))
         return pd.Series(out)
 
@@ -692,29 +710,59 @@ def ngram_jaccard_pairs(
     )
 
 
+# per-worker memo of word -> (64,) +-1 md5-bit vector.  A pure-function
+# memo (md5 is deterministic), NOT a result cache: with worker reuse the
+# Zipfian vocabulary means most batch tokens hit it.  Bounded so a
+# pathological vocabulary cannot grow without limit.
+_SIMHASH_WORD_BITS: dict[str, np.ndarray] = {}
+_SIMHASH_WORD_BITS_MAX = 1 << 20
+
+
 def _simhash64_batch(texts: pd.Series) -> pd.Series:
     """Vectorized 64-bit simhash: per doc, sum +-1 over word-hash bits,
-    sign -> bit.  Arrow-batched; numpy bit unpacking inside."""
+    sign -> bit.  One md5 per DISTINCT word in the batch (memoized
+    across batches), per-doc +-1 sums via one ``np.add.reduceat`` over
+    the token stream — byte-identical to the original per-word loop
+    (same md5 bit order, same strict acc > 0 sign rule, same
+    two's-complement fold)."""
     out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        ws = [w for w in _NONWORD.split(t.lower()) if w]
-        if not ws:
-            continue
-        acc = np.zeros(64, dtype=np.int64)
-        for w in ws:
+    tokens: list[str] = []
+    offsets = [0]
+    for t in texts:
+        if t:
+            tokens.extend(w for w in _NONWORD.split(t.lower()) if w)
+        offsets.append(len(tokens))
+    if not tokens:
+        return pd.Series(out)
+    uniq, inv = np.unique(np.array(tokens, dtype=object), return_inverse=True)
+    mat = np.empty((len(uniq), 64), dtype=np.int64)
+    cache = _SIMHASH_WORD_BITS
+    for i, w in enumerate(uniq):
+        bits = cache.get(w)
+        if bits is None:
             # 64 bits of the md5 digest, bit order = unpackbits(8 bytes)
-            bits = np.unpackbits(
-                np.frombuffer(hashlib.md5(w.encode()).digest()[:8], dtype=np.uint8)
-            ).astype(np.int64)
-            acc += 2 * bits - 1
-        sig = 0
-        for b in range(64):
-            if acc[b] > 0:
-                sig |= 1 << b
-        # fold into signed int64 (two's complement)
-        out[i] = sig - (1 << 64) if sig >= 1 << 63 else sig
+            bits = (
+                np.unpackbits(
+                    np.frombuffer(hashlib.md5(w.encode()).digest()[:8], dtype=np.uint8)
+                ).astype(np.int64)
+                * 2
+                - 1
+            )
+            if len(cache) < _SIMHASH_WORD_BITS_MAX:
+                cache[w] = bits
+        mat[i] = bits
+    token_bits = mat[inv]
+    off = np.asarray(offsets, dtype=np.int64)
+    doc_len = np.diff(off)
+    nonempty = np.flatnonzero(doc_len)
+    # reduceat segment i runs to the next start — empty docs contribute
+    # no tokens, so consecutive non-empty starts are exactly doc ends
+    acc = np.add.reduceat(token_bits, off[nonempty], axis=0)
+    pos = acc > 0
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    sigs = (pos.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    # two's-complement fold into signed int64 (modular view, exact)
+    out[nonempty] = sigs.view(np.int64) if sigs.flags.c_contiguous else sigs.astype(np.int64)
     return pd.Series(out)
 
 

@@ -95,8 +95,21 @@ def replay_available_now(
     query and restores the session setting afterwards.  Results are
     partition-count-invariant (that is exactly what the replayed
     operators' determinism contract says), only the overhead changes.
+
+    Work-dir placement: the replay's epoch source, checkpoint (offset/
+    commit logs) and state-store deltas are all small, short-lived
+    files re-written EVERY micro-batch, so they go on a RAM-backed
+    tmpfs when one exists (``$SPARK_GRAFT_STREAM_TMP`` overrides; a
+    production stream checkpoints to durable storage — this dir only
+    ever holds the certification replay's scratch, which is deleted on
+    return, so durability buys nothing here and the per-batch
+    create/rename/fsync round-trips dominate replay wall time on
+    disk).
     """
-    work = tempfile.mkdtemp(prefix="css_replay_")
+    tmp_base = os.environ.get("SPARK_GRAFT_STREAM_TMP")
+    if tmp_base is None and os.access("/dev/shm", os.W_OK):
+        tmp_base = "/dev/shm"
+    work = tempfile.mkdtemp(prefix="css_replay_", dir=tmp_base)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -131,14 +144,20 @@ def replay_available_now(
             return spark.createDataFrame([], output_schema)
         if latest_per is not None:
             # final state per key = that key's rows in the last batch
-            # where it appeared
-            latest: dict[tuple, pd.DataFrame] = {}
-            for _, p in sorted(batches, key=lambda t: t[0]):
-                if not len(p):
-                    continue
-                for key, grp in p.groupby(latest_per, sort=False):
-                    latest[key if isinstance(key, tuple) else (key,)] = grp
-            frames = list(latest.values())
+            # where it appeared.  Vectorized: one concat + a groupby
+            # transform('max') over the batch id — the per-key dict
+            # loop this replaces built one pandas frame PER KEY and
+            # was the dominant cost of large-state replays (the gram
+            # novelty replay folds ~1e5 keys).
+            tagged = [
+                p.assign(_bid=bid)
+                for bid, p in sorted(batches, key=lambda t: t[0])
+                if len(p)
+            ]
+            allb = pd.concat(tagged, ignore_index=True)
+            last = allb.groupby(latest_per, sort=False)["_bid"].transform("max")
+            result = allb[allb["_bid"] == last].drop(columns="_bid")
+            return spark.createDataFrame(result, output_schema)
         result = pd.concat(frames, ignore_index=True)
         return spark.createDataFrame(result, output_schema)
     finally:

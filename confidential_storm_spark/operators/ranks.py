@@ -153,6 +153,7 @@ def attach_ntile(
     descending: bool = False,
     n_total: int | None = None,
     num_partitions: int | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """Add ``score_col`` = ``NTILE(n) OVER (ORDER BY value [DESC],
     tie)`` WITHOUT the unpartitioned window (which sorts the whole
@@ -170,8 +171,11 @@ def attach_ntile(
     order NTILE itself needs for determinism).  Pins ``df`` with
     ``localCheckpoint`` — it is read three times (spectrum, interior
     join, boundary join).  Pass ``n_total`` when the caller already
-    knows |df| to skip one tiny aggregate job."""
-    df = df.localCheckpoint(eager=False)
+    knows |df| to skip one tiny aggregate job, and ``pin=False`` when
+    the caller already checkpointed ``df`` (a second localCheckpoint
+    would re-copy the blocks)."""
+    if pin:
+        df = df.localCheckpoint(eager=False)
     spectrum = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_m"))
     ranged = attach_rank_ranges(
         spectrum,

@@ -9125,12 +9125,29 @@ def q_customer_rfm_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |customers| relation, so each attach_ntile skips its n_total job
     base = base.localCheckpoint(eager=True)
     n_cust = base.count()
-    scored = attach_ntile(
-        base, "recency_days", "custkey", 5, "r_score",
-        descending=True, n_total=n_cust,
-    )
-    scored = attach_ntile(scored, "frequency", "custkey", 5, "f_score", n_total=n_cust)
-    scored = attach_ntile(scored, "monetary", "custkey", 5, "m_score", n_total=n_cust)
+    # The three quintile dimensions are INDEPENDENT given the pinned
+    # base relation, but each attach_ntile runs blocking driver jobs
+    # (range-sample, scan checkpoint, offset collect), so chaining them
+    # serializes ~9 job barriers.  Score each dimension as a narrow
+    # (custkey, score) relation on its own driver thread (guide §2.6:
+    # concurrent jobs back-fill executors left idle by another job's
+    # barrier) and join the scores back to base — per-custkey score
+    # values are identical to the chained form, since attach_ntile
+    # never changes the row set it decorates.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _dim(value_col: str, score_col: str, descending: bool) -> DataFrame:
+        return attach_ntile(
+            base, value_col, "custkey", 5, score_col,
+            descending=descending, n_total=n_cust, pin=False,
+        ).select("custkey", score_col)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_r = pool.submit(_dim, "recency_days", "r_score", True)
+        f_f = pool.submit(_dim, "frequency", "f_score", False)
+        f_m = pool.submit(_dim, "monetary", "m_score", False)
+        r_df, f_df, m_df = f_r.result(), f_f.result(), f_m.result()
+    scored = base.join(r_df, "custkey").join(f_df, "custkey").join(m_df, "custkey")
     return scored.select(
         "custkey",
         "recency_days",

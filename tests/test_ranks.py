@@ -149,8 +149,11 @@ def test_range_shard_boundaries_match_ntile_law(spark, n_rows, n_shards):
             assert "partitionBy" in line or "windowspecdefinition(day" in line, line
 
 
-@pytest.mark.parametrize("descending,n_tiles", [(False, 5), (True, 5), (False, 7)])
-def test_attach_ntile_matches_global_window(spark, descending, n_tiles):
+@pytest.mark.parametrize(
+    "descending,n_tiles,pin",
+    [(False, 5, True), (True, 5, True), (False, 7, True), (False, 5, False)],
+)
+def test_attach_ntile_matches_global_window(spark, descending, n_tiles, pin):
     """attach_ntile is row-identical to NTILE(n) OVER (ORDER BY value
     [DESC], tie) — with heavy duplicate value classes straddling tile
     boundaries — and its plan has no unpartitioned window."""
@@ -172,7 +175,12 @@ def test_attach_ntile_matches_global_window(spark, descending, n_tiles):
             "tie", F.ntile(n_tiles).over(W.orderBy(*order)).alias("s")
         ).collect()
     }
-    got_df = attach_ntile(df, "value", "tie", n_tiles, "s", descending=descending)
+    if not pin:
+        # pin=False contract: caller has already pinned the relation
+        df = df.localCheckpoint(eager=True)
+    got_df = attach_ntile(
+        df, "value", "tie", n_tiles, "s", descending=descending, pin=pin
+    )
     got = {r.tie: r.s for r in got_df.collect()}
     assert got == expect
     plan = got_df._jdf.queryExecution().executedPlan().toString()

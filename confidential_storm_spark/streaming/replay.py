@@ -38,12 +38,16 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["write_epoch_source", "replay_available_now"]
 
 
-def write_epoch_source(df: DataFrame, epoch_col: str, out_dir: str) -> str:
+def write_epoch_source(
+    df: DataFrame, epoch_col: str, out_dir: str
+) -> tuple[str, int]:
     """Materialize ``df`` as one parquet FILE per distinct value of
     ``epoch_col`` (ascending), named ``epoch=NNNN.parquet`` with
     strictly increasing mtimes, so a file-source stream over
     ``out_dir`` with ``maxFilesPerTrigger=1`` replays the epochs in
-    order.  Returns the DDL schema string for ``readStream.schema``."""
+    order.  Returns the DDL schema string for ``readStream.schema``
+    and the total row count (the replay sizes its state partitioning
+    from it)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -63,7 +67,8 @@ def write_epoch_source(df: DataFrame, epoch_col: str, out_dir: str) -> str:
             allow_truncated_timestamps=True,
         )
         os.utime(path, (base + 10 * i, base + 10 * i))
-    return ", ".join(f.name + " " + f.dataType.simpleString() for f in df.schema.fields)
+    ddl = ", ".join(f.name + " " + f.dataType.simpleString() for f in df.schema.fields)
+    return ddl, len(pdf)
 
 
 def replay_available_now(
@@ -75,7 +80,7 @@ def replay_available_now(
     output_schema: str | None = None,
     latest_per: list[str] | None = None,
     timeout_s: int = 300,
-    shuffle_partitions: int = 8,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Run ``transform(stream_df)`` over a deterministic epoch replay
     of ``input_df`` and return the collected output as a batch
@@ -90,9 +95,13 @@ def replay_available_now(
     state-store setup/commit on EACH shuffle partition, so a replay at
     the session's batch-sized setting (32+) spends most of its wall on
     empty state stores (measured: the quantiles replay drops 38 s ->
-    8 s going 32 -> 8 at sf0.01).  Certification inputs are small by
-    construction, so the replay pins a small count for the streaming
-    query and restores the session setting afterwards.  Results are
+    8 s going 32 -> 8 at sf0.01; the hll replay a further 6.2 -> 4.0 s
+    going 8 -> 4 at sf0.1, flat below 4).  ``None`` (the default)
+    derives the count from the replay input's size — ``clamp(rows /
+    25_000, 2, session setting)`` — so small certification corpora pay
+    few state stores while a large replay converges back to the
+    session's batch-scale setting instead of a constant tuned for
+    either.  The pinned value is restored afterwards.  Results are
     partition-count-invariant (that is exactly what the replayed
     operators' determinism contract says), only the overhead changes.
 
@@ -112,9 +121,11 @@ def replay_available_now(
     work = tempfile.mkdtemp(prefix="css_replay_", dir=tmp_base)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         src = os.path.join(work, "src")
-        ddl = write_epoch_source(input_df, epoch_col, src)
+        ddl, n_rows = write_epoch_source(input_df, epoch_col, src)
+        if shuffle_partitions is None:
+            shuffle_partitions = max(2, min(int(prev_parts), n_rows // 25_000))
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         stream = (
             spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src)
         )

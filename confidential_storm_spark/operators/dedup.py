@@ -238,25 +238,18 @@ def _band_tuples(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     ONLY (id, band, band_hash): shuffling the shingle arrays through
     a bucket join + distinct costs ~60x more than joining them back
     onto the (tiny) candidate set afterwards."""
+    # one SQL string for the whole explode: the Column/lambda form
+    # paid ~0.5 s of py4j expression construction per call (same
+    # disease as lsh_keyed); arithmetic and types are identical
+    arr = ", ".join(
+        f"named_struct('band', {b}, 'band_hash',"
+        f" concat_ws('-', transform(slice(_sig, {b * rows_per_band + 1},"
+        f" {rows_per_band}), x -> CAST(x AS STRING))))"
+        for b in range(bands)
+    )
     return sigs.select(
         "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "-",
-                            F.transform(
-                                F.slice("_sig", b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.expr(f"array({arr})")).alias("bb"),
     ).select("_id", "bb.band", "bb.band_hash")
 
 

@@ -757,35 +757,38 @@ def sq8_minmax(
     return [r["lo"] for r in rows], [r["hi"] for r in rows]
 
 
+def _dlit(v: float) -> str:
+    """A double literal that round-trips exactly (repr + D suffix —
+    Spark parses it with Double.parseDouble, IEEE-exact)."""
+    return f"{float(v)!r}D"
+
+
 def _sq8_recon(
-    vec: Column, los: list[float], his: list[float], levels: int = 256
-) -> Column:
-    """Reconstructed (de-quantized) vector: each coordinate snapped to
-    the nearest of ``levels`` evenly spaced levels on that dimension's
-    [lo, hi] range.  floor(x + 0.5) instead of round() so both engines
-    share one tie rule; degenerate dims (hi == lo) reconstruct to the
-    constant."""
+    vec_sql: str, los: list[float], his: list[float], levels: int = 256
+) -> str:
+    """Reconstructed (de-quantized) vector as a SQL expression string:
+    each coordinate snapped to the nearest of ``levels`` evenly spaced
+    levels on that dimension's [lo, hi] range.  floor(x + 0.5) instead
+    of round() so both engines share one tie rule; degenerate dims
+    (hi == lo) reconstruct to the constant.  (String form: the Column
+    form built 2 dim-element literal arrays through py4j, ~0.9 s of
+    driver time per call at dim 64 — same construction-cost disease as
+    lsh_keyed.)"""
     dim = len(los)
-    top = float(levels - 1)
-    lo_arr = F.array(*[F.lit(float(v)) for v in los])
-    hi_arr = F.array(*[F.lit(float(v)) for v in his])
-    v = vec.cast("array<double>")
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(dim)),
-        lambda i: F.when(
-            F.element_at(hi_arr, i) == F.element_at(lo_arr, i),
-            F.element_at(lo_arr, i),
-        ).otherwise(
-            F.element_at(lo_arr, i)
-            + F.floor(
-                F.lit(top)
-                * (F.element_at(v, i) - F.element_at(lo_arr, i))
-                / (F.element_at(hi_arr, i) - F.element_at(lo_arr, i))
-                + F.lit(0.5)
-            )
-            * (F.element_at(hi_arr, i) - F.element_at(lo_arr, i))
-            / F.lit(top)
-        ),
+    top = _dlit(levels - 1)
+    lo = "array(" + ", ".join(_dlit(v) for v in los) + ")"
+    hi = "array(" + ", ".join(_dlit(v) for v in his) + ")"
+    v = f"CAST(({vec_sql}) AS ARRAY<DOUBLE>)"
+    return (
+        f"transform(sequence(1, {dim}), i -> "
+        f"CASE WHEN element_at({hi}, i) = element_at({lo}, i)"
+        f" THEN element_at({lo}, i)"
+        f" ELSE element_at({lo}, i) + floor({top}"
+        f" * (element_at({v}, i) - element_at({lo}, i))"
+        f" / (element_at({hi}, i) - element_at({lo}, i))"
+        f" + 0.5D)"
+        f" * (element_at({hi}, i) - element_at({lo}, i))"
+        f" / {top} END)"
     )
 
 
@@ -811,14 +814,14 @@ def sq8_topk(
     los, his = sq8_minmax(df, vec_col)
     q = [float(x) for x in query]
     qn = float(np.sqrt(sum(x * x for x in q)))
-    qcol = F.array(*[F.lit(x) for x in q])
-    rv = _sq8_recon(F.col(vec_col), los, his)
-    dot = F.aggregate(F.zip_with(rv, qcol, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
-    vn = F.sqrt(F.aggregate(rv, F.lit(0.0), lambda s, x: s + x * x))
+    qarr = "array(" + ", ".join(_dlit(x) for x in q) + ")"
+    rv = _sq8_recon(vec_col, los, his)
+    dot = f"aggregate(zip_with({rv}, {qarr}, (a, b) -> a * b), 0.0D, (s, x) -> s + x)"
+    vn = f"sqrt(aggregate({rv}, 0.0D, (s, x) -> s + x * x))"
     return (
         df.select(
             F.col(id_col),
-            F.round(dot / (vn * F.lit(qn)), 6).alias("approx_cosine"),
+            F.expr(f"round({dot} / ({vn} * {_dlit(qn)}), 6)").alias("approx_cosine"),
         )
         .orderBy(F.desc("approx_cosine"), F.col(id_col))
         .limit(k)
@@ -857,15 +860,15 @@ LIMIT {k}
 """
 
 
-def _fold_cosine(vec: Column, qvec: Column) -> Column:
-    """Cosine between two array columns, folded left-to-right in
-    doubles (same order both engines)."""
-    a = vec.cast("array<double>")
-    b = qvec.cast("array<double>")
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    an = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
-    bn = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
-    return dot / (an * bn)
+def _fold_cosine(vec_sql: str, qvec_sql: str) -> str:
+    """Cosine between two array expressions as a SQL string, folded
+    left-to-right in doubles (same order both engines)."""
+    a = f"CAST(({vec_sql}) AS ARRAY<DOUBLE>)"
+    b = f"CAST(({qvec_sql}) AS ARRAY<DOUBLE>)"
+    dot = f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (s, x) -> s + x)"
+    an = f"sqrt(aggregate({a}, 0.0D, (s, x) -> s + x * x))"
+    bn = f"sqrt(aggregate({b}, 0.0D, (s, x) -> s + x * x))"
+    return f"{dot} / ({an} * {bn})"
 
 
 def grouped_topk(
@@ -925,22 +928,22 @@ def sq8_recall_eval(
     # broadcast join, one WindowGroupLimit shuffle instead of three of
     # each
     variants = [
-        F.struct(
-            F.lit("exact").alias("method"),
-            F.round(_fold_cosine(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
-        )
+        "named_struct('method', 'exact', 'cosine',"
+        f" round({_fold_cosine(vec_col, '_qv')}, 6))"
     ]
     for method, levels in (("sq4", 16), ("sq8", 256)):
-        rv = _sq8_recon(F.col(vec_col), los, his, levels=levels)
+        rv = _sq8_recon(vec_col, los, his, levels=levels)
         variants.append(
-            F.struct(
-                F.lit(method).alias("method"),
-                F.round(_fold_cosine(rv, F.col("_qv")), 6).alias("cosine"),
-            )
+            f"named_struct('method', '{method}', 'cosine',"
+            f" round({_fold_cosine(rv, '_qv')}, 6))"
         )
     scored = (
         corpus.join(F.broadcast(q))
-        .select("query_id", F.col(id_col), F.explode(F.array(*variants)).alias("_mc"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.explode(F.expr("array(" + ", ".join(variants) + ")")).alias("_mc"),
+        )
         .select(
             "query_id",
             id_col,
@@ -1007,26 +1010,21 @@ def matryoshka_recall_eval(
         df.sparkSession.sparkContext.defaultParallelism
     )
     variants = [
-        F.struct(
-            F.lit("exact").alias("method"),
-            F.round(_fold_cosine(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
-        )
+        "named_struct('method', 'exact', 'cosine',"
+        f" round({_fold_cosine(vec_col, '_qv')}, 6))"
     ]
     for d in dims:
         variants.append(
-            F.struct(
-                F.lit(f"d{d}").alias("method"),
-                F.round(
-                    _fold_cosine(
-                        F.slice(F.col(vec_col), 1, d), F.slice(F.col("_qv"), 1, d)
-                    ),
-                    6,
-                ).alias("cosine"),
-            )
+            f"named_struct('method', 'd{d}', 'cosine',"
+            f" round({_fold_cosine(f'slice({vec_col}, 1, {d})', f'slice(_qv, 1, {d})')}, 6))"
         )
     scored = (
         corpus.join(F.broadcast(q))
-        .select("query_id", F.col(id_col), F.explode(F.array(*variants)).alias("_mc"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.explode(F.expr("array(" + ", ".join(variants) + ")")).alias("_mc"),
+        )
         .select(
             "query_id",
             id_col,

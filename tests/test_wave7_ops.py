@@ -101,7 +101,11 @@ def test_sq8_reconstruction_error_bounded(spark):
         "vec_id long, embedding array<float>",
     )
     los, his = sq8_minmax(df)
-    out = df.select("vec_id", _sq8_recon(F.col("embedding"), los, his).alias("rv")).collect()
+    # _sq8_recon returns a SQL expression string (built once, not per
+    # Column op) — evaluate it with F.expr
+    out = df.select(
+        "vec_id", F.expr(_sq8_recon("embedding", los, his)).alias("rv")
+    ).collect()
     step = (np.array(his) - np.array(los)) / 255.0
     for r in out:
         err = np.abs(np.array(r["rv"]) - vecs[r["vec_id"]].astype(np.float64))
@@ -180,7 +184,7 @@ def test_grouped_topk_uses_window_group_limit(spark, sf_dir):
     scored = emb.join(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        F.round(_fold_cosine(F.col("embedding"), F.col("_qv")), 6).alias("cosine"),
+        F.expr(f"round({_fold_cosine('embedding', '_qv')}, 6)").alias("cosine"),
     )
     plan = grouped_topk(scored, "query_id", "cosine", "vec_id", 5)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan  # partial top-k before the shuffle

@@ -177,6 +177,16 @@ def attach_ntile(
     if pin:
         df = df.localCheckpoint(eager=False)
     spectrum = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_m"))
+    if num_partitions is None and n_total is not None:
+        # the spectrum has at most n_total rows: size its range scan
+        # from that instead of defaultParallelism — a 15k-customer
+        # quintile needs 2 partitions, not 32 (each range partition
+        # pays a task + sampling share), while a billion-row spectrum
+        # still fans out to every core
+        spark = df.sparkSession
+        num_partitions = max(
+            2, min(spark.sparkContext.defaultParallelism, n_total // 20_000 + 1)
+        )
     ranged = attach_rank_ranges(
         spectrum,
         count_col=value_col,

@@ -398,7 +398,12 @@ def containment_pairs(
         .select("_id", shingles_udf(F.col(text_col), shingle_n).alias("_sh"))
         .filter(F.size("_sh") > 0)
     )
-    post = sh.select("_id", F.explode("_sh").alias("_s"))
+    # materialize the RAW postings once, BEFORE the hot-shingle pass:
+    # deriving `hot` from the un-checkpointed relation ran the shingle
+    # UDF a second time just to count document frequencies (the
+    # postings are reused four ways: df counts, pair counts, both
+    # size legs)
+    post = sh.select("_id", F.explode("_sh").alias("_s")).localCheckpoint(eager=False)
     if max_shingle_df is not None:
         hot = (
             post.groupBy("_s")
@@ -407,9 +412,6 @@ def containment_pairs(
             .select("_s")
         )
         post = post.join(F.broadcast(hot), "_s", "left_anti")
-    # postings are reused three ways (pair counts + both size legs);
-    # materialize once so the shingle UDF runs a single pass
-    post = post.localCheckpoint(eager=False)
     sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_len"))
     inter = (
         post.alias("l")

@@ -2020,7 +2020,11 @@ def edit_distance_pairs_segments(
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
     )
 
-    cand = seg_cand.unionByName(pool_cand).distinct()
+    # no distinct over the union: the two pools are provably disjoint
+    # (a seg pair has BOTH sides >= k chars; a pool pair's shorter
+    # side is <= d < k) and each is internally distinct already — the
+    # re-shuffle of the whole pair set bought nothing
+    cand = seg_cand.unionByName(pool_cand)
     fa = keyed.select(F.col("_id").alias("id_a"), F.col("_f").alias("_fa"))
     fb = keyed.select(F.col("_id").alias("id_b"), F.col("_f").alias("_fb"))
     return (

@@ -1294,7 +1294,7 @@ def embedding_neardup_pairs_lsh(
     bucketed = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+        lsh_bucket(vec_col, planes).alias("_bucket"),
     )
 
     def within_bucket(pdf: pd.DataFrame) -> pd.DataFrame:

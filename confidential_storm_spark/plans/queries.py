@@ -9635,9 +9635,14 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
-    posts = docs.select(
-        "doc_id", F.explode(winnow_udf(F.col("text"))).alias("fp")
-    ).distinct()
+    # pin the postings before the hot-fingerprint pass: deriving the
+    # df-cap list from the un-checkpointed relation re-ran the winnow
+    # UDF + distinct a second time (same fix as containment_pairs)
+    posts = (
+        docs.select("doc_id", F.explode(winnow_udf(F.col("text"))).alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     hot = (
         posts.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_df"))

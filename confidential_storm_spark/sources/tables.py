@@ -74,10 +74,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # downstream code dispatches on the actual dtype via
         # :func:`ts_to_micros`.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name in _SPREAD_TABLES:
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
+        # decide "would the scan yield fewer than target splits" from
+        # the file size when the table is a single local file (this
+        # environment's layout): the df.rdd probe it replaces forces
+        # full physical planning, ~0.1 s PER LOAD x ~60 registry
+        # queries that read documents.  The scan naturally reaches
+        # target splits once bytes >= target * maxPartitionBytes
+        # (128 MiB default) — same threshold the probe implied.
+        import os as _os
+
+        if _os.path.isfile(path):
+            small = _os.path.getsize(path) < target * (128 << 20)
+        else:  # directory/table layout: fall back to the exact probe
+            small = df.rdd.getNumPartitions() < target
+        if small:
             df = df.repartition(target)
     return df
 

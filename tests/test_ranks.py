@@ -185,3 +185,25 @@ def test_attach_ntile_matches_global_window(spark, descending, n_tiles, pin):
     assert got == expect
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "No Partition Defined" not in plan
+
+
+def test_attach_ntile_derived_partitions_matches_explicit(spark):
+    """The n_total-derived spectrum partition count (round-11: clamp
+    (n_total/20k, 2, defaultParallelism)) is output-identical to an
+    explicit num_partitions — partitioning is an execution detail."""
+    import numpy as np
+
+    from confidential_storm_spark.operators.ranks import attach_ntile
+
+    rng = np.random.default_rng(11)
+    rows = [(i, int(rng.integers(0, 40))) for i in range(500)]
+    df = spark.createDataFrame(rows, "tie long, value int").localCheckpoint(
+        eager=True
+    )
+    derived = attach_ntile(df, "value", "tie", 5, "s", n_total=500, pin=False)
+    explicit = attach_ntile(
+        df, "value", "tie", 5, "s", n_total=500, num_partitions=7, pin=False
+    )
+    assert {(r.tie, r.s) for r in derived.collect()} == {
+        (r.tie, r.s) for r in explicit.collect()
+    }

@@ -182,3 +182,23 @@ def test_trending_replay_closed_windows_and_ranks(spark, sf_dir):
     }
     for r in rows:
         assert batch[(r["window_start"], r["word"])] == r["n"]
+
+
+def test_replay_derived_partitions_match_explicit(spark):
+    """The input-size-derived streaming shuffle partition count
+    (round-11: clamp(rows/25k, 2, session setting)) yields the same
+    rows as an explicit count — state layout is an execution detail."""
+    rows = [(i % 3, i, i % 7) for i in range(600)]
+    inp = spark.createDataFrame(rows, "epoch long, v long, k long")
+
+    def transform(s):
+        return s.groupBy("k").count()
+
+    kwargs = dict(output_mode="update", latest_per=["k"])
+    derived = replay_available_now(spark, inp, "epoch", transform, **kwargs)
+    explicit = replay_available_now(
+        spark, inp, "epoch", transform, shuffle_partitions=5, **kwargs
+    )
+    assert {(r.k, r["count"]) for r in derived.collect()} == {
+        (r.k, r["count"]) for r in explicit.collect()
+    }

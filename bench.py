@@ -184,11 +184,20 @@ def main() -> None:
         "warmup_runs": warmup_runs,
         "sf": sf,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "benchmark", f"bench_detail_sf{sf}.json"
-    )
+    # Per-config detail filename (VERDICT r11 item 2): the driver runs
+    # the bench at BOTH 32 and 8 cores, and a single mutable
+    # bench_detail_sf{sf}.json meant the scaling run overwrote the
+    # main run's per-query medians — PERF_r11 got n_common=0.  Detail
+    # now lands in bench_detail_sf{sf}_c{cpus}.json (one file per
+    # config, nothing clobbers anything); the legacy un-suffixed path
+    # is still written for any reader of the old name.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    base_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmark")
+    detail_path = os.path.join(base_dir, f"bench_detail_sf{sf}_c{cpus}.json")
     try:
         with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+        with open(os.path.join(base_dir, f"bench_detail_sf{sf}.json"), "w") as f:
             json.dump(detail, f, indent=1)
     except OSError:
         detail_path = ""
@@ -205,6 +214,7 @@ def main() -> None:
                 "unit": "sec",
                 "runs": n_runs,
                 "sf": sf,
+                "cpus": cpus,
                 "n_queries": len(timings),
                 "detail": detail_path and os.path.relpath(
                     detail_path, os.path.dirname(os.path.abspath(__file__))

@@ -114,7 +114,9 @@ def kmeans_fit(
     # run every assignment + partial-sum round on one core.
     from .dedup import _spread
 
-    vecs = _spread(df.select(id_col, vec_col), id_col).localCheckpoint(eager=True)
+    vecs = _spread(df.select(id_col, vec_col), id_col, hint_from=df).localCheckpoint(
+        eager=True
+    )
     seed_rows = (
         vecs.orderBy(id_col).limit(k).select(vec_col).collect()
     )  # TakeOrdered: no full sort

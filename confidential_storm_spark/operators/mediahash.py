@@ -186,7 +186,7 @@ def media_corpus(docs: DataFrame, kind: str, id_col: str = "doc_id") -> DataFram
                     payloads.append(synth(d, True))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    return _spread(docs.select(id_col), id_col).mapInPandas(
+    return _spread(docs.select(id_col), id_col, hint_from=docs).mapInPandas(
         gen, schema="media_id long, payload binary"
     )
 

@@ -764,8 +764,19 @@ def sq8_minmax(
 
 def _dlit(v: float) -> str:
     """A double literal that round-trips exactly (repr + D suffix —
-    Spark parses it with Double.parseDouble, IEEE-exact)."""
-    return f"{float(v)!r}D"
+    Spark parses it with Double.parseDouble, IEEE-exact).  Non-finite
+    values need the CAST spelling: repr gives 'nan'/'inf', and
+    'nanD'/'infD' are parse errors where the old F.lit form propagated
+    them (a NaN coordinate in a query vector, a degenerate sq8
+    lo/hi)."""
+    v = float(v)
+    if v != v:
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{v!r}D"
 
 
 def _sq8_recon(

@@ -9025,14 +9025,22 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend, each quintiled (5 = best) under a (value, custkey) total
     order so tile boundaries cannot drift between engines.
 
-    Scale shape: one orders scan reduced to |customers| rows, a 1-row
-    broadcast corpus-max scalar, then three ntile windows over the
-    reduced relation.  The windows are single-partition by Spark's
-    global-ntile semantics, but over |customers| rows, not orders —
-    the certified scale sibling is `q_customer_rfm_scalable`
-    (operators/ranks.py::attach_ntile), which derives the IDENTICAL
-    scores from per-dimension spectrum cumsums with no unpartitioned
-    window, certified against this same twin."""
+    Since round 12 this entry COMPUTES via the scalable decomposition
+    (operators/ranks.py::attach_ntile — per-dimension spectrum cumsum,
+    no unpartitioned window): `q_customer_rfm_scalable` was certified
+    row-identical against this entry's own DuckDB twin in round 11, so
+    adopting its plan changes nothing the oracle hashes (VERDICT r11
+    next-round #3).  The window form it replaces lives on as
+    `_q_customer_rfm_window`, differentially tested against this entry
+    in tests/test_wave10.py."""
+    return q_customer_rfm_scalable(spark, sf_dir)
+
+
+def _q_customer_rfm_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The literal three-global-ntile-window form of `q_customer_rfm`
+    (the declarative spec, single-partition windows over |customers|
+    rows) — kept as the pytest oracle for the scalable decomposition
+    the registry entry now runs."""
     orders = load_table(spark, sf_dir, "orders")
     base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("_last"),
@@ -10054,15 +10062,22 @@ def text_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both self-join sides and the norm relation re-read the weighted
     # postings: materialize them once (plan audit showed 8 scans /
     # 16 exchanges without this)
-    wts = tf.join(F.broadcast(kept), "w").select(
+    wn = tf.join(F.broadcast(kept), "w").select(
         "doc_id",
         "w",
         (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("wt"),
     ).localCheckpoint(eager=False)
-    norms = wts.groupBy("doc_id").agg(
+    norms = wn.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
     )
-    dots = (
+    # attach each doc's norm to its posting rows BEFORE the self-join
+    # (one narrow per-doc join), so na/nb ride the pair aggregate as
+    # grouping companions (functions of id_a/id_b — same groups) and
+    # the candidate-pair relation never shuffles through the two norm
+    # join-backs the round-11 plan paid (VERDICT r11 next-round #4);
+    # dot and the division are term-for-term the same expressions
+    wts = wn.join(norms, "doc_id").localCheckpoint(eager=False)
+    return (
         wts.alias("l")
         .join(
             wts.alias("r"),
@@ -10070,13 +10085,12 @@ def text_tfidf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .groupBy(
-            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.col("l.nrm").alias("na"),
+            F.col("r.nrm").alias("nb"),
         )
         .agg(F.sum(F.col("l.wt") * F.col("r.wt")).alias("dot"))
-    )
-    return (
-        dots.join(norms.withColumnRenamed("doc_id", "id_a").withColumnRenamed("nrm", "na"), "id_a")
-        .join(norms.withColumnRenamed("doc_id", "id_b").withColumnRenamed("nrm", "nb"), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -10183,13 +10197,22 @@ def shard_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical cross-engine; dates emitted as strings per the repo's
     date-hash convention.
 
-    Scale note: the PARTITION-BY-less NTILE is the one deliberately
-    exact-over-scalable step here (Spark executes it single-partition)
-    — the certified scale sibling is `shard_boundaries_scalable`
-    (operators/ranks.py::range_shard_boundaries), which derives the
-    IDENTICAL relation from the |dates|-sized daily-count cumsum with
-    fact-row refinement only on the ~{n} boundary dates, and is
-    certified against this same NTILE twin."""
+    Since round 12 this entry COMPUTES via the scalable decomposition
+    (operators/ranks.py::range_shard_boundaries — daily-count spectrum
+    cumsum + boundary-date refinement, no unpartitioned window over
+    the fact): `shard_boundaries_scalable` was certified row-identical
+    against this entry's own NTILE twin in round 11, so adopting its
+    plan changes nothing the oracle hashes (VERDICT r11 next-round
+    #3).  The window form lives on as `_shard_boundaries_window`,
+    differentially tested in tests/test_ranks.py."""
+    return shard_boundaries_scalable(spark, sf_dir)
+
+
+def _shard_boundaries_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The literal global-NTILE-window form of `shard_boundaries` (the
+    declarative spec, single-partition window over the orders fact) —
+    kept as the pytest oracle for the scalable decomposition the
+    registry entry now runs."""
     orders = load_table(spark, sf_dir, "orders")
     wnd = Window.orderBy("o_orderdate", "o_orderkey")
     t = orders.select(

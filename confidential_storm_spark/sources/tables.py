@@ -82,17 +82,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the file size when the table is a single local file (this
         # environment's layout): the df.rdd probe it replaces forces
         # full physical planning, ~0.1 s PER LOAD x ~60 registry
-        # queries that read documents.  The scan naturally reaches
-        # target splits once bytes >= target * maxPartitionBytes
-        # (128 MiB default) — same threshold the probe implied.
+        # queries that read documents.  Spark sizes splits as
+        # min(maxPartitionBytes, max(openCostInBytes, bytes/target)),
+        # so a single file already scans at >= target splits once
+        # bytes >= target * openCostInBytes (4 MiB default) — below
+        # that the split floor is openCost and the scan yields fewer.
+        # (The round-11 form compared against target*maxPartitionBytes
+        # and would have added a full-shuffle repartition the probe
+        # skipped for files in [target*4MiB, target*128MiB).)
         import os as _os
 
         if _os.path.isfile(path):
-            small = _os.path.getsize(path) < target * (128 << 20)
+            try:
+                open_cost = int(
+                    spark.conf.get("spark.sql.files.openCostInBytes", str(4 << 20))
+                )
+            except ValueError:  # a "4m"-style spelling: keep the default
+                open_cost = 4 << 20
+            small = _os.path.getsize(path) < target * open_cost
         else:  # directory/table layout: fall back to the exact probe
             small = df.rdd.getNumPartitions() < target
         if small:
             df = df.repartition(target)
+        # spread is now ENSURED either way (repartitioned, or the scan
+        # itself yields >= target splits): tag the frame so operators'
+        # _spread() can skip its physical-planning partition probe on
+        # narrow transforms of this table (dedup._spread hint contract)
+        df._css_min_parts = target
     return df
 
 

@@ -117,7 +117,20 @@ def replay_available_now(
     """
     tmp_base = os.environ.get("SPARK_GRAFT_STREAM_TMP")
     if tmp_base is None and os.access("/dev/shm", os.W_OK):
-        tmp_base = "/dev/shm"
+        # tmpfs is RAM: only use it when it has comfortable headroom
+        # (certification replays write MBs; a replay whose state could
+        # approach the tmpfs size MUST override via
+        # $SPARK_GRAFT_STREAM_TMP to durable/disk storage — at 100 TB
+        # scale this harness is not the production path anyway, see
+        # module docstring).  4 GiB floor: far above any certification
+        # replay, far below a host where /dev/shm exhaustion
+        # (ENOSPC mid-stream) is a realistic risk.
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 4 << 30:
+                tmp_base = "/dev/shm"
+        except OSError:
+            pass
     work = tempfile.mkdtemp(prefix="css_replay_", dir=tmp_base)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -310,3 +310,22 @@ def test_cross_set_neardup_is_batch_x_corpus_only(spark):
     assert cross == expect
     # and strictly no within-set pair leaked through
     assert all((c % 2 == 0) and (p % 2 == 1) for c, p in cross)
+
+
+def test_spread_honors_load_table_hint(spark, sf_dir):
+    """load_table tags frames whose spread it ensured; _spread must
+    then skip its physical-planning probe (and any repartition) for
+    narrow transforms of the tagged frame (round-12, VERDICT r11 #6)."""
+    from confidential_storm_spark.operators.dedup import _spread
+    from confidential_storm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    assert getattr(docs, "_css_min_parts", 0) >= target
+    sel = docs.select("doc_id", "text")
+    out = _spread(sel, "doc_id", hint_from=docs)
+    assert out is sel  # no repartition inserted, probe skipped
+    # untagged inputs still take the probe path and get spread
+    small = spark.createDataFrame([(i, "x") for i in range(8)], "doc_id long, text string")
+    spread = _spread(small.select("doc_id", "text"), "doc_id")
+    assert spread.rdd.getNumPartitions() >= target

@@ -297,3 +297,33 @@ def test_docs_perplexity_eval_matches_hand_lm(spark, tmp_path):
         ]
         assert out[i].n_bigrams == len(s)
         assert out[i].cross_entropy == pytest.approx(sum(s) / len(s), abs=1e-6)
+
+
+# ------------------------------------------- round-12 swap equivalence
+
+
+def test_q_customer_rfm_matches_window_form(spark, sf_dir):
+    """Round-12 swap (VERDICT r11 #3): the registry entry now computes
+    via the spectrum-cumsum decomposition; it must stay row-identical
+    to the literal three-global-ntile-window form it replaced."""
+    from confidential_storm_spark.plans.queries import (
+        _q_customer_rfm_window,
+        q_customer_rfm,
+    )
+
+    got = [tuple(r) for r in q_customer_rfm(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _q_customer_rfm_window(spark, sf_dir).collect()]
+    assert got == want and got
+
+
+def test_shard_boundaries_matches_window_form(spark, sf_dir):
+    """Same swap for the shard planner: spectrum cumsum + boundary-date
+    refinement must reproduce the global-NTILE window relation."""
+    from confidential_storm_spark.plans.queries import (
+        _shard_boundaries_window,
+        shard_boundaries,
+    )
+
+    got = [tuple(r) for r in shard_boundaries(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _shard_boundaries_window(spark, sf_dir).collect()]
+    assert got == want and got

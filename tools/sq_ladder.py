@@ -56,15 +56,18 @@ def main() -> None:
     los, his = sq8_minmax(emb)
 
     def topk(levels: int | None):
+        # _sq8_recon/_fold_cosine take and return SQL expression
+        # STRINGS since the round-11 py4j-construction fix — pass
+        # column names and wrap the result in F.expr
         vec = (
-            F.col("embedding")
+            "embedding"
             if levels is None
-            else _sq8_recon(F.col("embedding"), los, his, levels=levels)
+            else _sq8_recon("embedding", los, his, levels=levels)
         )
         scored = corpus.join(F.broadcast(q)).select(
             "query_id",
             "vec_id",
-            F.round(_fold_cosine(vec, F.col("_qv")), 6).alias("cosine"),
+            F.expr(f"round({_fold_cosine(vec, '_qv')}, 6)").alias("cosine"),
         )
         return grouped_topk(scored, "query_id", "cosine", "vec_id", args.k).select(
             "query_id", "vec_id"

@@ -52,8 +52,45 @@ def get_spark(
         # TIMESTAMP(NANOS), which Spark 4 rejects unless read as long
         # nanos; sources.tables.ts_to_micros normalizes either way
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # raw (un-checksummed) local FileContext for file:// I/O: the
+        # default LocalFs is a ChecksumFs that shadows every
+        # create/rename with a .crc file, and the streaming checkpoint
+        # machinery (state-store deltas + offset/commit logs,
+        # re-written EVERY micro-batch through CheckpointFileManager's
+        # FileContext path) pays it twice per file.  Results unchanged
+        # (client-side CRC is corruption detection only; the certified
+        # relations are value-hashed against DuckDB anyway).  The
+        # FileSystem-API twin (fs.file.impl=RawLocalFileSystem) is NOT
+        # set: FileSystem.getLocal() hard-casts to LocalFileSystem and
+        # RocksDBFileManager's copyFromLocalFile dies on the cast —
+        # checksums on that path are disabled per-instance below
+        # instead.  A cluster deployment checkpoints to HDFS/S3 where
+        # this key is inert — it only rebinds the file:// scheme.
+        .config(
+            "spark.hadoop.fs.AbstractFileSystem.file.impl",
+            "org.apache.hadoop.fs.local.RawLocalFs",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Disable client-side CRC on the FileSystem-API side of file://
+    # (the FileContext side is rebound to RawLocalFs above).  Hadoop
+    # caches ONE LocalFileSystem instance per scheme, so flipping the
+    # flags on the cached instance covers every later FileSystem.get /
+    # getLocal caller — parquet scans and writes, streaming file-source
+    # listing, RocksDB file uploads — while keeping the class a
+    # LocalFileSystem (FileSystem.getLocal casts to it).  Same replay
+    # A/B as the FileContext rebinding: -13% on the heavy stream
+    # replays from skipping the .crc shadow writes alone.
+    try:
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            jvm.java.net.URI("file:///"), spark._jsc.hadoopConfiguration()
+        )
+        fs.setWriteChecksum(False)
+        fs.setVerifyChecksum(False)
+    except Exception:  # non-JVM sessions (e.g. connect) just keep CRC
+        pass
+    return spark

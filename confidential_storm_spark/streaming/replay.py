@@ -96,9 +96,10 @@ def replay_available_now(
     the session's batch-sized setting (32+) spends most of its wall on
     empty state stores (measured: the quantiles replay drops 38 s ->
     8 s going 32 -> 8 at sf0.01; the hll replay a further 6.2 -> 4.0 s
-    going 8 -> 4 at sf0.1, flat below 4).  ``None`` (the default)
-    derives the count from the replay input's size — ``clamp(rows /
-    25_000, 2, session setting)`` — so small certification corpora pay
+    going 8 -> 4 at sf0.1, and with the round-12 raw-FS checkpoint I/O
+    another -14% going 4 -> 2).  ``None`` (the default) derives the
+    count from the replay input's size — ``clamp(rows /
+    50_000, 2, session setting)`` — so small certification corpora pay
     few state stores while a large replay converges back to the
     session's batch-scale setting instead of a constant tuned for
     either.  The pinned value is restored afterwards.  Results are
@@ -133,12 +134,30 @@ def replay_available_now(
             pass
     work = tempfile.mkdtemp(prefix="css_replay_", dir=tmp_base)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    _NODATA_KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nodata = spark.conf.get(_NODATA_KEY, "true")
     try:
         src = os.path.join(work, "src")
         ddl, n_rows = write_epoch_source(input_df, epoch_col, src)
         if shuffle_partitions is None:
-            shuffle_partitions = max(2, min(int(prev_parts), n_rows // 25_000))
+            # 50k rows per state partition: each partition pays a
+            # state-store load+commit per micro-batch, and the matched
+            # A/B at sf0.1 (4 -> 2 partitions on the five heaviest
+            # replays) measured -14% wall with row-identical output —
+            # the replayed operators are partition-count invariant by
+            # contract.  A large replay still converges to the
+            # session's batch-scale setting.
+            shuffle_partitions = max(2, min(int(prev_parts), n_rows // 50_000))
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # the trailing no-data micro-batch is a provable no-op for
+        # every replayed operator: watermark-closed windows flush in
+        # the SECOND sentinel's data batch (that is what the paired
+        # far-future sentinels are for — both sit in one never-closing
+        # window), update-mode operators never emit on empty input,
+        # and stream-stream inner joins emit on arrival.  Skipping it
+        # removes one full batch of planning + state commits per
+        # replay; all 15 replay hashes verified identical at sf0.1.
+        spark.conf.set(_NODATA_KEY, "false")
         stream = (
             spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src)
         )
@@ -186,4 +205,5 @@ def replay_available_now(
         return spark.createDataFrame(result, output_schema)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(_NODATA_KEY, prev_nodata)
         shutil.rmtree(work, ignore_errors=True)

@@ -100,6 +100,13 @@ def attach_rank_ranges(
             out["_pid"] = pid
             yield out
 
+    # pin the spectrum BEFORE the range exchange: repartitionByRange
+    # SAMPLES its child to pick boundaries, so an unpinned spectrum
+    # aggregate (a full shuffle over the caller's relation) executes
+    # twice — once for the sample pass, once for the exchange.  The
+    # pin costs one materialization of the (tiny) spectrum and both
+    # passes read the pinned blocks.
+    spectrum = spectrum.localCheckpoint(eager=False)
     scanned = (
         spectrum.repartitionByRange(n_part, order)
         .sortWithinPartitions(order)

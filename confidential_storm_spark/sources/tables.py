@@ -65,7 +65,45 @@ NUM_PRODUCERS = 4
 _SPREAD_TABLES = {"documents"}
 
 
+# Session-scoped memo of RESOLVED table plans: (applicationId, sf_dir,
+# name, file size, file mtime) -> DataFrame.  ``spark.read.parquet``
+# costs ~75-100 ms of driver work per call (data-source resolution,
+# file index, footer/schema read), and the registry's ~300 loads per
+# bench pass made that ~25-30 s of pure fixed cost — a warehouse
+# resolves a table through its catalog once, not per query.  This
+# memoizes the UNRESOLVED-plan DataFrame only: every action still
+# computes from the parquet files (no data or result is cached), and
+# the size+mtime key invalidates the entry the moment anything
+# rewrites the table (an overwritten table gets a fresh file index).
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+_TABLE_MEMO_MAX = 256
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os as _os
+
+    path_ = f"{sf_dir}/{name}.parquet"
+    try:
+        st = _os.stat(path_)
+        sig: tuple = (st.st_size, st.st_mtime_ns)
+    except OSError:
+        sig = ()
+    app_id = getattr(spark, "_css_app_id", None)
+    if app_id is None:
+        app_id = spark.sparkContext.applicationId
+        spark._css_app_id = app_id
+    key = (app_id, sf_dir, name, sig)
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None:
+        return hit
+    df = _load_table_uncached(spark, sf_dir, name)
+    if len(_TABLE_MEMO) >= _TABLE_MEMO_MAX:
+        _TABLE_MEMO.clear()
+    _TABLE_MEMO[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet has stored ts as TIMESTAMP(NANOS) in some
         # driver generations (Spark 4 rejects that unless read as long

@@ -112,7 +112,10 @@ def main() -> None:
     # maintained outside the query path, built once if absent
     t0 = time.perf_counter()
     prebuild_artifacts(spark, sf_dir)
-    print(f"# prebuild_artifacts: {time.perf_counter()-t0:.3f}s", file=sys.stderr)
+    prebuild_sec = round(time.perf_counter() - t0, 3)
+    # surfaced in the detail JSON too (VERDICT r11 "what's wrong" #2):
+    # prebuild is untimed by design, so its growth must stay visible
+    print(f"# prebuild_artifacts: {prebuild_sec:.3f}s", file=sys.stderr)
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     warmup_runs = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
@@ -182,6 +185,7 @@ def main() -> None:
         "n_samples": n_samples,
         "runs": n_runs,
         "warmup_runs": warmup_runs,
+        "prebuild_sec": prebuild_sec,
         "sf": sf,
     }
     # Per-config detail filename (VERDICT r11 item 2): the driver runs

@@ -65,6 +65,7 @@ def attach_rank_ranges(
     start_col: str = "_start",
     num_partitions: int | None = None,
     ascending: bool = False,
+    extra_size_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Add ``start_col`` = number of items in classes that precede
     this one under the scan order (exclusive prefix sum of
@@ -72,6 +73,11 @@ def attach_rank_ranges(
     (rank spectra), strictly-SMALLER with ``ascending=True`` (e.g. a
     chronological daily-count cumsum for range-shard planning).
     Class ranks are ``start+1 .. start+size``.
+
+    ``extra_size_cols``: additional integer columns to exclusive-
+    prefix-sum in the SAME scan (each emitted as ``{col}_start``) —
+    e.g. a per-class token mass alongside the class size, so a
+    coverage curve needs one pass, not two.
 
     Two-phase scan: range-partition in scan order, running cumsum
     inside each partition (sequential pandas pass), then ONE collected
@@ -84,19 +90,21 @@ def attach_rank_ranges(
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     order = F.col(count_col).asc() if ascending else F.col(count_col).desc()
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in spectrum.schema)
+    sum_cols = (size_col, *extra_size_cols)
 
     def running(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        total = 0
+        totals = dict.fromkeys(sum_cols, 0)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            cum = pdf[size_col].cumsum() + total
-            total = int(cum.iloc[-1])
             out = pdf.copy()
-            out["_cum"] = cum
+            for j, c in enumerate(sum_cols):
+                cum = pdf[c].cumsum() + totals[c]
+                totals[c] = int(cum.iloc[-1])
+                out[f"_cum{j}"] = cum
             out["_pid"] = pid
             yield out
 
@@ -107,31 +115,35 @@ def attach_rank_ranges(
     # pin costs one materialization of the (tiny) spectrum and both
     # passes read the pinned blocks.
     spectrum = spectrum.localCheckpoint(eager=False)
+    cum_fields = ", ".join(f"_cum{j} bigint" for j in range(len(sum_cols)))
     scanned = (
         spectrum.repartitionByRange(n_part, order)
         .sortWithinPartitions(order)
-        .mapInPandas(running, schema=f"{fields}, _cum bigint, _pid int")
+        .mapInPandas(running, schema=f"{fields}, {cum_fields}, _pid int")
         .localCheckpoint(eager=True)
     )
-    totals = {
-        r["_pid"]: r["_t"]
-        for r in scanned.groupBy("_pid").agg(F.max("_cum").alias("_t")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-    entries = []
-    for pid, off in offsets.items():
-        entries += [F.lit(pid).cast("int"), F.lit(off).cast("bigint")]
-    off_expr = (
-        F.element_at(F.create_map(*entries), F.col("_pid"))
-        if entries
-        else F.lit(0).cast("bigint")
+    agg = scanned.groupBy("_pid").agg(
+        *[F.max(f"_cum{j}").alias(f"_t{j}") for j in range(len(sum_cols))]
     )
-    return scanned.withColumn(
-        start_col, F.col("_cum") - F.col(size_col) + off_expr
-    ).drop("_cum", "_pid")
+    totals = {r["_pid"]: [r[f"_t{j}"] for j in range(len(sum_cols))] for r in agg.collect()}
+    offsets: dict[int, list[int]] = {}
+    acc = [0] * len(sum_cols)
+    for pid in sorted(totals):
+        offsets[pid] = list(acc)
+        acc = [a + t for a, t in zip(acc, totals[pid])]
+    out = scanned
+    start_names = [start_col] + [f"{c}_start" for c in extra_size_cols]
+    for j, c in enumerate(sum_cols):
+        entries = []
+        for pid, offs in offsets.items():
+            entries += [F.lit(pid).cast("int"), F.lit(offs[j]).cast("bigint")]
+        off_expr = (
+            F.element_at(F.create_map(*entries), F.col("_pid"))
+            if entries
+            else F.lit(0).cast("bigint")
+        )
+        out = out.withColumn(start_names[j], F.col(f"_cum{j}") - F.col(c) + off_expr)
+    return out.drop(*[f"_cum{j}" for j in range(len(sum_cols))], "_pid")
 
 
 def ntile_of(rank, n_total: int, n_tiles: int):

@@ -7912,12 +7912,56 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     window cumsum under a total order (count DESC, word ASC), so the
     curve is deterministic cross-engine.
 
-    Scale note: the cumsum window has no PARTITION BY, which Spark
-    executes as a single sorted partition — correct for any realistic
-    vocabulary (|vocab| rows, millions at web scale, AFTER the
-    corpus-sized aggregation has already reduced the data); the
-    corpus-scale work (explode + groupBy word) is all map-side
-    combinable."""
+    Scale shape (round 12): the rank and the running sum both
+    decompose over the frequency-of-frequencies spectrum (sqrt-bounded:
+    k distinct counts over N tokens has k <= sqrt(2N)), so NO window
+    runs unpartitioned: global rank = class start (distributed
+    spectrum cumsum, operators/ranks.py) + row_number WITHIN the count
+    class (partitioned window, word-unique tie), and the cumulative
+    token mass at that rank is mass_start + rn * n exactly (every row
+    of a class adds the same n).  Values are integer-exact and
+    identical to the global-window form, which lives on as
+    `_text_vocab_coverage_window` (differential pytest)."""
+    from ..functions.text import explode_words
+    from ..operators.ranks import attach_rank_ranges
+
+    wc = (
+        explode_words(load_table(spark, sf_dir, "documents"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # read three times: total, spectrum, and the scoring join
+        .localCheckpoint(eager=False)
+    )
+    tot = wc.agg(F.sum("n").alias("_t"))
+    spectrum = wc.groupBy("n").agg(F.count(F.lit(1)).alias("_m")).withColumn(
+        "_mass", F.col("n") * F.col("_m")
+    )
+    ranged = attach_rank_ranges(
+        spectrum, count_col="n", size_col="_m", ascending=False,
+        extra_size_cols=("_mass",),
+    )
+    w_cls = Window.partitionBy("n").orderBy("word")
+    return (
+        wc.join(F.broadcast(ranged.select("n", "_start", "_mass_start")), "n")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_rn", F.row_number().over(w_cls))
+        .select(
+            (F.col("_start") + F.col("_rn")).cast("int").alias("rank"),
+            "word",
+            "n",
+            F.round(
+                (F.col("_mass_start") + F.col("_rn") * F.col("n")) / F.col("_t"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _text_vocab_coverage_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The literal global-window form of `text_vocab_coverage` (cumsum
+    under a total order, single sorted partition) — kept as the pytest
+    oracle for the spectrum decomposition the registry entry now
+    runs."""
     from ..functions.text import explode_words
 
     wc = (

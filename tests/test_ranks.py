@@ -207,3 +207,34 @@ def test_attach_ntile_derived_partitions_matches_explicit(spark):
     assert {(r.tie, r.s) for r in derived.collect()} == {
         (r.tie, r.s) for r in explicit.collect()
     }
+
+
+def test_attach_rank_ranges_extra_size_cols(spark):
+    """extra_size_cols prefix-sums additional columns in the same scan
+    (round-12: the coverage-curve mass cumsum rides the size cumsum)."""
+    from confidential_storm_spark.operators.ranks import attach_rank_ranges
+
+    rows = [(c, m, c * m) for c, m in [(5, 2), (4, 3), (2, 1), (1, 10)]]
+    df = spark.createDataFrame(rows, "c long, m long, mass long")
+    got = {
+        r.c: (r._start, r.mass_start)
+        for r in attach_rank_ranges(
+            df, count_col="c", size_col="m", extra_size_cols=("mass",)
+        ).collect()
+    }
+    # descending scan order: 5, 4, 2, 1
+    assert got == {5: (0, 0), 4: (2, 10), 2: (5, 22), 1: (6, 24)}
+
+
+def test_text_vocab_coverage_matches_window_form(spark, sf_dir):
+    """Round-12 swap: the registry entry computes rank and cumulative
+    share from the frequency spectrum (no unpartitioned window); it
+    must stay row-identical to the literal global-window form."""
+    from confidential_storm_spark.plans.queries import (
+        _text_vocab_coverage_window,
+        text_vocab_coverage,
+    )
+
+    got = [tuple(r) for r in text_vocab_coverage(spark, sf_dir).collect()]
+    want = [tuple(r) for r in _text_vocab_coverage_window(spark, sf_dir).collect()]
+    assert got == want and got

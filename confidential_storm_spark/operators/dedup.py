@@ -424,25 +424,33 @@ def containment_pairs(
         )
         post = post.join(F.broadcast(hot), "_s", "left_anti")
     sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_len"))
-    inter = (
-        post.alias("l")
+    # attach each doc's surviving-shingle count to its posting rows
+    # BEFORE the self-join (broadcast: sizes is |docs| rows), so the
+    # lengths ride the pair aggregate as grouping companions
+    # (functions of the ids — same groups) and the candidate-pair
+    # relation — Σ df² rows, far larger than the postings at scale —
+    # never shuffles through two size join-backs (the ngram-jaccard
+    # pattern, VERDICT r11 next-round #4 applied to containment)
+    postw = post.join(F.broadcast(sizes), "_id")
+    return (
+        postw.alias("l")
         .join(
-            post.alias("r"),
+            postw.alias("r"),
             (F.col("l._s") == F.col("r._s")) & (F.col("l._id") < F.col("r._id")),
         )
-        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .groupBy(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._len").alias("_la"),
+            F.col("r._len").alias("_lb"),
+        )
         .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    out = (
-        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_len", "_la"), "id_a")
-        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_len", "_lb"), "id_b")
         .withColumn(
             "containment",
             F.round(F.col("_inter").cast("double") / F.least("_la", "_lb"), 6),
         )
-    )
-    return out.filter(F.col("containment") >= containment_threshold).select(
-        "id_a", "id_b", "containment"
+        .filter(F.col("containment") >= containment_threshold)
+        .select("id_a", "id_b", "containment")
     )
 
 
